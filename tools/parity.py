@@ -1,0 +1,162 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+For every registered query, runs the Spark DataFrame build AND the
+oracle SQL via DuckDB on the same parquet fixtures, then compares:
+row count, column-name set, and order-insensitive canonical values
+(floats bit-exact, NaN-safe; timestamps at µs; arrays element-wise).
+This is intentionally *stricter* than any plausible driver hash, so a
+PASS here should imply a PASS there.
+
+Usage:
+    python tools/parity.py [--sf /root/testdata/sf0.01] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as _dt
+import decimal as _dec
+import math
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from upc_sku_data_loader_spark import plans  # noqa: F401,E402  (populates registry)
+from upc_sku_data_loader_spark.catalog import TABLES  # noqa: E402
+from upc_sku_data_loader_spark.registry import ORACLES, QUERIES  # noqa: E402
+from upc_sku_data_loader_spark.session import get_spark  # noqa: E402
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon_cell(v) -> str:
+    """Canonical string for one value; floats exact via repr, ts at µs."""
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, (np.floating,)):
+        f = float(v)
+        return "NaN" if math.isnan(f) else repr(f)
+    if isinstance(v, (np.integer,)):
+        return str(int(v))
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, _dec.Decimal):
+        return repr(float(v))
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat(timespec="microseconds")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_canon_cell(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, bytes):
+        return "0x" + v.hex()
+    return str(v)
+
+
+def canon_rows(df) -> tuple[list[str], list[tuple[str, ...]]]:
+    """(sorted column names, sorted canonical row tuples) from a pandas DF."""
+    cols = sorted(df.columns)
+    # pandas datetime columns come back as datetime64 — go through objects
+    recs = df[cols].to_numpy(dtype=object)
+    rows = sorted(tuple(_canon_cell(v) for v in rec) for rec in recs)
+    return cols, rows
+
+
+def _to_pandas(sdf):
+    """Spark → pandas without dtype coercion surprises."""
+    try:
+        return sdf.toPandas()
+    except Exception:
+        rows = sdf.collect()
+        import pandas as pd
+
+        return pd.DataFrame([r.asDict(recursive=True) for r in rows], columns=sdf.columns)
+
+
+def compare_one(name: str, spark, con, sf_dir: str) -> dict:
+    t0 = time.time()
+    sdf = QUERIES[name](spark, sf_dir)
+    spd = _to_pandas(sdf)
+    t_spark = time.time() - t0
+    out = {"name": name, "spark_rows": len(spd), "spark_sec": round(t_spark, 3)}
+    sql = ORACLES.get(name)
+    if sql is None:
+        out["status"] = "ROWS_ONLY" if len(spd) >= 0 else "FAIL"
+        return out
+    t0 = time.time()
+    odf = con.execute(sql).fetch_df()
+    out["duck_sec"] = round(time.time() - t0, 3)
+    out["duck_rows"] = len(odf)
+    scols, srows = canon_rows(spd)
+    ocols, orows = canon_rows(odf)
+    if scols != ocols:
+        out["status"] = "FAIL_SCHEMA"
+        out["detail"] = f"spark={scols} duck={ocols}"
+        return out
+    if len(srows) != len(orows):
+        out["status"] = "FAIL_ROWCOUNT"
+        return out
+    if srows != orows:
+        bad = next(
+            (i, a, b) for i, (a, b) in enumerate(zip(srows, orows)) if a != b
+        )
+        out["status"] = "FAIL_VALUES"
+        out["detail"] = f"first diff @sorted-row {bad[0]}:\n  spark={bad[1]}\n  duck ={bad[2]}"
+        return out
+    out["status"] = "PASS"
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*", default=None)
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    names = args.names or list(QUERIES)
+    spark = get_spark()
+    con = duck_connect(args.sf)
+    n_pass = n_fail = n_rows_only = 0
+    failures = []
+    for name in names:
+        try:
+            r = compare_one(name, spark, con, args.sf)
+        except Exception as e:  # noqa: BLE001
+            r = {"name": name, "status": "ERROR", "detail": f"{type(e).__name__}: {e}"}
+        status = r["status"]
+        if status == "PASS":
+            n_pass += 1
+        elif status == "ROWS_ONLY":
+            n_rows_only += 1
+        else:
+            n_fail += 1
+            failures.append(r)
+        line = f"{status:12s} {name:36s} rows={r.get('spark_rows', '?'):>6} spark={r.get('spark_sec', '?')}s"
+        print(line, flush=True)
+        if status not in ("PASS", "ROWS_ONLY") and "detail" in r:
+            print(f"    {r['detail'][:2000]}")
+    print(f"\n== {n_pass} PASS, {n_rows_only} ROWS_ONLY, {n_fail} FAIL (of {len(names)}) ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
