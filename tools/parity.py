@@ -72,42 +72,38 @@ def _canon_cell(v) -> str:
     return str(v)
 
 
-def canon_rows(df) -> tuple[list[str], list[tuple[str, ...]]]:
-    """(sorted column names, sorted canonical row tuples) from a pandas DF."""
-    cols = sorted(df.columns)
-    # pandas datetime columns come back as datetime64 — go through objects
-    recs = df[cols].to_numpy(dtype=object)
-    rows = sorted(tuple(_canon_cell(v) for v in rec) for rec in recs)
-    return cols, rows
+def canon_rows(cols: list[str], records: list[tuple]) -> tuple[list[str], list[tuple[str, ...]]]:
+    """(sorted column names, sorted canonical row tuples) from raw records.
 
-
-def _to_pandas(sdf):
-    """Spark → pandas without dtype coercion surprises."""
-    try:
-        return sdf.toPandas()
-    except Exception:
-        rows = sdf.collect()
-        import pandas as pd
-
-        return pd.DataFrame([r.asDict(recursive=True) for r in rows], columns=sdf.columns)
+    Uses native Python objects (Spark ``collect()`` Rows / DuckDB
+    ``fetchall()`` tuples) — pandas dtype coercion (DATE→datetime64,
+    HUGEINT→float64) would mask or fabricate diffs.
+    """
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = sorted(
+        tuple(_canon_cell(rec[i]) for i in order) for rec in records
+    )
+    return [cols[i] for i in order], rows
 
 
 def compare_one(name: str, spark, con, sf_dir: str) -> dict:
     t0 = time.time()
     sdf = QUERIES[name](spark, sf_dir)
-    spd = _to_pandas(sdf)
+    srecs = sdf.collect()
     t_spark = time.time() - t0
-    out = {"name": name, "spark_rows": len(spd), "spark_sec": round(t_spark, 3)}
+    out = {"name": name, "spark_rows": len(srecs), "spark_sec": round(t_spark, 3)}
     sql = ORACLES.get(name)
     if sql is None:
-        out["status"] = "ROWS_ONLY" if len(spd) >= 0 else "FAIL"
+        out["status"] = "ROWS_ONLY" if len(srecs) >= 0 else "FAIL"
         return out
     t0 = time.time()
-    odf = con.execute(sql).fetch_df()
+    cur = con.execute(sql)
+    ocols_raw = [d[0] for d in cur.description]
+    orecs = cur.fetchall()
     out["duck_sec"] = round(time.time() - t0, 3)
-    out["duck_rows"] = len(odf)
-    scols, srows = canon_rows(spd)
-    ocols, orows = canon_rows(odf)
+    out["duck_rows"] = len(orecs)
+    scols, srows = canon_rows(sdf.columns, srecs)
+    ocols, orows = canon_rows(ocols_raw, orecs)
     if scols != ocols:
         out["status"] = "FAIL_SCHEMA"
         out["detail"] = f"spark={scols} duck={ocols}"

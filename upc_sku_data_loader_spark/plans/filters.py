@@ -1,0 +1,269 @@
+"""§2.B Projections / filters / predicates (SURVEY.md §2.B; reference
+file:line n/a — empty tree §0.1; reconstructed surface = JSON field
+extraction + UPC normalization before MySQL load [R]).
+
+Scale note: every predicate here is a plain Catalyst expression, so it
+reaches the parquet scan as a pushed filter (row-group/page skipping)
+and the select-list prunes the read schema — verified via
+``.explain`` (PushedFilters / ReadSchema) in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.upc import (
+    gtin_check_digit,
+    gtin_check_digit_sql,
+    synth_raw_upc,
+    synth_raw_upc_sql,
+    upc_normalize,
+    upc_normalize_sql,
+)
+from ..registry import query
+
+# --- B1: projection / rename / derived columns ----------------------------
+
+
+@query(
+    "b1_project",
+    oracle="""
+    SELECT p_partkey AS part_id,
+           upper(p_name) AS name_upper,
+           p_retailprice * 1.1 AS list_price,
+           CAST(ROUND(p_retailprice * 100) AS BIGINT) AS retail_cents
+    FROM part
+    """,
+)
+def b1_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").alias("part_id"),
+        F.upper("p_name").alias("name_upper"),
+        (F.col("p_retailprice") * 1.1).alias("list_price"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("retail_cents"),
+    )
+
+
+# --- B2: casts -------------------------------------------------------------
+
+
+@query(
+    "b2_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(o_custkey AS VARCHAR) AS custkey_str,
+           CAST(TRUNC(o_totalprice) AS BIGINT) AS price_floor
+    FROM orders
+    """,
+)
+def b2_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_custkey").cast("string").alias("custkey_str"),
+        F.col("o_totalprice").cast("bigint").alias("price_floor"),
+    )
+
+
+# --- B3: comparison predicates ---------------------------------------------
+
+
+@query(
+    "b3_filter_cmp",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity > 45.0
+      AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+      AND l_extendedprice < 40000.0
+    """,
+)
+def b3_filter_cmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 45.0)
+        & (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        & (F.col("l_extendedprice") < 40000.0)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+# --- B4: boolean composition -----------------------------------------------
+
+
+@query(
+    "b4_filter_bool",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE (o_orderstatus = 'F' OR o_orderpriority = '1-URGENT')
+      AND NOT (o_totalprice < 1000.0)
+    """,
+)
+def b4_filter_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        ((F.col("o_orderstatus") == "F") | (F.col("o_orderpriority") == "1-URGENT"))
+        & ~(F.col("o_totalprice") < 1000.0)
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+
+
+# --- B5: IN-list membership -------------------------------------------------
+
+
+@query(
+    "b5_filter_in",
+    oracle="""
+    SELECT p_partkey, p_brand, p_type
+    FROM part
+    WHERE p_brand IN ('Brand#1', 'Brand#7', 'Brand#17')
+      AND p_type NOT IN ('PROMO')
+    """,
+)
+def b5_filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_brand").isin("Brand#1", "Brand#7", "Brand#17")
+        & ~F.col("p_type").isin("PROMO")
+    ).select("p_partkey", "p_brand", "p_type")
+
+
+# --- B6: BETWEEN range predicate --------------------------------------------
+
+
+@query(
+    "b6_filter_between",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_discount, l_shipdate
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+    """,
+)
+def b6_filter_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_discount").between(0.05, 0.07)
+        & F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp_ntz"),
+            F.lit("1996-12-31").cast("timestamp_ntz"),
+        )
+    ).select("l_orderkey", "l_linenumber", "l_discount", "l_shipdate")
+
+
+# --- B7: LIKE / regexp pattern match ----------------------------------------
+
+
+@query(
+    "b7_filter_like",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand
+    FROM part
+    WHERE p_name LIKE '%widget%'
+       OR regexp_matches(p_name, '^(red|blue) (bolt|gear)$')
+    """,
+)
+def b7_filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%widget%")
+        | F.col("p_name").rlike("^(red|blue) (bolt|gear)$")
+    ).select("p_partkey", "p_name", "p_brand")
+
+
+# --- B8: null handling (fixtures are null-free → engineer nulls with NULLIF) -
+
+
+@query(
+    "b8_filter_null",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderkey,
+             NULLIF(o_orderstatus, 'P') AS status_or_null,
+             o_totalprice
+      FROM orders
+    )
+    SELECT COUNT(*) AS n_total,
+           COUNT(status_or_null) AS n_not_null,
+           CAST(SUM(CASE WHEN status_or_null IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           COUNT(CASE WHEN status_or_null IS NOT NULL THEN 1 END) AS n_via_isnotnull
+    FROM w
+    """,
+)
+def b8_filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_or_null"),
+        "o_totalprice",
+    )
+    return w.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count("status_or_null").alias("n_not_null"),
+        F.sum(F.when(F.col("status_or_null").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.count(F.when(F.col("status_or_null").isNotNull(), 1)).alias("n_via_isnotnull"),
+    )
+
+
+# --- B9: UPC normalization (the reference's namesake transform) --------------
+
+
+@query(
+    "b9_upc_normalize",
+    oracle=f"""
+    SELECT p_partkey,
+           {synth_raw_upc_sql('p_partkey')} AS raw_upc,
+           {upc_normalize_sql(synth_raw_upc_sql('p_partkey'), 13)} AS upc13,
+           {upc_normalize_sql(synth_raw_upc_sql('p_partkey'), 14)} AS gtin14
+    FROM part
+    """,
+)
+def b9_upc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    raw = synth_raw_upc("p_partkey")
+    return p.select(
+        "p_partkey",
+        raw.alias("raw_upc"),
+        upc_normalize(raw, 13).alias("upc13"),
+        upc_normalize(raw, 14).alias("gtin14"),
+    )
+
+
+# --- B10: GTIN check-digit validation (pure column arithmetic, no UDF) -------
+
+
+@query(
+    "b10_upc_check_digit",
+    oracle=f"""
+    WITH u AS (
+      SELECT p_partkey,
+             {upc_normalize_sql(synth_raw_upc_sql('p_partkey'), 13)} AS upc13
+      FROM part
+    )
+    SELECT p_partkey,
+           upc13,
+           {gtin_check_digit_sql("substring(upc13, 1, 12)", 12)} AS check_digit,
+           CAST({gtin_check_digit_sql("substring(upc13, 1, 12)", 12)} =
+                CAST(substring(upc13, 13, 1) AS INT) AS BOOLEAN) AS is_valid
+    FROM u
+    """,
+)
+def b10_upc_check_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    u = p.select(
+        "p_partkey", upc_normalize(synth_raw_upc("p_partkey"), 13).alias("upc13")
+    )
+    body = F.substring("upc13", 1, 12)
+    check = gtin_check_digit(body, 12)
+    return u.select(
+        "p_partkey",
+        "upc13",
+        check.alias("check_digit"),
+        (check == F.substring("upc13", 13, 1).cast("int")).alias("is_valid"),
+    )

@@ -1,0 +1,260 @@
+"""§2.C Joins (SURVEY.md §2.C; reference file:line n/a — empty tree §0.1).
+
+The reference's join surface is delta detection against the already-
+loaded MySQL table (semi/anti semantics) [R-core]; the rest generalizes
+it to a full relational join suite.
+
+Scale notes:
+- Equi-joins shuffle both sides on the key (sort-merge) unless one side
+  is broadcast-able; C2 pins the broadcast explicitly for dims.
+- C6's range join deliberately routes through BroadcastNestedLoop with
+  a tiny literal band table — the pattern that survives 100 TB is
+  "broadcast the bands, scan the fact once".
+- C8's as-of is the union+window plan (see operators/asof.py): one
+  shuffle on the key, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.exprs import dsum, dsum_sql
+from ..operators.asof import asof_join
+from ..registry import query
+
+# --- C1: inner equi-join (3-way fact⋈dim⋈fact, TPC-H Q3-like, top-10) --------
+
+
+@query(
+    "c1_join_inner_equi",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+           o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def c1_join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp_ntz")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "inner")
+        .join(li, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --- C2: broadcast hash join (small dim pinned to broadcast) ------------------
+
+
+@query(
+    "c2_join_broadcast",
+    oracle=f"""
+    SELECT p_brand,
+           COUNT(*) AS n_items,
+           {dsum_sql("l_quantity", "total_qty")}
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'ECONOMY'
+    GROUP BY p_brand
+    """,
+)
+def c2_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_quantity", "total_qty"))
+    )
+
+
+# --- C3: outer joins (unmatched preservation, FULL OUTER summary) -------------
+
+
+@query(
+    "c3_join_outer",
+    oracle="""
+    WITH o_p AS (SELECT * FROM orders WHERE o_orderstatus = 'P')
+    SELECT n_nationkey,
+           COUNT(*) AS n_rows,
+           COUNT(o_orderkey) AS n_matched,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cust_without_p
+    FROM customer
+    LEFT JOIN o_p ON c_custkey = o_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def c3_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o_p = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        c.join(o_p, c.c_custkey == o_p.o_custkey, "left")
+        .join(n, c.c_nationkey == n.n_nationkey, "inner")
+        .groupBy("n_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_orderkey").alias("n_matched"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
+                "n_cust_without_p"
+            ),
+        )
+    )
+
+
+# --- C4: left-semi join (exists-in-target — the ETL "already loaded" check) ---
+
+
+@query(
+    "c4_join_semi",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers_with_urgent
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def c4_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers_with_urgent"))
+    )
+
+
+# --- C5: left-anti join (delta detection — the ETL-defining operator) ---------
+
+
+@query(
+    "c5_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+    )
+    """,
+)
+def c5_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o_p = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o_p, c.c_custkey == o_p.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# --- C6: theta/range join (price bands; broadcast-NL the tiny band table) -----
+
+PRICE_BANDS = [
+    ("low", 0.0, 50_000.0),
+    ("mid", 50_000.0, 150_000.0),
+    ("high", 150_000.0, 300_000.0),
+    ("vip", 300_000.0, 1e12),
+]
+
+
+@query(
+    "c6_join_theta_range",
+    oracle=f"""
+    SELECT band,
+           COUNT(*) AS n_orders,
+           {dsum_sql("o_totalprice", "band_total")}
+    FROM orders
+    JOIN (VALUES ('low', 0.0, 50000.0),
+                 ('mid', 50000.0, 150000.0),
+                 ('high', 150000.0, 300000.0),
+                 ('vip', 300000.0, 1e12)) AS bands(band, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def c6_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "band_total"))
+    )
+
+
+# --- C7: cross join (all-pairs; kept tiny-side only — see K3 for the
+#     vectorized large-scale all-pairs path) ----------------------------------
+
+
+@query(
+    "c7_join_cross",
+    oracle="""
+    SELECT r_name, n_name
+    FROM region CROSS JOIN nation
+    """,
+)
+def c7_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+# --- C8: as-of join (latest click at-or-before each purchase, per user) -------
+# Oracle is DuckDB's native ASOF JOIN — a luxury: it checks our
+# union+window rewrite against an independent first-class implementation.
+
+
+@query(
+    "c8_join_asof",
+    oracle="""
+    WITH purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         clicks    AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS ts,
+           CAST(c.ts AS TIMESTAMP) AS asof_click_ts
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def c8_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="click_ts"
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("asof_click_ts").alias("asof_click_ts")
+    )
