@@ -159,3 +159,205 @@ def d5_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_spend"))
         .filter(F.col("n_orders") >= 15)
     )
+
+
+# --------------------------------------------------------------------------
+# D6 — ROLLUP subtotal hierarchy. Spark expands rollup to a union of
+# grouping sets inside one aggregate — still a single shuffle.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "d6_agg_rollup",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def d6_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D7 — CUBE (all grouping combinations).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "d7_agg_cube",
+    oracle="""
+    SELECT event_type,
+           CAST(ts AS DATE) AS day,
+           CAST(ts AS DATE) IS NULL AND CAST(GROUPING(CAST(ts AS DATE)) AS INT) = 1 AS day_is_total,
+           CAST(GROUPING(event_type) AS INT) AS g_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY CUBE(event_type, CAST(ts AS DATE))
+    """,
+)
+def d7_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn("day", F.col("ts").cast("date"))
+    return ev.cube("event_type", "day").agg(
+        (F.col("day").isNull() & (F.grouping("day").cast("int") == 1)).alias(
+            "day_is_total"
+        ),
+        F.grouping("event_type").cast("int").alias("g_type"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D8 — collect_list/collect_set per group (order-normalized for the oracle).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "d8_agg_collect",
+    oracle="""
+    SELECT c_nationkey,
+           list_sort(list(DISTINCT c_mktsegment)) AS segments,
+           COUNT(DISTINCT c_mktsegment) AS n_segments
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def d8_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D9 — deterministic first/last per group: max over a (ts, key) struct
+# gives argmax with a total-order tiebreak (no nondeterministic first()).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "d9_agg_first_last",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    )
+    SELECT o_custkey,
+           o_orderdate AS last_orderdate,
+           o_orderkey AS last_orderkey,
+           o_totalprice AS last_totalprice
+    FROM ranked WHERE rn = 1
+    """,
+)
+def d9_agg_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    latest = F.max(F.struct("o_orderdate", "o_orderkey", "o_totalprice")).alias("m")
+    return (
+        o.groupBy("o_custkey")
+        .agg(latest)
+        .select(
+            "o_custkey",
+            F.col("m.o_orderdate").alias("last_orderdate"),
+            F.col("m.o_orderkey").alias("last_orderkey"),
+            F.col("m.o_totalprice").alias("last_totalprice"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# D10 — percentiles: exact interpolated median / p95 (both engines use the
+# same lower+(higher-lower)*frac interpolation; ROUND absorbs last-bit fp).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "d10_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def d10_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D11 — moment statistics (stddev/variance/corr/covar). Different engines
+# accumulate moments in different orders → ROUND(_, 4) on both sides.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "d11_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+           ROUND(var_samp(l_quantity), 4) AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def d11_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("covar_qty_disc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D12 — pivot with a pinned value list (never let pivot() scan for values:
+# at 100 TB that is an extra full pass; pinning also fixes the schema).
+# --------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "d12_agg_pivot",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+    FROM events
+    GROUP BY user_id % 10
+    """,
+)
+def d12_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "user_bucket", F.col("user_id") % 10
+    )
+    return (
+        ev.groupBy("user_bucket")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
