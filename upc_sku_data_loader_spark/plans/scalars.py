@@ -1,0 +1,368 @@
+"""§2.H Scalar function surface (SURVEY.md §2.H; reference file:line n/a —
+empty tree §0.1; the reference's scalar work is JSON field extraction +
+string cleanup before MySQL load [R]).
+
+Each query exercises a function family over a fixture table with a
+unique key in the output, so the driver's order-insensitive hash pins
+every value.  All functions are built-in Catalyst expressions (JVM
+codegen, no Python) — the 100 TB path is "never leave the JVM for a
+scalar".
+
+Cross-engine alignment notes (probed, 2026-08-13):
+- DuckDB has no ``initcap``; Spark's is skipped in oracle-checked output.
+- Day-of-week: DuckDB ``isodow`` (Mon=1..Sun=7) == Spark ``weekday()+1``.
+- DuckDB ``ceil(double)`` returns DOUBLE (Spark: LONG) → cast in SQL.
+- DuckDB ``regexp_replace`` replaces the first match unless 'g'.
+- DuckDB map extraction returns a LIST → ``m['k'][1]``.
+- ``exp``/``sqrt``/``pow`` may differ in the last ULP across libm
+  implementations → ROUND(_, 6) on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+# --- H1: string basics --------------------------------------------------------
+
+
+@query(
+    "h1_string_basics",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS up,
+           lower(p_brand) AS lo,
+           trim(concat('  ', p_name, '  ')) AS trimmed,
+           lpad(p_brand, 12, '*') AS lpadded,
+           rpad(p_brand, 12, '-') AS rpadded,
+           substring(p_name, 2, 5) AS sub25,
+           length(p_name) AS name_len,
+           replace(p_name, ' ', '_') AS replaced,
+           concat_ws('|', p_brand, p_type) AS joined,
+           reverse(p_name) AS rev,
+           instr(p_name, 'e') AS e_pos,
+           left(p_name, 3) AS l3,
+           right(p_name, 3) AS r3,
+           translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+           repeat(p_brand, 2) AS brand2x
+    FROM part
+    """,
+)
+def h1_string_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.lpad("p_brand", 12, "*").alias("lpadded"),
+        F.rpad("p_brand", 12, "-").alias("rpadded"),
+        F.substring("p_name", 2, 5).alias("sub25"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("replaced"),
+        F.concat_ws("|", "p_brand", "p_type").alias("joined"),
+        F.reverse("p_name").alias("rev"),
+        F.instr("p_name", "e").cast("bigint").alias("e_pos"),
+        F.substring("p_name", 1, 3).alias("l3"),
+        F.expr("right(p_name, 3)").alias("r3"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("vowels_up"),
+        F.repeat("p_brand", 2).alias("brand2x"),
+    )
+
+
+# --- H2: regular expressions ----------------------------------------------------
+
+
+@query(
+    "h2_string_regex",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '^([a-z]+) ', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '.', 'g') AS devoweled,
+           regexp_matches(p_name, '(widget|gear)$') AS is_widget_or_gear,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
+    FROM part
+    """,
+)
+def h2_string_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^([a-z]+) ", 1).alias("first_word"),
+        F.regexp_replace("p_name", r"[aeiou]", ".").alias("devoweled"),
+        F.col("p_name").rlike(r"(widget|gear)$").alias("is_widget_or_gear"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+    )
+
+
+# --- H3: string distance (fuzzy brand/description matching [X]) ------------------
+
+
+@query(
+    "h3_string_distance",
+    oracle="""
+    SELECT p_partkey,
+           levenshtein(p_name, replace(p_name, 'e', 'a')) AS lev_ea,
+           levenshtein(p_brand, 'Brand#1') AS lev_to_b1
+    FROM part
+    """,
+)
+def h3_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein(
+            F.col("p_name"), F.replace(F.col("p_name"), F.lit("e"), F.lit("a"))
+        ).cast("bigint").alias("lev_ea"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#1")).cast("bigint").alias("lev_to_b1"),
+    )
+
+
+# --- H4: date/time functions ------------------------------------------------------
+
+
+@query(
+    "h4_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(day(o_orderdate) AS INT) AS dom,
+           CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_95,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus_30d,
+           (year(o_orderdate) - 1995) * 12 + (month(o_orderdate) - 1) AS months_since_95,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           make_timestamp(CAST(epoch(o_orderdate) AS BIGINT) * 1000000) AS ts_roundtrip
+    FROM orders
+    """,
+)
+def h4_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    epoch_s = F.expr("unix_seconds(cast(o_orderdate as timestamp))")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        (F.weekday("o_orderdate") + 1).alias("iso_dow"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("plus_30d"),
+        ((F.year("o_orderdate") - 1995) * 12 + (F.month("o_orderdate") - 1)).alias(
+            "months_since_95"
+        ),
+        epoch_s.alias("epoch_s"),
+        F.expr(
+            "cast(timestamp_seconds(unix_seconds(cast(o_orderdate as timestamp))) as timestamp_ntz)"
+        ).alias("ts_roundtrip"),
+    )
+
+
+# --- H5: math -----------------------------------------------------------------------
+
+
+@query(
+    "h5_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1) AS price_r1,
+           abs(l_discount - 0.05) AS disc_dev,
+           CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_ceil7,
+           CAST(floor(l_quantity / 7.0) AS BIGINT) AS qty_floor7,
+           ROUND(sqrt(l_extendedprice), 6) AS price_sqrt,
+           ROUND(pow(1.0 + l_discount, 3), 6) AS disc_cube,
+           ROUND(exp(l_discount), 6) AS disc_exp,
+           ROUND(ln(l_extendedprice), 6) AS price_ln,
+           ROUND(log(l_extendedprice), 6) AS price_log10,
+           CAST(((CAST(l_quantity AS BIGINT) - 26) % 7 + 7) % 7 AS BIGINT) AS qty_pmod7,
+           CAST(sign(l_discount - 0.05) AS INT) AS disc_sign
+    FROM lineitem
+    """,
+)
+def h5_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("qty_ceil7"),
+        F.floor(F.col("l_quantity") / 7.0).alias("qty_floor7"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.pow(F.lit(1.0) + F.col("l_discount"), 3), 6).alias("disc_cube"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.pmod(F.col("l_quantity").cast("bigint") - 26, F.lit(7)).cast("bigint").alias(
+            "qty_pmod7"
+        ),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+    )
+
+
+# --- H6: conditionals ------------------------------------------------------------------
+
+
+@query(
+    "h6_conditional",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                WHEN c_acctbal < 8000 THEN 'mid'
+                ELSE 'high' END AS bal_tier,
+           coalesce(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           NULLIF(c_nationkey, 0) AS nation_or_null,
+           greatest(c_acctbal, 0.0) AS bal_floor0,
+           least(c_acctbal, 9999.0) AS bal_cap
+    FROM customer
+    """,
+)
+def h6_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .when(F.col("c_acctbal") < 8000, "mid")
+        .otherwise("high")
+        .alias("bal_tier"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.nullif("c_nationkey", F.lit(0)).alias("nation_or_null"),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("bal_floor0"),
+        F.least("c_acctbal", F.lit(9999.0)).alias("bal_cap"),
+    )
+
+
+# --- H7: arrays + higher-order functions -------------------------------------------------
+
+
+@query(
+    "h7_array_hof",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           list_contains(toks, 'the') AS has_the,
+           list_sort(toks[1:3]) AS first3_sorted,
+           CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_chars,
+           CAST(len(list_filter(toks, x -> length(x) > 4)) AS INT) AS n_long,
+           len(list_filter(toks, x -> x[1:1] = 's')) > 0 AS any_s_word,
+           flatten([toks[1:2], toks[3:4]]) AS spliced
+    FROM t
+    """,
+)
+def h7_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.array_contains("toks", "the").alias("has_the"),
+        F.array_sort(F.slice("toks", 1, 3)).alias("first3_sorted"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.aggregate(
+            F.transform("toks", lambda x: F.length(x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.size(F.filter("toks", lambda x: F.length(x) > 4)).alias("n_long"),
+        F.exists("toks", lambda x: x.startswith("s")).alias("any_s_word"),
+        F.flatten(F.array(F.slice("toks", 1, 2), F.slice("toks", 3, 2))).alias("spliced"),
+    )
+
+
+# --- H8: maps -----------------------------------------------------------------------------
+
+
+@query(
+    "h8_map",
+    oracle="""
+    WITH t AS (
+      SELECT event_id,
+             map(['et', 'uid'], [event_type, CAST(user_id AS VARCHAR)]) AS m
+      FROM events
+    )
+    SELECT event_id,
+           m['et'][1] AS et_val,
+           m['uid'][1] AS uid_val,
+           list_sort(map_keys(m)) AS keys_sorted,
+           CAST(cardinality(m) AS INT) AS m_size
+    FROM t
+    """,
+)
+def h8_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    t = ev.select(
+        "event_id",
+        F.create_map(
+            F.lit("et"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
+        ).alias("m"),
+    )
+    return t.select(
+        "event_id",
+        F.element_at("m", "et").alias("et_val"),
+        F.element_at("m", "uid").alias("uid_val"),
+        F.array_sort(F.map_keys("m")).alias("keys_sorted"),
+        F.size("m").alias("m_size"),
+    )
+
+
+# --- H9: JSON (events.props is a JSON string — the API-payload parse [R-core]) -------------
+
+
+@query(
+    "h9_json",
+    oracle="""
+    SELECT event_id,
+           props->>'$.k' AS k_str,
+           CAST(props->>'$.k' AS INT) AS k_int,
+           CAST(props->>'$.k' AS INT) % 10 AS k_mod10,
+           json_valid(props) AS is_valid_json
+    FROM events
+    """,
+)
+def h9_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        (parsed.getField("k") % 10).alias("k_mod10"),
+        F.get_json_object("props", "$").isNotNull().alias("is_valid_json"),
+    )
+
+
+# --- H10: hashes (content-hash dedup keys [X]; md5/sha256 are cross-engine,
+#     xxhash64 is Spark-specific and only used in engine internals) --------------------------
+
+
+@query(
+    "h10_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           sha256(text) AS text_sha256,
+           md5(concat(lang, ':', source)) AS meta_md5
+    FROM documents
+    """,
+)
+def h10_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.md5(F.concat("lang", F.lit(":"), "source")).alias("meta_md5"),
+    )
