@@ -1,5 +1,21 @@
 """Query plans: importing this package populates registry.QUERIES/ORACLES."""
 
-from . import aggregates, filters, joins, scalars, sorts_setops, windows  # noqa: F401
+from . import (  # noqa: F401
+    aggregates,
+    events_streams,
+    filters,
+    joins,
+    scalars,
+    sorts_setops,
+    windows,
+)
 
-__all__ = ["aggregates", "filters", "joins", "scalars", "sorts_setops", "windows"]
+__all__ = [
+    "aggregates",
+    "events_streams",
+    "filters",
+    "joins",
+    "scalars",
+    "sorts_setops",
+    "windows",
+]

@@ -1,0 +1,276 @@
+"""§2.I Streaming operators, batch-equivalent first (SURVEY.md §2.I;
+reference file:line n/a — empty tree §0.1; the reference is batch-only —
+streaming is the mandated [X] extension of its load loop).
+
+Strategy per SURVEY §2.I: the DuckDB oracle is batch-only, so each
+streaming op ships as (1) an oracle-checkable batch/complete-mode query
+here and (2) a true ``readStream`` twin exercised by the pytest
+equivalence suite (tests/test_streaming.py).  ``i4`` is special: it IS
+a real Structured Streaming run (availableNow trigger → memory sink,
+complete mode) whose final state is still hash-checked against DuckDB.
+
+Scale notes: tumbling/sliding windows and session windows are
+incrementalized by Spark's IncrementalExecution with executor-local
+state stores; watermarks bound that state.  The batch plans below have
+the same shuffle shape (one exchange on the grouping key).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.exprs import dsum
+from ..registry import query
+from ..streaming.sources import read_events_stream, run_available_now
+
+# Shared DuckDB gaps-and-islands sessionization (twin for I3 and I6).
+SESSION_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+)
+SELECT user_id,
+       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
+# --- I1: tumbling window (hourly) ---------------------------------------------
+
+
+@query(
+    "i1_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def i1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").alias("hour_start"), "event_type", "n_events", "total_value"
+        )
+    )
+
+
+# --- I2: sliding window (1 h window, 15 min slide → each event in 4 windows) ---
+
+
+@query(
+    "i2_sliding_window",
+    oracle="""
+    SELECT make_timestamp(((epoch_us(ts) // 900000000) - k.k) * 900 * 1000000)
+             AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
+    GROUP BY 1, 2
+    """,
+)
+def i2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+# --- I3: session window (30 min gap), native session_window -----------------------
+
+
+@query("i3_session_window", oracle=SESSION_SQL)
+def i3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+    )
+
+
+# --- I4: TRUE streaming run — watermark + tumbling window, availableNow,
+#     complete mode → memory sink; final state hash-checked vs DuckDB ----------------
+
+
+@query(
+    "i4_watermark_late_data",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def i4_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir).withColumn(
+        # event-time watermarks require TIMESTAMP (not NTZ); session tz is
+        # pinned UTC so the round-trip through TIMESTAMP is value-exact
+        "ts_event", F.col("ts").cast("timestamp")
+    )
+    agg = (
+        stream.withWatermark("ts_event", "10 minutes")
+        .groupBy(F.window("ts_event", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events")
+    )
+    out = run_available_now(agg, "i4_watermark_sink")
+    return out.withColumn("hour_start", F.col("hour_start").cast("timestamp_ntz"))
+
+
+# --- I5: stream dedup (batch twin: duplicate-injected corpus → exact dedup) --------
+
+
+@query(
+    "i5_stream_dedup",
+    oracle="""
+    SELECT DISTINCT event_id, event_type, user_id
+    FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+    """,
+)
+def i5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    doubled = ev.unionByName(ev)
+    return doubled.dropDuplicates(["event_id", "event_type", "user_id"])
+
+
+# --- I6: stateful sessionize — imperative per-key state machine via
+#     applyInPandas (batch twin of transformWithStateInPandas); the SQL
+#     oracle is the same gaps-and-islands used for I3, so this checks the
+#     Python state machine against a completely independent formulation. -------------
+
+
+def _sessionize_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["ts", "event_id"])
+    gap = pd.Timedelta(minutes=30)
+    out = []
+    start = end = None
+    n = 0
+    total = 0.0
+    for ts, val in zip(pdf["ts"], pdf["value"]):
+        if start is None:
+            start, end, n, total = ts, ts, 1, float(val)
+        elif ts - end >= gap:
+            out.append((pdf["user_id"].iloc[0], start, end, n, round(total, 4)))
+            start, end, n, total = ts, ts, 1, float(val)
+        else:
+            end, n, total = ts, n + 1, total + float(val)
+    if start is not None:
+        out.append((pdf["user_id"].iloc[0], start, end, n, round(total, 4)))
+    return pd.DataFrame(
+        out, columns=["user_id", "session_start", "session_end", "n_events", "total_value"]
+    )
+
+
+@query("i6_stateful_sessionize", oracle=SESSION_SQL)
+def i6_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    schema = (
+        "user_id bigint, session_start timestamp_ntz, session_end timestamp_ntz, "
+        "n_events bigint, total_value double"
+    )
+    return ev.groupBy("user_id").applyInPandas(_sessionize_pdf, schema)
+
+
+# --- I7: stream-static join (enrich events with a broadcast dim) ---------------------
+
+
+@query(
+    "i7_stream_static_join",
+    oracle="""
+    SELECT user_id % 100 AS user_bucket,
+           CAST(SUM(CAST(value * w.weight AS DECIMAL(30,6))) AS DOUBLE) AS weighted_value,
+           COUNT(*) AS n_events
+    FROM events
+    JOIN (VALUES ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
+                 ('signup', 5.0), ('error', 0.0)) AS w(event_type, weight)
+      USING (event_type)
+    GROUP BY 1
+    """,
+)
+def i7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 10.0), ("signup", 5.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    return (
+        ev.join(F.broadcast(dim), "event_type")
+        .groupBy((F.col("user_id") % 100).alias("user_bucket"))
+        .agg(
+            dsum(F.col("value") * F.col("weight"), "weighted_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# --- I8: stream-stream join (time-range condition: clicks within 30 min
+#     before each purchase, same user) -------------------------------------------------
+
+
+@query(
+    "i8_stream_stream_join",
+    oracle="""
+    WITH purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         clicks    AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           COUNT(c.event_id) AS n_recent_clicks
+    FROM purchases p
+    LEFT JOIN clicks c
+      ON p.user_id = c.user_id
+     AND c.ts > p.ts - INTERVAL 30 MINUTE
+     AND c.ts <= p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def i8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    joined = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.c_ts > p.p_ts - F.expr("INTERVAL 30 MINUTES"))
+        & (c.c_ts <= p.p_ts),
+        "left",
+    )
+    return joined.groupBy("purchase_id", "user_id").agg(
+        F.count("c_id").alias("n_recent_clicks")
+    )
