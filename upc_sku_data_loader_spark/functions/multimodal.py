@@ -1,0 +1,80 @@
+"""Multimodal column support (SURVEY §2 / task mandate: image/audio/video
+as opaque ``binary`` columns + typed metadata).
+
+The container has no image/audio codecs, so the *decode* step is a
+clearly-marked stub (raises NotImplementedError) while everything
+Spark-side — schema, Arrow batch shape, partitioning, UDF signatures —
+is real and tested with a deterministic fake feature extractor.
+
+At scale: binary payloads ride in parquet as BYTE_ARRAY (or as object
+-store pointers for >MB blobs); feature extraction is an Arrow-batched
+``mapInPandas`` so each Python worker touches a whole column chunk at
+once (no per-row pickling).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: metadata struct carried alongside every binary payload
+MEDIA_META_SCHEMA = "struct<media_type:string, codec:string, n_bytes:bigint>"
+
+FEATURE_SCHEMA = "doc_id bigint, n_bytes bigint, payload_sha256 string, head_byte int"
+
+
+def decode_image(payload: bytes) -> object:
+    """Real decode requires an image codec (PIL/libjpeg) — not present in
+    this container.  The Spark-side plumbing is exercised through
+    :func:`extract_features` instead."""
+    raise NotImplementedError(
+        "image decode requires an image codec library not present in this "
+        "container; wire PIL/torchvision here in production"
+    )
+
+
+def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fixture adapter: treat each document's UTF-8 bytes as an opaque
+    media payload with typed metadata (the schema a real image/audio
+    table would carry)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("media_type"),
+            F.lit("utf-8").alias("codec"),
+            F.length(payload).cast("bigint").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Deterministic fake feature extraction over Arrow batches —
+    byte length, content digest, first byte.  Swap the body for a real
+    decoder + model without touching the Spark plan."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "payload_sha256": payloads.map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                    ),
+                    "head_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype(
+                        "int32"
+                    ),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(compute, FEATURE_SCHEMA)

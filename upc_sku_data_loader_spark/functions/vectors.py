@@ -1,0 +1,70 @@
+"""Vector (embedding) column builders over ``array<float>`` (SURVEY §2 K5).
+
+Two tiers, per SURVEY §4:
+- **Oracle tier (here)**: higher-order functions — ``aggregate`` /
+  ``transform`` / ``zip_with`` — exact, SQL-twinned, fine for correctness
+  checks and small inputs.
+- **Fast tier** (operators/similarity.py): Arrow → numpy block matmul
+  via ``mapInPandas`` — the path bench and 100 TB use.
+
+All doubles are rounded at the query edge (both engines), because
+reduction order differs across engines/libms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column | str) -> Column:
+    c = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(vec: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(vec, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def l1_norm(vec: Column) -> Column:
+    return F.aggregate(
+        F.transform(vec, lambda x: F.abs(x)), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# --- DuckDB twins ----------------------------------------------------------
+
+DOUBLE_VEC = "CAST({e} AS DOUBLE[])"
+
+
+def l2_norm_sql(expr: str) -> str:
+    return f"sqrt(list_sum(list_transform(CAST({expr} AS DOUBLE[]), x -> x * x)))"
+
+
+def l1_norm_sql(expr: str) -> str:
+    return f"list_sum(list_transform(CAST({expr} AS DOUBLE[]), x -> abs(x)))"
+
+
+def dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])),"
+        " p -> p[1] * p[2]))"
+    )
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return f"list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"

@@ -1,0 +1,152 @@
+"""Near-duplicate detection: MinHash + LSH banding, SimHash (SURVEY §2
+K2/K14 [X]; cf. Broder's resemblance/minwise papers — public knowledge).
+
+Pipeline (all DataFrame ops; the shuffle IS the LSH bucketing):
+  tokenize → k-token shingles → n_hashes seeded xxhash64 minima (one
+  explode + groupBy-min: codegen'd, linear) → band keys → self-join on
+  band key (docs colliding in ≥1 band = candidates) → exact shingle-set
+  Jaccard verify.
+
+Scale notes:
+- Everything is one explode + two keyed shuffles (doc_id, then band
+  key); no crossJoin ever materializes.
+- Band-key skew (a degenerate bucket with B docs → B² candidate pairs)
+  is the real 100 TB risk: mitigate with a per-bucket size cap or by
+  salting giant buckets; AQE skew-split handles moderate cases.
+- xxhash64 is Spark-JVM-specific → the LSH stage is rows-only for the
+  oracle; the *verify* stage (exact Jaccard) and the recall property
+  (vs exact all-pairs) are tested in pytest instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def shingles(toks: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles as space-joined strings."""
+    n = F.size(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """One row per doc: ``mh`` = array<long> of n_hashes min-hash values.
+
+    Explode-then-min keeps the hash work inside whole-stage codegen
+    (n_hashes expressions per shingle row) instead of interpreted
+    array lambdas.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.split(F.col(text_col), " "), shingle_k)).alias("sh"),
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(n_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("mh")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Distinct (a, b) candidate pairs colliding in ≥1 LSH band."""
+    bands = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.lit(b),
+                            *[
+                                F.element_at("mh", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    candidates: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs; keep ≥ threshold."""
+    sets = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(F.split(F.col(text_col), " "), shingle_k).alias("sh_set"),
+    )
+    a = sets.select(F.col("doc_id").alias("a"), F.col("sh_set").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("b"), F.col("sh_set").alias("sh_b"))
+    joined = candidates.join(a, "a").join(b, "b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))).cast(
+        "double"
+    )
+    return (
+        joined.select("a", "b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_bits: int = 63
+) -> DataFrame:
+    """63-bit SimHash from per-token xxhash64 bit votes (sign bit left
+    clear so the result fits a BIGINT).  Engine-specific hash → rows-only
+    for the oracle; Hamming-distance properties are pytest-verified."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(n_bits)
+        ]
+    )
+    sim = None
+    for b in range(n_bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        ) * F.lit(2**b).cast("bigint")
+        sim = bit if sim is None else sim + bit
+    return votes.select("doc_id", sim.alias("simhash"))

@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     events_streams,
     filters,
     joins,
+    llm,
     scalars,
     sorts_setops,
     windows,

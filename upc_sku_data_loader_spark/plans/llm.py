@@ -1,0 +1,504 @@
+"""§2.K LLM-data-pipeline extensions (SURVEY.md §2.K; mandated by the
+driver's north star — BASELINE.json:6 — beyond the reference's own
+surface; reference file:line n/a — empty tree §0.1).
+
+Dedup (exact / MinHash-LSH / SimHash), similarity search (brute-force +
+IVF), vector ops, text analysis (tokenize, TF-IDF, quality, lang-ID,
+fingerprint), multimodal binary columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import text as TXT
+from ..functions import vectors as V
+from ..functions.multimodal import extract_features, with_binary_payload
+from ..operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+    verify_jaccard,
+)
+from ..operators.similarity import ann_ivf, knn_join, topk_pairs
+from ..registry import query
+
+# --- K1: exact content-hash dedup (corpus with injected duplicates) -----------
+
+
+@query(
+    "k1_dedup_exact_hash",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+    GROUP BY sha256(text)
+    """,
+)
+def k1_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    corpus = d.unionByName(d)  # duplicate-injected corpus
+    return (
+        corpus.withColumn("content_hash", F.sha2("text", 256))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# --- K2: MinHash + LSH near-dup candidates → exact-Jaccard verify -------------
+# xxhash64 hash family is engine-specific → rows-only; recall vs exact
+# all-pairs is property-tested in tests/test_dedup.py.
+
+
+@query("k2_dedup_near_minhash")
+def k2_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, n_hashes=32, shingle_k=3)
+    cands = lsh_candidate_pairs(sigs, n_bands=8, rows_per_band=4)
+    return verify_jaccard(cands, d, shingle_k=3, threshold=0.5).orderBy(
+        F.desc("jaccard"), "a", "b"
+    )
+
+
+# --- K3: global top-k most-similar embedding pairs (numpy fast path vs
+#     DuckDB's native list_cosine_similarity) ----------------------------------
+
+
+@query(
+    "k3_similarity_topk",
+    oracle=f"""
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           ROUND({V.cosine_sql('a.embedding', 'b.embedding')}, 6) AS sim
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    ORDER BY sim DESC, a, b
+    LIMIT 10
+    """,
+)
+def k3_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk_pairs(spark, sf_dir, k=10)
+
+
+# --- K4: KNN join (top-3 neighbors per query vector) ---------------------------
+
+
+@query(
+    "k4_knn_join",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS q_vec_id, b.vec_id AS neighbor_id,
+             ROUND({V.cosine_sql('a.embedding', 'b.embedding')}, 6) AS sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY ROUND({V.cosine_sql('a.embedding', 'b.embedding')}, 6) DESC,
+                        b.vec_id
+             ) AS rank
+      FROM embeddings a
+      JOIN embeddings b ON b.vec_id != a.vec_id
+      WHERE a.vec_id % 20 = 0
+    )
+    SELECT q_vec_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+    FROM scored WHERE rank <= 3
+    """,
+)
+def k4_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_join(spark, sf_dir, k=3, query_filter="vec_id % 20 = 0")
+
+
+# --- K5: vector ops (norms / normalize / dot) via higher-order functions --------
+
+
+@query(
+    "k5_vector_ops",
+    oracle=f"""
+    SELECT vec_id,
+           ROUND({V.l2_norm_sql('embedding')}, 6) AS l2_norm,
+           ROUND({V.l1_norm_sql('embedding')}, 6) AS l1_norm,
+           ROUND(CAST(embedding[1] AS DOUBLE) / {V.l2_norm_sql('embedding')}, 6) AS unit_first,
+           ROUND(list_sum(CAST(embedding AS DOUBLE[])), 6) AS dot_with_ones
+    FROM embeddings
+    """,
+)
+def k5_vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    v = V.as_double(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        F.round(V.l2_norm(v), 6).alias("l2_norm"),
+        F.round(V.l1_norm(v), 6).alias("l1_norm"),
+        F.round(F.element_at(v, 1) / V.l2_norm(v), 6).alias("unit_first"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("dot_with_ones"),
+    )
+
+
+# --- K5b: per-label centroid (posexplode → avg per position → re-assemble) ------
+
+
+@query(
+    "k5b_vector_centroid",
+    oracle="""
+    WITH flat AS (
+      SELECT label,
+             unnest(CAST(embedding AS DOUBLE[])) AS v,
+             unnest(generate_series(1, len(embedding))) AS pos
+      FROM embeddings
+    ),
+    per_pos AS (
+      SELECT label, pos, ROUND(AVG(v), 6) AS c
+      FROM flat GROUP BY label, pos
+    )
+    SELECT label,
+           list(c ORDER BY pos) AS centroid,
+           (SELECT COUNT(*) FROM embeddings e WHERE e.label = per_pos.label) AS n_vectors
+    FROM per_pos
+    GROUP BY label
+    """,
+)
+def k5b_vector_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label", F.posexplode(V.as_double(F.col("embedding"))).alias("pos", "v")
+    )
+    per_pos = flat.groupBy("label", "pos").agg(
+        F.round(F.avg("v"), 6).alias("c"), F.count(F.lit(1)).alias("n")
+    )
+    return per_pos.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s.getField("c")
+        ).alias("centroid"),
+        F.max("n").alias("n_vectors"),
+    )
+
+
+# --- K6: tokenize / normalize / stopword filter ----------------------------------
+
+
+@query(
+    "k6_tokenize_normalize",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INT) AS n_unique,
+           CAST({TXT.stopword_count_sql('toks')} AS INT) AS n_stopwords,
+           CAST(len(toks) - {TXT.stopword_count_sql('toks')} AS INT) AS n_content,
+           ROUND(list_sum(list_transform(toks, x -> length(x))) / len(toks), 6) AS avg_token_len
+    FROM t
+    """,
+)
+def k6_tokenize_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", TXT.tokens("text").alias("toks"))
+    n_stop = TXT.stopword_count(F.col("toks"))
+    total_len = F.aggregate(
+        F.transform("toks", lambda x: F.length(x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    return t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_unique"),
+        n_stop.alias("n_stopwords"),
+        (F.size("toks") - n_stop).alias("n_content"),
+        F.round(total_len / F.size("toks"), 6).alias("avg_token_len"),
+    )
+
+
+# --- K7: term frequency + TF-IDF, top-5 terms per doc -----------------------------
+
+
+@query(
+    "k7_term_freq_tfidf",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tfc.doc_id, tfc.term, tfc.tf,
+             ROUND(tfc.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tfc JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, tfidf
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    WHERE rn <= 5
+    """,
+)
+def k7_term_freq_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar; cheap and cached by the scan
+    tf = (
+        d.select("doc_id", F.explode(TXT.tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(
+            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", "tf", "tfidf")
+    )
+
+
+# --- K8: text stats by language/source ---------------------------------------------
+
+
+@query(
+    "k8_text_stats_by_lang",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens,
+           MAX(n_chars) AS max_chars,
+           CAST(SUM(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_len_consistent
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def k8_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(F.size(TXT.tokens("text"))), 4).alias("avg_tokens"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum(F.when(F.length("text") == F.col("n_chars"), 1).otherwise(0)).alias(
+            "n_len_consistent"
+        ),
+    )
+
+
+# --- K9: token-set Jaccard similarity (same-source blocking), aggregated ------------
+
+
+@query(
+    "k9_doc_similarity_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {TXT.token_set_sql('text')} AS s FROM documents
+    ),
+    pairs AS (
+      SELECT a.source,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+      FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+    )
+    SELECT source,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN j >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups,
+           ROUND(AVG(j), 6) AS avg_jaccard
+    FROM pairs
+    GROUP BY source
+    """,
+)
+def k9_doc_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", TXT.token_set("text").alias("s"))
+    a = t.select(F.col("doc_id").alias("a_id"), "source", F.col("s").alias("s_a"))
+    b = t.select(
+        F.col("doc_id").alias("b_id"), F.col("source").alias("source_b"), F.col("s").alias("s_b")
+    )
+    inter = F.size(F.array_intersect("s_a", "s_b")).cast("double")
+    union = F.size("s_a") + F.size("s_b") - F.size(F.array_intersect("s_a", "s_b"))
+    pairs = (
+        a.join(b, (F.col("source") == F.col("source_b")) & (F.col("a_id") < F.col("b_id")))
+        .select("source", (inter / union).alias("j"))
+    )
+    return pairs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("j") >= 0.6, 1).otherwise(0)).alias("n_near_dups"),
+        F.round(F.avg("j"), 6).alias("avg_jaccard"),
+    )
+
+
+# --- K10: language-ID heuristic (lexicon scores, deterministic argmax) ---------------
+
+_LANGS = sorted(TXT.LANG_LEXICONS)  # tie-break = alphabetical
+
+
+def _argmax_lang_sql(toks_expr: str) -> str:
+    scores = {
+        lang: TXT.lexicon_score_sql(toks_expr, TXT.LANG_LEXICONS[lang]) for lang in _LANGS
+    }
+    greatest = "greatest(" + ", ".join(scores.values()) + ")"
+    cases = " ".join(
+        f"WHEN {scores[lang]} = {greatest} THEN '{lang}'" for lang in _LANGS
+    )
+    return f"CASE {cases} END"
+
+
+@query(
+    "k10_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    pred AS (
+      SELECT lang AS actual_lang, {_argmax_lang_sql('toks')} AS pred_lang FROM t
+    )
+    SELECT actual_lang, pred_lang, COUNT(*) AS n_docs
+    FROM pred
+    GROUP BY actual_lang, pred_lang
+    """,
+)
+def k10_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.col("lang").alias("actual_lang"), TXT.tokens("text").alias("toks"))
+    scores = {
+        lang: TXT.lexicon_score(F.col("toks"), TXT.LANG_LEXICONS[lang]) for lang in _LANGS
+    }
+    greatest = F.greatest(*scores.values())
+    pred = F.when(scores[_LANGS[0]] == greatest, _LANGS[0])
+    for lang in _LANGS[1:]:
+        pred = pred.when(scores[lang] == greatest, lang)
+    return (
+        t.select("actual_lang", pred.alias("pred_lang"))
+        .groupBy("actual_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --- K11: document quality scoring ----------------------------------------------------
+
+
+@query(
+    "k11_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks, n_chars FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           ROUND(CAST({TXT.stopword_count_sql('toks')} AS DOUBLE) / len(toks), 6)
+             AS stopword_ratio,
+           ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+             AS unique_ratio,
+           ROUND(least(CAST(n_chars AS DOUBLE) / 500.0, 1.0), 6) AS length_score,
+           ROUND(0.4 * least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+               + 0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+               + 0.2 * (CAST({TXT.stopword_count_sql('toks')} AS DOUBLE) / len(toks)), 6)
+             AS quality
+    FROM t
+    """,
+)
+def k11_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", TXT.tokens("text").alias("toks"), "n_chars")
+    n_tok = F.size("toks").cast("double")
+    stop_ratio = TXT.stopword_count(F.col("toks")).cast("double") / n_tok
+    uniq_ratio = F.size(F.array_distinct("toks")).cast("double") / n_tok
+    len_score = F.least(F.col("n_chars").cast("double") / 500.0, F.lit(1.0))
+    return t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(uniq_ratio, 6).alias("unique_ratio"),
+        F.round(len_score, 6).alias("length_score"),
+        F.round(0.4 * len_score + 0.4 * uniq_ratio + 0.2 * stop_ratio, 6).alias("quality"),
+    )
+
+
+# --- K12: BPE-ish regex token counting --------------------------------------------------
+
+
+@query(
+    "k12_token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{TXT.TOKEN_REGEX}')) AS INT) AS n_bpe_tokens,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+           CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_chars_div4
+    FROM documents
+    """,
+)
+def k12_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(TXT.TOKEN_REGEX), 0)).alias("n_bpe_tokens"),
+        F.size(TXT.tokens("text")).alias("n_ws_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).alias("n_chars_div4"),
+    )
+
+
+# --- K13: document fingerprint (order-insensitive content key) ---------------------------
+
+
+@query(
+    "k13_fingerprint",
+    oracle=f"""
+    SELECT {TXT.fingerprint_sql('text')} AS fp,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def k13_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fp", TXT.fingerprint("text"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --- K14: SimHash (engine-specific hash → rows-only; pytest-verified) ---------------------
+
+
+@query("k14_simhash")
+def k14_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return simhash(d)
+
+
+# --- K15: multimodal binary columns (real Arrow plumbing, stubbed codec) -------------------
+
+
+@query(
+    "k15_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_bytes,
+           sha256(text) AS payload_sha256,
+           CAST(ascii(text[1:1]) AS INT) AS head_byte
+    FROM documents
+    """,
+)
+def k15_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    media = with_binary_payload(d)
+    return extract_features(media)
+
+
+# --- K16: IVF-style approximate nearest neighbors (rows-only; recall vs the
+#     exact K4 path is property-tested in tests/test_similarity.py) -------------------------
+
+
+@query("k16_ann_ivf")
+def k16_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_ivf(
+        spark, sf_dir, n_centroids=16, n_probe=2, k=3, query_filter="vec_id % 20 = 0"
+    )
