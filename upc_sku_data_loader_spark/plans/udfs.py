@@ -1,0 +1,205 @@
+"""§2.J UDF / UDAF / UDTF surface (SURVEY.md §2.J; reference file:line
+n/a — empty tree §0.1).
+
+Ladder, slowest→fastest (SURVEY §4 "UDFs are the slow path"):
+J1 row-at-a-time Python UDF (Arrow-optimized in Spark 4, still the
+escape hatch) → J2/J3 vectorized pandas UDFs (Series-at-a-time over
+Arrow) → J4 grouped map → J5 mapInPandas (partition iterator) → J6
+Python UDTF.  Every entry mirrors a pure-SQL formulation so the driver
+hash-checks Python results against Catalyst-free DuckDB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf
+
+from ..catalog import load
+from ..registry import query
+
+# --- J1: scalar Python UDF (row-at-a-time; Arrow-optimized) -------------------
+
+
+@query(
+    "j1_python_udf",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'high' END AS tier
+    FROM orders
+    """,
+)
+def j1_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UDF defined inside the builder: decorator return-type parsing needs an
+    # active session, and queries must import session-free.
+    @udf("string")
+    def price_tier(total: float) -> str:
+        if total is None:
+            return "unknown"
+        if total < 50_000:
+            return "low"
+        if total < 150_000:
+            return "mid"
+        return "high"
+
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey", price_tier("o_totalprice").alias("tier"))
+
+
+# --- J2: vectorized pandas UDF (Series → Series over Arrow batches) ------------
+
+
+@query(
+    "j2_pandas_udf_scalar",
+    oracle="""
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x))), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def j2_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("double")
+    def l2_norm_pdf(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)
+        return pd.Series(np.round(np.sqrt((mat * mat).sum(axis=1)), 6))
+
+    e = load(spark, sf_dir, "embeddings")
+    return e.select("vec_id", l2_norm_pdf("embedding").alias("l2_norm"))
+
+
+# --- J3: grouped-aggregate pandas UDF (custom aggregate over Arrow) -------------
+
+
+@query(
+    "j3_pandas_udaf",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_nationkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal) AS rn,
+             COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+      FROM customer
+    )
+    SELECT c_nationkey,
+           ROUND(AVG(c_acctbal), 6) AS trimmed_mean_bal
+    FROM ranked
+    WHERE n <= 2 * CAST(FLOOR(n * 0.1) AS BIGINT)
+       OR (rn > CAST(FLOOR(n * 0.1) AS BIGINT)
+           AND rn <= n - CAST(FLOOR(n * 0.1) AS BIGINT))
+    GROUP BY c_nationkey
+    """,
+)
+def j3_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("double")
+    def trimmed_mean(bal: pd.Series) -> float:
+        # 10%-trimmed mean: a custom aggregate Catalyst has no builtin for
+        v = np.sort(bal.to_numpy(dtype=np.float64))
+        k = int(len(v) * 0.1)
+        core = v[k : len(v) - k] if len(v) > 2 * k else v
+        return float(np.round(core.mean(), 6))
+
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        trimmed_mean("c_acctbal").alias("trimmed_mean_bal")
+    )
+
+
+# --- J4: grouped-map applyInPandas (whole-group DataFrame transform) --------------
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    bal = pdf["c_acctbal"].to_numpy(dtype=np.float64)
+    mu = bal.mean()
+    sd = bal.std(ddof=1)
+    z = (bal - mu) / sd if sd > 0 else np.zeros_like(bal)
+    return pd.DataFrame(
+        {
+            "c_custkey": pdf["c_custkey"],
+            "c_nationkey": pdf["c_nationkey"],
+            "bal_zscore": np.round(z, 6),
+        }
+    )
+
+
+@query(
+    "j4_grouped_map",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ROUND((c_acctbal - AVG(c_acctbal) OVER (PARTITION BY c_nationkey))
+                 / stddev_samp(c_acctbal) OVER (PARTITION BY c_nationkey), 6)
+             AS bal_zscore
+    FROM customer
+    """,
+)
+def j4_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").applyInPandas(
+        _zscore_group, "c_custkey bigint, c_nationkey int, bal_zscore double"
+    )
+
+
+# --- J5: mapInPandas (partition-wise iterator; powers the A4 REST fetch) -----------
+
+
+@query(
+    "j5_map_in_pandas",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_py,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_py
+    FROM documents
+    """,
+)
+def j5_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_chars_py": pdf["text"].str.len().astype("int64"),
+                    "n_tokens_py": pdf["text"].str.split(" ").map(len).astype("int64"),
+                }
+            )
+
+    return d.mapInPandas(stats, "doc_id bigint, n_chars_py bigint, n_tokens_py bigint")
+
+
+# --- J6: Python UDTF (one row in → many typed rows out; Spark 4) ---------------------
+
+
+@query(
+    "j6_python_udtf",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+               WHERE doc_id % 50 = 0)
+    SELECT doc_id,
+           CAST(unnest(generate_series(0, len(toks) - 1)) AS INT) AS pos,
+           unnest(toks) AS token
+    FROM t
+    """,
+)
+def j6_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, token string")
+    class ExplodeTokens:
+        def eval(self, doc_id: int, text: str):  # noqa: ANN001
+            for pos, token in enumerate(text.split(" ")):
+                yield doc_id, pos, token
+
+    d = load(spark, sf_dir, "documents").filter("doc_id % 50 = 0")
+    d.createOrReplaceTempView("j6_docs_subset")
+    spark.udtf.register("explode_tokens", ExplodeTokens)
+    return spark.sql(
+        "SELECT t.* FROM j6_docs_subset, "
+        "LATERAL explode_tokens(doc_id, text) AS t"
+    )
