@@ -1,0 +1,65 @@
+"""Driver-contract tests: entry() smoke, registry invariants, and a
+representative end-to-end parity slice at sf0.001 (SURVEY §5.3.2)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from tools.parity import compare_one, duck_connect  # noqa: E402
+
+# One per SURVEY §2 family — fast yet touches every execution shape
+# (scan, join, agg, window, setop, scalar, stream-batch, UDF, LLM-op).
+PARITY_SLICE = [
+    "a1_parquet_scan",
+    "b9_upc_normalize",
+    "c8_join_asof",
+    "d1_agg_hash_grouped",
+    "e1_win_row_number",
+    "f4_topk_per_group",
+    "g4_distinct",
+    "h9_json",
+    "i3_session_window",
+    "j2_pandas_udf_scalar",
+    "k1_dedup_exact_hash",
+]
+
+
+def test_entry_smoke(spark, sf_dir):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == entrymod.entry(spark).columns  # stable schema
+
+
+def test_registry_invariants():
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(queries) >= 85
+    assert set(oracles) <= set(queries)
+    # ≥90% of the surface must be hash-checkable (SURVEY §5.2 "minimize
+    # rows-only")
+    assert len(oracles) / len(queries) >= 0.9
+
+
+@pytest.mark.parametrize("name", PARITY_SLICE)
+def test_parity_slice(spark, sf_dir, name):
+    con = duck_connect(sf_dir)
+    result = compare_one(name, spark, con, sf_dir)
+    assert result["status"] in ("PASS", "ROWS_ONLY"), result
+
+
+def test_all_oracles_are_valid_duckdb_sql(sf_dir):
+    """Every oracle must parse & run in DuckDB (cheap at sf0.001)."""
+    con = duck_connect(sf_dir)
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            con.execute(sql).fetchall()
+        except Exception as e:  # noqa: BLE001
+            raise AssertionError(f"oracle {name} failed in DuckDB: {e}") from e

@@ -1,0 +1,90 @@
+"""Streaming↔batch equivalence (SURVEY §5.3.4): the availableNow
+streaming run of a windowed aggregation must equal its batch twin on
+the same input, and late data must be dropped by the watermark."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from upc_sku_data_loader_spark.catalog import load
+from upc_sku_data_loader_spark.streaming.sources import (
+    read_events_stream,
+    run_available_now,
+)
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    agg_cols = [
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    ]
+    stream = read_events_stream(spark, sf_dir)
+    streamed = run_available_now(
+        stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(*agg_cols),
+        "t_stream_eq",
+    ).select(F.col("window.start").alias("ws"), "event_type", "n", "sum_value")
+
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(*agg_cols)
+        .select(F.col("window.start").alias("ws"), "event_type", "n", "sum_value")
+    )
+    key = lambda r: (r["ws"], r["event_type"])  # noqa: E731
+    assert sorted(streamed.collect(), key=key) == sorted(batch.collect(), key=key)
+
+
+def test_watermark_finalizes_windows_exactly_once(spark, tmp_path):
+    """Append mode + watermark, two micro-batches.  Spark's watermark
+    contract is one-sided: a finalized (emitted + state-evicted) window
+    must never be re-emitted or updated, and windows still inside the
+    watermark are withheld until it passes.  (Dropping arbitrary late
+    rows whose window never had state is best-effort, NOT guaranteed —
+    measured on 4.1: such rows may still aggregate.)"""
+    src = str(tmp_path / "late_src")
+    # batch 0 seeds windows 03/05/06/07 (wm → 07:20 at its end);
+    # batch 1 advances wm to 08:20, which EMITS 03:00/05:00/06:00;
+    # batch 2 carries a 03:30 row — ~5 h late, window already finalized.
+    f0 = spark.createDataFrame(
+        [(0, "2024-01-01 03:15:00"), (1, "2024-01-01 05:30:00"),
+         (2, "2024-01-01 06:30:00"), (3, "2024-01-01 07:30:00")],
+        "event_id bigint, ts_s string",
+    )
+    f1 = spark.createDataFrame([(4, "2024-01-01 08:30:00")], f0.schema)
+    f2 = spark.createDataFrame(
+        [(99, "2024-01-01 03:30:00"), (100, "2024-01-01 08:45:00")], f0.schema
+    )
+    # FileStreamSource orders micro-batches by file modification time —
+    # a real gap makes the arrival order deterministic.
+    for df in [f0, f1, f2]:
+        df.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.2)
+
+    stream = (
+        spark.readStream.schema("event_id bigint, ts_s string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table("t_late").collect()
+    rows = {r["ws"].strftime("%H:%M"): r["n"] for r in emitted}
+    # the late 03:30 row must not update or re-emit the finalized window
+    assert rows.get("03:00") == 1
+    assert len(emitted) == len(rows), "a finalized window was emitted twice"
+    # 08:00 window end 09:00 > final watermark 08:35 → withheld by append
+    assert "08:00" not in rows
+    assert rows == {"03:00": 1, "05:00": 1, "06:00": 1, "07:00": 1}

@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     llm,
     scalars,
     sorts_setops,
+    sources_sinks,
     udfs,
     windows,
 )

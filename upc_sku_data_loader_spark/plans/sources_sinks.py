@@ -1,0 +1,357 @@
+"""§2.A sources/sinks + §2.I9/I10 sink-side streaming (SURVEY.md §2.A;
+reference file:line n/a — empty tree §0.1).
+
+The reference's whole job is A-family: read a UPC worklist, fetch
+product records from a REST API, upsert into a relational table.  Each
+operator here round-trips real bytes (CSV/JSON/parquet on disk, sqlite
+for the DB sink, an in-process fake for HTTP) and is hash-checked
+against an oracle that reads the ORIGINAL fixture — so the check proves
+the source/sink is lossless, not merely that it runs.
+
+Scratch files live under ``<repo>/.scratch/<sf-tag>/`` (gitignored);
+everything written there is deterministically rebuilt per run.
+"""
+
+from __future__ import annotations
+
+import functools
+import shutil
+import sqlite3
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+from ..sources.db import db_sink_upsert, db_source
+from ..sources.files import csv_source, json_source, parquet_sink
+from ..sources.rest_api import fetch_products
+from ..streaming.sources import read_events_stream, run_available_now
+
+_REPO = Path(__file__).resolve().parents[2]
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = Path(sf_dir).name or "sf"
+    p = _REPO / ".scratch" / tag / name
+    p.parent.mkdir(parents=True, exist_ok=True)
+    return str(p)
+
+
+# --- A1: parquet scan (projection + predicate reach the reader) ---------------
+
+
+@query(
+    "a1_parquet_scan",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_size >= 30
+    """,
+)
+def a1_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # .explain shows PushedFilters: [GreaterThanOrEqual(p_size,30)] and
+    # ReadSchema with exactly these four columns — scan-level pruning.
+    return (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_size") >= 30)
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+
+
+# --- A2: CSV source (explicit schema; lossless round-trip) --------------------
+
+
+@query(
+    "a2_csv_source",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def a2_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    path = _scratch(sf_dir, "customer_csv")
+    load(spark, sf_dir, "customer").select(*cols).write.mode("overwrite").option(
+        "header", True
+    ).csv(path)
+    # Doubles survive: Spark writes shortest-round-trip decimal strings.
+    return csv_source(
+        spark,
+        path,
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+
+
+# --- A3: JSON-lines source (API payload dumps) --------------------------------
+
+
+@query(
+    "a3_json_source",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(o_orderdate AS DATE) AS o_date
+    FROM orders
+    """,
+)
+def a3_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "orders_jsonl")
+    (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.col("o_orderdate").cast("date").alias("o_date"),
+        )
+        .write.mode("overwrite")
+        .json(path)
+    )
+    return json_source(
+        spark,
+        path,
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double, o_date date",
+    )
+
+
+# --- A4: REST API source (the reference's defining ingest) --------------------
+
+
+@query(
+    "a4_rest_api_source",
+    oracle="""
+    WITH w AS (SELECT lpad(CAST(p_partkey AS VARCHAR), 12, '0') AS upc,
+                      p_partkey AS digits
+               FROM part)
+    SELECT upc,
+           'SKU-' || upc AS sku,
+           'Brand#' || CAST(digits % 25 + 1 AS VARCHAR) AS brand,
+           CAST(digits % 100000 AS DOUBLE) / 100.0 AS price,
+           digits % 2 = 0 AS in_stock
+    FROM w
+    """,
+)
+def a4_rest_api_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worklist → paginated fetch (fake deterministic API) → typed rows.
+
+    The oracle recomputes the API's pure payload function in SQL, so the
+    full pipeline — page assignment, mapInPandas fan-out, JSON parse,
+    schema projection — is value-hash-checked end to end.
+    """
+    worklist = (
+        load(spark, sf_dir, "part")
+        .select(F.lpad(F.col("p_partkey").cast("string"), 12, "0").alias("upc"))
+    )
+    return fetch_products(worklist, page_size=100)
+
+
+# --- A5+A7: DB source + idempotent upsert sink (sqlite-backed) ----------------
+
+
+@query(
+    "a5_a7_db_upsert_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name,
+           c_acctbal + CASE WHEN c_custkey % 10 = 0 THEN 1000.0 ELSE 0.0 END
+             AS c_acctbal
+    FROM customer
+    """,
+)
+def a5_a7_db_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-batch upsert, then a delta-batch upsert (same keys, changed
+    balances), then read the final table state back (A5).  Applying the
+    full batch TWICE first proves idempotence — the exact property that
+    makes Spark task retries safe against a real MySQL (A7).
+    """
+    db_path = _scratch(sf_dir, "upsert.sqlite")
+    Path(db_path).unlink(missing_ok=True)
+    ddl = sqlite3.connect(db_path)
+    ddl.execute(
+        "CREATE TABLE cust (c_custkey INTEGER PRIMARY KEY, "
+        "c_name TEXT, c_acctbal REAL)"
+    )
+    ddl.commit()
+    ddl.close()
+
+    conn_factory = functools.partial(sqlite3.connect, db_path, timeout=60.0)
+    base = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    upsert = functools.partial(
+        db_sink_upsert,
+        conn_factory=conn_factory,
+        table="cust",
+        key_cols=["c_custkey"],
+        dialect="sqlite",
+        max_connections=4,  # sqlite single-writer: keep fan-in tiny
+    )
+    upsert(base)
+    upsert(base)  # idempotent: second pass is a no-op on final state
+    delta = base.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(1000.0)
+    )
+    upsert(delta)  # ON CONFLICT DO UPDATE path
+
+    return db_source(
+        spark,
+        conn_factory,
+        "SELECT c_custkey, c_name, c_acctbal FROM cust",
+        "c_custkey bigint, c_name string, c_acctbal double",
+    )
+
+
+# --- A8: partitioned parquet sink (+ partition-pruned re-read) ----------------
+
+
+@query(
+    "a8_parquet_sink",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    """,
+)
+def a8_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "lineitem_by_flag")
+    shutil.rmtree(path, ignore_errors=True)
+    parquet_sink(
+        load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"
+        ),
+        path,
+        partition_by=["l_returnflag"],
+    )
+    # Re-read filters on the partition key: Catalyst prunes to the R/
+    # directory — PartitionFilters in .explain, zero non-R bytes read.
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"
+        )
+    )
+
+
+# --- A9: true streaming source (readStream → availableNow → memory sink) ------
+
+
+@query(
+    "a9_stream_source",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a9_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    tag = (Path(sf_dir).name or "sf").replace(".", "_")
+    return run_available_now(agg, f"a9_counts_{tag}")
+
+
+# --- I9: foreachBatch → idempotent DB upsert (the reference's load loop,
+#         made continuous) -----------------------------------------------------
+
+
+@query(
+    "i9_foreachbatch_upsert",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def i9_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream micro-batches land via the SAME A7 upsert writer keyed by
+    event_id — at-least-once delivery + idempotent sink = exactly-once
+    table state.  Final state is aggregated in the DB and hash-checked.
+    """
+    db_path = _scratch(sf_dir, "stream_upsert.sqlite")
+    Path(db_path).unlink(missing_ok=True)
+    # checkpoint and DB form one unit of state: a retained checkpoint
+    # with a fresh DB would replay nothing and leave the table empty
+    chk = _scratch(sf_dir, "i9_chk")
+    shutil.rmtree(chk, ignore_errors=True)
+    ddl = sqlite3.connect(db_path)
+    ddl.execute(
+        "CREATE TABLE ev (event_id INTEGER PRIMARY KEY, event_type TEXT)"
+    )
+    ddl.commit()
+    ddl.close()
+    conn_factory = functools.partial(sqlite3.connect, db_path, timeout=60.0)
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        db_sink_upsert(
+            batch_df.select("event_id", "event_type"),
+            conn_factory=conn_factory,
+            table="ev",
+            key_cols=["event_id"],
+            dialect="sqlite",
+            max_connections=4,
+        )
+
+    stream = read_events_stream(spark, sf_dir).select("event_id", "event_type")
+    q = (
+        stream.writeStream.foreachBatch(sink_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.awaitTermination()
+
+    return db_source(
+        spark,
+        conn_factory,
+        "SELECT event_type, COUNT(*) AS n FROM ev GROUP BY event_type",
+        "event_type string, n bigint",
+    )
+
+
+# --- I10: output modes + triggers + multi-micro-batch watermark run -----------
+
+
+@query("i10_output_modes_triggers")  # rows-only: emitted-window set depends
+def i10_output_modes_triggers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append mode with a watermark over MULTIPLE micro-batches
+    (maxFilesPerTrigger=1 over a multi-file copy of events): append only
+    emits windows finalized by the advancing watermark, so the emitted
+    set depends on file arrival order — inherently streaming semantics,
+    hence rows-only (SURVEY §2.I I10 'rows').
+    """
+    src = _scratch(sf_dir, "events_multi")
+    shutil.rmtree(src, ignore_errors=True)
+    # 4 files ⇒ 4 micro-batches; watermark advances between them.
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(4).write.parquet(src)
+
+    from ..streaming.sources import EVENTS_RAW_SCHEMA
+
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        # watermark needs TIMESTAMP (LTZ); session tz is pinned UTC so the
+        # values equal the ntz reading used everywhere else
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    windowed = (
+        raw.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+    tag = (Path(sf_dir).name or "sf").replace(".", "_")
+    name = f"i10_append_{tag}"
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")  # ≠ complete: only watermark-closed windows
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
