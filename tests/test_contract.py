@@ -28,6 +28,7 @@ PARITY_SLICE = [
     "i3_session_window",
     "j2_pandas_udf_scalar",
     "k1_dedup_exact_hash",
+    "etl_load_upcs",
 ]
 
 

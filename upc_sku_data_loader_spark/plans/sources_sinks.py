@@ -308,6 +308,82 @@ def i9_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ETL: the reference's whole flow, end to end (SURVEY §3.2) ----------------
+
+
+@query(
+    "etl_load_upcs",
+    oracle="""
+    WITH w AS (
+      SELECT lpad(CAST((p_partkey * 2654435761) % 1000000000000 AS VARCHAR),
+                  13, '0') AS upc,
+             (p_partkey * 2654435761) % 1000000000000 AS digits,
+             p_partkey % 7 = 0 AS seeded
+      FROM part
+    )
+    SELECT upc,
+           CASE WHEN seeded THEN 'SEED' ELSE 'SKU-' || upc END AS sku,
+           CASE WHEN seeded THEN 'SEED'
+                ELSE 'Brand#' || CAST(digits % 25 + 1 AS VARCHAR) END AS brand,
+           CASE WHEN seeded THEN 0.0
+                ELSE CAST(digits % 100000 AS DOUBLE) / 100.0 END AS price,
+           CASE WHEN seeded THEN FALSE ELSE digits % 2 = 0 END AS in_stock
+    FROM w
+    """,
+)
+def etl_load_upcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worklist → normalize → dedup → anti-join delta → REST fetch →
+    upsert, then read the final table state back.  Seeded rows (SEED
+    markers) must come through untouched — that PROVES the anti-join
+    skipped already-loaded keys; everything else carries the API payload
+    (a pure function of the UPC the oracle recomputes in SQL).
+
+    The worklist is messy on purpose: synth_raw_upc emits 'dddd-dddddddd'
+    strings (dash stripped by B9 normalize) and every UPC appears twice
+    (overlapping pages — G4 dedup collapses them).
+    """
+    from ..functions.upc import synth_raw_upc
+    from ..pipelines.etl import load_upcs
+
+    part = load(spark, sf_dir, "part")
+    worklist = part.select(synth_raw_upc("p_partkey").alias("upc_raw"))
+    worklist = worklist.unionAll(worklist)  # simulate overlapping batches
+    digits = (F.col("p_partkey") * 2654435761) % 1000000000000
+    existing = (
+        part.filter(F.col("p_partkey") % 7 == 0)
+        .select(F.lpad(digits.cast("string"), 13, "0").alias("upc"))
+    )
+
+    db_path = _scratch(sf_dir, "etl.sqlite")
+    Path(db_path).unlink(missing_ok=True)
+    ddl = sqlite3.connect(db_path)
+    ddl.execute(
+        "CREATE TABLE products (upc TEXT PRIMARY KEY, sku TEXT, brand TEXT, "
+        "price REAL, in_stock INTEGER)"
+    )
+    ddl.executemany(
+        "INSERT INTO products VALUES (?, 'SEED', 'SEED', 0.0, 0)",
+        [(r["upc"],) for r in existing.collect()],  # small key snapshot
+    )
+    ddl.commit()
+    ddl.close()
+    conn_factory = functools.partial(sqlite3.connect, db_path, timeout=60.0)
+
+    load_upcs(
+        worklist,
+        existing_keys=existing,
+        conn_factory=conn_factory,
+        table="products",
+        page_size=100,
+    )
+    return db_source(
+        spark,
+        conn_factory,
+        "SELECT upc, sku, brand, price, in_stock FROM products",
+        "upc string, sku string, brand string, price double, in_stock int",
+    ).withColumn("in_stock", F.col("in_stock").cast("boolean"))
+
+
 # --- I10: output modes + triggers + multi-micro-batch watermark run -----------
 
 
