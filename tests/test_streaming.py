@@ -36,6 +36,64 @@ def test_stream_tumbling_equals_batch(spark, sf_dir):
     assert sorted(streamed.collect(), key=key) == sorted(batch.collect(), key=key)
 
 
+def test_stateful_session_state_spans_micro_batches(spark, tmp_path):
+    """applyInPandasWithState must carry per-key state across micro-batch
+    boundaries: a session whose events straddle two files is emitted as
+    ONE session once a later event closes it."""
+    from upc_sku_data_loader_spark.plans.events_streams import (
+        _sessionize_with_state,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = str(tmp_path / "sess_src")
+    schema = "user_id bigint, ts timestamp_ntz, value double, event_id bigint"
+    f0 = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1.0, 1), (1, "2024-01-01 10:10:00", 2.0, 2)],
+        "user_id bigint, ts_s string, value double, event_id bigint",
+    )
+    f1 = spark.createDataFrame(
+        [(1, "2024-01-01 10:20:00", 4.0, 3), (1, "2024-01-01 12:00:00", 8.0, 4)],
+        f0.schema,
+    )
+    for df in [f0, f1]:
+        df.select(
+            "user_id", F.to_timestamp("ts_s").cast("timestamp_ntz").alias("ts"),
+            "value", "event_id",
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.2)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _sessionize_with_state,
+        outputStructType=(
+            "user_id bigint, session_start timestamp, session_end timestamp, "
+            "n_events bigint, total_value double"
+        ),
+        stateStructType="start_us bigint, end_us bigint, n bigint, total double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("t_sess_span")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("t_sess_span").collect()
+    # one closed session spanning both files; the 12:00 session stays open
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_events"] == 3 and r["total_value"] == 7.0
+    assert r["session_start"].strftime("%H:%M") == "10:00"
+    assert r["session_end"].strftime("%H:%M") == "10:20"
+
+
 def test_watermark_finalizes_windows_exactly_once(spark, tmp_path):
     """Append mode + watermark, two micro-batches.  Spark's watermark
     contract is one-sided: a finalized (emitted + state-evicted) window

@@ -203,6 +203,115 @@ def i6_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(_sessionize_pdf, schema)
 
 
+# --- I6b: TRUE streaming stateful sessionize (applyInPandasWithState) -----------------
+#
+# Emission contract: a session is emitted ONLY when a later event closes
+# it (gap ≥ 30 min); each user's final session is still open when the
+# availableNow stream ends and stays in the state store unemitted.  That
+# makes the result exactly "all sessions but each user's last" — fully
+# SQL-expressible, so a true stateful streaming run is value-hash-checked.
+# Cross-micro-batch state carry-over is exercised in tests/test_streaming.
+
+
+CLOSED_SESSION_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+),
+agg AS (
+  SELECT user_id, sid,
+         CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+         CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+         COUNT(*) AS n_events,
+         ROUND(SUM(value), 4) AS total_value
+  FROM sess
+  GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, n_events, total_value
+FROM agg
+QUALIFY sid < MAX(sid) OVER (PARTITION BY user_id)
+"""
+
+
+def _sessionize_with_state(key, pdfs, state):
+    """Per-key state machine: (start_us, end_us, n, total) carried in the
+    state store across micro-batches; closed sessions stream out."""
+    import pandas as pd  # executor-side
+
+    gap_us = 30 * 60 * 1_000_000
+    if state.exists:
+        start_us, end_us, n, total = state.get
+    else:
+        start_us = None
+        end_us, n, total = 0, 0, 0.0
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ts_us = pdf["ts"].astype("int64") // 1000
+        for t, val in zip(ts_us, pdf["value"]):
+            t = int(t)
+            if start_us is None:
+                start_us, end_us, n, total = t, t, 1, float(val)
+            elif t - end_us >= gap_us:
+                out.append((key[0], start_us, end_us, n, round(total, 4)))
+                start_us, end_us, n, total = t, t, 1, float(val)
+            else:
+                end_us, n, total = t, n + 1, total + float(val)
+    state.update((start_us, end_us, n, total))
+    if out:
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in out],
+                "session_start": pd.to_datetime([r[1] for r in out], unit="us"),
+                "session_end": pd.to_datetime([r[2] for r in out], unit="us"),
+                "n_events": [r[3] for r in out],
+                "total_value": [r[4] for r in out],
+            }
+        )
+
+
+@query("i6b_stateful_streaming", oracle=CLOSED_SESSION_SQL)
+def i6b_stateful_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out_schema = (
+        "user_id bigint, session_start timestamp, session_end timestamp, "
+        "n_events bigint, total_value double"
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _sessionize_with_state,
+        outputStructType=out_schema,
+        stateStructType="start_us bigint, end_us bigint, n bigint, total double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("i6b_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table("i6b_sessions")
+        .withColumn("session_start", F.col("session_start").cast("timestamp_ntz"))
+        .withColumn("session_end", F.col("session_end").cast("timestamp_ntz"))
+    )
+
+
 # --- I7: stream-static join (enrich events with a broadcast dim) ---------------------
 
 
