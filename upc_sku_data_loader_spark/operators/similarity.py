@@ -117,6 +117,43 @@ def topk_pairs(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     return pairs.orderBy(F.desc("sim"), "a", "b").limit(k)
 
 
+def dedup_embedding(
+    spark: SparkSession, sf_dir: str, tau: float = 0.8
+) -> DataFrame:
+    """Embedding-cosine near-dup dedup: each vector is a duplicate of the
+    LOWEST-id vector whose cosine similarity (rounded to 6 dp) ≥ tau;
+    vectors with no earlier near-neighbor are keepers.  Same broadcast
+    block-matmul kernel as knn_join; at beyond-broadcast scale the
+    ann_ivf blocking bounds the candidate set first."""
+    ids, mat = embedding_matrix(spark, sf_dir)
+    bc = spark.sparkContext.broadcast((ids, mat))
+    vecs = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cmat = _normalized(np.vstack(pdf["embedding"].to_numpy()))
+            sims = np.round(cmat @ all_mat.T, SIM_DECIMALS)
+            dup_of = []
+            for i, qid in enumerate(cids):
+                cand = (all_ids < qid) & (sims[i] >= tau)
+                dup_of.append(int(all_ids[cand].min()) if cand.any() else None)
+            yield pd.DataFrame(
+                {
+                    "vec_id": cids,
+                    "dup_of": pd.array(dup_of, dtype="Int64"),
+                    "is_keeper": [d is None for d in dup_of],
+                }
+            )
+
+    return vecs.mapInPandas(
+        compute, "vec_id bigint, dup_of bigint, is_keeper boolean"
+    )
+
+
 def ann_ivf(
     spark: SparkSession,
     sf_dir: str,

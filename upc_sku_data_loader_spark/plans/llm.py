@@ -22,7 +22,7 @@ from ..operators.dedup import (
     simhash,
     verify_jaccard,
 )
-from ..operators.similarity import ann_ivf, knn_join, topk_pairs
+from ..operators.similarity import ann_ivf, dedup_embedding, knn_join, topk_pairs
 from ..registry import query
 
 # --- K1: exact content-hash dedup (corpus with injected duplicates) -----------
@@ -491,6 +491,30 @@ def k15_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     media = with_binary_payload(d)
     return extract_features(media)
+
+
+# --- K17: embedding-cosine near-dup dedup (canonical-keeper semantics) ---------------------
+
+
+@query(
+    "k17_dedup_embedding",
+    oracle=f"""
+    WITH dup AS (
+      SELECT a.vec_id AS vec_id, MIN(b.vec_id) AS dup_of
+      FROM embeddings a
+      JOIN embeddings b
+        ON b.vec_id < a.vec_id
+       AND ROUND({V.cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.35
+      GROUP BY a.vec_id
+    )
+    SELECT e.vec_id,
+           d.dup_of,
+           d.dup_of IS NULL AS is_keeper
+    FROM embeddings e LEFT JOIN dup d USING (vec_id)
+    """,
+)
+def k17_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_embedding(spark, sf_dir, tau=0.35)
 
 
 # --- K16: IVF-style approximate nearest neighbors (rows-only; recall vs the
