@@ -50,7 +50,7 @@ def k1_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- K2: MinHash + LSH near-dup candidates → exact-Jaccard verify -------------
 # xxhash64 hash family is engine-specific → rows-only; recall vs exact
-# all-pairs is property-tested in tests/test_dedup.py.
+# all-pairs is property-tested in tests/test_vectors_dedup.py.
 
 
 @query("k2_dedup_near_minhash")
