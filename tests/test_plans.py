@@ -1,0 +1,58 @@
+"""Physical-plan shape guards (SURVEY §4): the scale techniques must
+actually produce the plans they claim — pushdown reaching the scan,
+bucketed joins running shuffle-free, broadcasts where pinned."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from upc_sku_data_loader_spark import plans  # noqa: F401,E402
+from upc_sku_data_loader_spark.registry import QUERIES  # noqa: E402
+
+
+def _executed_plan(spark, name, sf_dir) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    df.count()  # materialize so AQE finalizes the plan
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_a1_scan_pushes_filter_and_prunes_columns(spark, sf_dir):
+    df = QUERIES["a1_parquet_scan"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(p_size,30)" in plan
+    # projection pruned to exactly the needed columns at the reader
+    assert "ReadSchema: struct<p_partkey:bigint,p_name:string" in plan
+
+
+def test_c9_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Both sides bucketed by the join key ⇒ sort-merge join without a
+    single shuffle Exchange (broadcast disabled to force SMJ)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["c9_join_bucketed"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    join_section = plan.split("HashAggregate")[-1]  # below the final agg
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in join_section, (
+        "bucketed join still shuffles:\n" + join_section[:1500]
+    )
+
+
+def test_c2_broadcast_hint_respected(spark, sf_dir):
+    plan = _executed_plan(spark, "c2_join_broadcast", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_c8_asof_is_single_shuffle_window_plan(spark, sf_dir):
+    plan = _executed_plan(spark, "c8_join_asof", sf_dir)
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # one keyed exchange for the union+window (plus AQE reads); never a join
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

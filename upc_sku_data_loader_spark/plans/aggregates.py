@@ -361,3 +361,40 @@ def d12_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0, EVENT_TYPES)
     )
+
+
+# --- D13: salted two-phase aggregation (hot-key skew defense) -----------------
+# events has only 5 event_type values — at 100 TB each grouping key gets
+# ~20 TB, far beyond one reducer.  The classic fix: salt the key into S
+# shards, pre-aggregate by (key, salt) — a map-side-combinable shuffle
+# across S×|keys| reducers — then re-aggregate the S partials per key.
+# DECIMAL partials keep both phases order-independent, so the result is
+# bit-identical to the unsalted oracle.
+
+
+@query(
+    "d13_agg_salted",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def d13_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_salts = 16
+    ev = load(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts))
+    )
+    partial = ev.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("p_n"),
+        F.sum(F.col("value").cast("decimal(30,6)")).alias("p_sum"),  # stays DECIMAL
+        F.max("value").alias("p_max"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("p_n").alias("n_events"),
+        F.sum("p_sum").cast("double").alias("total_value"),
+        F.max("p_max").alias("max_value"),
+    )

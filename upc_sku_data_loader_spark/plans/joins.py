@@ -258,3 +258,114 @@ def c8_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "ts", F.col("asof_click_ts").alias("asof_click_ts")
     )
+
+
+# --- C9: co-located bucketed join (zero-shuffle large⋈large) ------------------
+# THE 100 TB technique for repeated fact⋈fact joins: persist both sides
+# bucketed (+sorted) by the join key with equal bucket counts; Spark's
+# scan then reports HashPartitioning(key, n) and the sort-merge join
+# needs NO Exchange on either side (asserted in tests/test_plans.py).
+
+
+@query(
+    "c9_join_bucketed",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           {dsum_sql("l_extendedprice", "revenue")}
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def c9_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathlib import Path
+
+    from .sources_sinks import _scratch
+
+    tag = (Path(sf_dir).name or "sf").replace(".", "_")
+    o_tbl, l_tbl = f"b_orders_{tag}", f"b_lineitem_{tag}"
+    if not spark.catalog.tableExists(o_tbl):
+        (
+            load(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .write.mode("overwrite")
+            .option("path", _scratch(sf_dir, o_tbl))
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable(o_tbl)
+        )
+        (
+            load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice")
+            .write.mode("overwrite")
+            .option("path", _scratch(sf_dir, l_tbl))
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable(l_tbl)
+        )
+    o = spark.table(o_tbl)
+    li = spark.table(l_tbl)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_extendedprice", "revenue"))
+    )
+
+
+# --- C10: large⋈large interval join via time-bucket equi-prefilter ------------
+# C6 broadcasts a tiny band table; when BOTH sides are large (every
+# purchase × every click within 10 minutes, across all users) the
+# scalable plan replaces the nested loop with: bucket time into
+# window-width buckets, explode each probe row to its 2 candidate
+# buckets, EQUI-join on bucket id (an ordinary shuffle), then refine
+# with the exact interval predicate.
+
+
+@query(
+    "c10_join_range_bucketed",
+    oracle="""
+    WITH purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         clicks    AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT p.event_id AS purchase_id,
+           COUNT(c.event_id) AS n_nearby_clicks
+    FROM purchases p
+    LEFT JOIN clicks c
+      ON c.ts > p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+    GROUP BY p.event_id
+    """,
+)
+def c10_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    win_ns = 600 * 1_000_000_000  # 10 min, integer ns (exact arithmetic)
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("ts_ns").alias("p_ns"),
+    )
+    # integer `div`, NOT `/`: ts_ns ≈ 1.7e18 exceeds double's 2^53 exact
+    # range, so float division would misplace bucket boundaries
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+        F.expr(f"ts_ns div {win_ns}").alias("bkt"),
+    )
+    # a (p_ts - 10min, p_ts] window spans at most 2 width-10min buckets
+    pb = p.withColumn(
+        "bkt",
+        F.explode(
+            F.array(
+                F.expr(f"p_ns div {win_ns}") - 1,
+                F.expr(f"p_ns div {win_ns}"),
+            )
+        ),
+    )
+    joined = pb.join(
+        c,
+        (pb.bkt == c.bkt)
+        & (c.c_ts > pb.p_ts - F.expr("INTERVAL 10 MINUTES"))
+        & (c.c_ts <= pb.p_ts),
+        "left",
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count("click_id").alias("n_nearby_clicks")
+    )
