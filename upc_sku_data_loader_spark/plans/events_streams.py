@@ -312,6 +312,15 @@ def i6b_stateful_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- I6c (not registered): transformWithStateInPandas — Spark 4's
+#     successor API — was attempted and is ENVIRONMENT-BLOCKED here: its
+#     Python driver worker imports google.protobuf, which this container
+#     lacks (measured: worker crash on `from google.protobuf import
+#     descriptor`).  i6b's applyInPandasWithState covers the stateful
+#     operator contract; swap to transformWithState where protobuf and
+#     the RocksDB state store are available. ------------------------------------------
+
+
 # --- I7: stream-static join (enrich events with a broadcast dim) ---------------------
 
 
