@@ -77,6 +77,31 @@ def test_fetch_products_over_real_http(spark):
         server.server_close()
 
 
+def test_token_bucket_rate_and_burst():
+    from upc_sku_data_loader_spark.sources.rest_api import TokenBucket
+
+    now = [0.0]
+    slept: list[float] = []
+
+    def clock():
+        return now[0]
+
+    def sleep(s):
+        slept.append(s)
+        now[0] += s  # fake time advances exactly as requested
+
+    b = TokenBucket(rate_per_s=2.0, burst=3, clock=clock, sleep=sleep)
+    for _ in range(3):
+        b.acquire()  # burst drains without sleeping
+    assert slept == []
+    b.acquire()  # 4th call must wait 1/rate = 0.5 s
+    assert sum(slept) == 0.5 and now[0] == 0.5
+    for _ in range(4):
+        b.acquire()
+    # sustained rate: 8 requests total from t=0 needs (8-3)/2 = 2.5 s
+    assert now[0] == 2.5
+
+
 def test_fake_transport_is_pure_function():
     url = "http://x/p?upcs=000000000042,000000000043"
     assert fake_transport(url) == fake_transport(url)

@@ -77,6 +77,40 @@ def fake_transport(url: str, headers: dict[str, str] | None = None) -> str:
     return "\n".join(lines)
 
 
+class TokenBucket:
+    """Per-worker rate limiter: ``rate_per_s`` sustained, ``burst`` peak.
+
+    Each fetch partition runs one bucket, so a fleet of P partitions
+    stays under ``P × rate_per_s`` globally — set rate_per_s to
+    (API budget / planned partitions).  Clock/sleep are injectable for
+    deterministic tests.
+    """
+
+    def __init__(
+        self,
+        rate_per_s: float,
+        burst: int = 1,
+        clock: Callable[[], float] = time.monotonic,
+        sleep: Callable[[float], None] = time.sleep,
+    ) -> None:
+        self.rate = float(rate_per_s)
+        self.capacity = float(burst)
+        self.tokens = float(burst)
+        self._clock = clock
+        self._sleep = sleep
+        self._last = clock()
+
+    def acquire(self) -> None:
+        while True:
+            now = self._clock()
+            self.tokens = min(self.capacity, self.tokens + (now - self._last) * self.rate)
+            self._last = now
+            if self.tokens >= 1.0:
+                self.tokens -= 1.0
+                return
+            self._sleep((1.0 - self.tokens) / self.rate)
+
+
 def http_transport(
     url: str,
     headers: dict[str, str] | None = None,
@@ -104,12 +138,16 @@ def fetch_products(
     base_url: str = "https://api.example.com/products",
     transport: Transport = fake_transport,
     auth_token: str | None = None,
+    rate_limit_per_s: float | None = None,
+    rate_burst: int = 4,
 ) -> DataFrame:
     """worklist[upc] → typed product DataFrame via paginated fetch.
 
     Returns columns: upc, sku, brand, price, in_stock (PRODUCT_SCHEMA).
     One count() action sizes the page space; page membership is a pure
     hash of the UPC so the grouping is a normal shuffle (no global sort).
+    ``rate_limit_per_s`` throttles each fetch partition with a token
+    bucket (global budget ≈ partitions × rate).
     """
     n = worklist.count()
     n_pages = max(1, math.ceil(n / page_size))
@@ -122,8 +160,13 @@ def fetch_products(
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         headers = {"Authorization": f"Bearer {auth_token}"} if auth_token else {}
+        bucket = (
+            TokenBucket(rate_limit_per_s, rate_burst) if rate_limit_per_s else None
+        )
         for pdf in batches:
             for upcs in pdf["upcs"]:
+                if bucket is not None:
+                    bucket.acquire()
                 url = f"{base_url}?upcs={','.join(upcs)}"
                 body = transport(url, headers)
                 records = [json.loads(line) for line in body.splitlines() if line]
