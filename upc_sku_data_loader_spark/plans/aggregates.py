@@ -121,17 +121,39 @@ def d3_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# D4 — approximate COUNT(DISTINCT) (HLL++). Approx sketches differ across
-# engines → rows-only driver check; the pytest suite bounds its error
-# against D3's exact counts instead.
+# D4 — approximate COUNT(DISTINCT) (HLL++). Approx sketch values differ
+# across engines, so the hash-checked surface is (exact count, bound-check
+# boolean): the HLL++ estimate still runs and feeds the boolean, the oracle
+# computes the exact count and literal TRUE. 3×rsd is a ≥99.7% bound; if it
+# ever trips, the sketch is broken and the hash-fail is the right signal.
 # --------------------------------------------------------------------------
 
 
-@query("d4_agg_approx_count_distinct")
+@query(
+    "d4_agg_approx_count_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_rsd_bound
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def d4_agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    rsd = 0.02
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 3 * rsd
+        ).alias("within_rsd_bound"),
     )
 
 
@@ -220,6 +242,9 @@ def d7_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # D8 — collect_list/collect_set per group (order-normalized for the oracle).
+# The collected set is serialized with array_join: the grading driver's
+# canonicalizer cannot hash ArrayType cells (r1 verdict), so no registry
+# query may emit an array output column (tests/test_contract.py lints this).
 # --------------------------------------------------------------------------
 
 
@@ -227,7 +252,7 @@ def d7_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d8_agg_collect",
     oracle="""
     SELECT c_nationkey,
-           list_sort(list(DISTINCT c_mktsegment)) AS segments,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
            COUNT(DISTINCT c_mktsegment) AS n_segments
     FROM customer
     GROUP BY c_nationkey
@@ -236,7 +261,9 @@ def d7_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d8_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey").agg(
-        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias(
+            "segments"
+        ),
         F.countDistinct("c_mktsegment").alias("n_segments"),
     )
 

@@ -141,6 +141,10 @@ def k5_vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "k5b_vector_centroid",
+    # Centroid is serialized to one comma-joined string of DECIMAL(18,6)
+    # components: the driver's canonicalizer cannot hash ArrayType cells
+    # (r1 verdict), and decimal rendering pads scale identically in both
+    # engines ('0.500000'), unlike raw double→string formatting.
     oracle="""
     WITH flat AS (
       SELECT label,
@@ -153,7 +157,9 @@ def k5_vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM flat GROUP BY label, pos
     )
     SELECT label,
-           list(c ORDER BY pos) AS centroid,
+           array_to_string(
+             list(CAST(CAST(c AS DECIMAL(18,6)) AS VARCHAR) ORDER BY pos), ','
+           ) AS centroid,
            (SELECT COUNT(*) FROM embeddings e WHERE e.label = per_pos.label) AS n_vectors
     FROM per_pos
     GROUP BY label
@@ -168,8 +174,12 @@ def k5b_vector_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("v"), 6).alias("c"), F.count(F.lit(1)).alias("n")
     )
     return per_pos.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s.getField("c")
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.getField("c").cast("decimal(18,6)").cast("string"),
+            ),
+            ",",
         ).alias("centroid"),
         F.max("n").alias("n_vectors"),
     )

@@ -253,15 +253,17 @@ def h6_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(toks) AS INT) AS n_tokens,
            list_contains(toks, 'the') AS has_the,
-           list_sort(toks[1:3]) AS first3_sorted,
+           array_to_string(list_sort(toks[1:3]), ',') AS first3_sorted,
            CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
            CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_chars,
            CAST(len(list_filter(toks, x -> length(x) > 4)) AS INT) AS n_long,
            len(list_filter(toks, x -> x[1:1] = 's')) > 0 AS any_s_word,
-           flatten([toks[1:2], toks[3:4]]) AS spliced
+           array_to_string(flatten([toks[1:2], toks[3:4]]), ',') AS spliced
     FROM t
     """,
 )
+# first3_sorted / spliced are array_join-serialized: the driver's
+# canonicalizer cannot hash ArrayType output cells (r1 verdict).
 def h7_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     t = d.select("doc_id", F.split("text", " ").alias("toks"))
@@ -269,7 +271,7 @@ def h7_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("toks").alias("n_tokens"),
         F.array_contains("toks", "the").alias("has_the"),
-        F.array_sort(F.slice("toks", 1, 3)).alias("first3_sorted"),
+        F.array_join(F.array_sort(F.slice("toks", 1, 3)), ",").alias("first3_sorted"),
         F.size(F.array_distinct("toks")).alias("n_distinct"),
         F.aggregate(
             F.transform("toks", lambda x: F.length(x).cast("bigint")),
@@ -278,7 +280,9 @@ def h7_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_chars"),
         F.size(F.filter("toks", lambda x: F.length(x) > 4)).alias("n_long"),
         F.exists("toks", lambda x: x.startswith("s")).alias("any_s_word"),
-        F.flatten(F.array(F.slice("toks", 1, 2), F.slice("toks", 3, 2))).alias("spliced"),
+        F.array_join(
+            F.flatten(F.array(F.slice("toks", 1, 2), F.slice("toks", 3, 2))), ","
+        ).alias("spliced"),
     )
 
 
@@ -296,7 +300,7 @@ def h7_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            m['et'][1] AS et_val,
            m['uid'][1] AS uid_val,
-           list_sort(map_keys(m)) AS keys_sorted,
+           array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted,
            CAST(cardinality(m) AS INT) AS m_size
     FROM t
     """,
@@ -313,7 +317,7 @@ def h8_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.element_at("m", "et").alias("et_val"),
         F.element_at("m", "uid").alias("uid_val"),
-        F.array_sort(F.map_keys("m")).alias("keys_sorted"),
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("keys_sorted"),
         F.size("m").alias("m_size"),
     )
 
