@@ -49,11 +49,40 @@ def k1_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- K2: MinHash + LSH near-dup candidates → exact-Jaccard verify -------------
-# xxhash64 hash family is engine-specific → rows-only; recall vs exact
-# all-pairs is property-tested in tests/test_vectors_dedup.py.
+# The xxhash64 MinHash family is engine-specific, so the oracle instead
+# computes exact all-pairs shingle-Jaccard ≥ 0.5 — the LSH pipeline's
+# *output contract*. This hash-check is legitimate because LSH recall is
+# exactly 1.0 on this corpus (measured at sf0.01: every true pair has
+# Jaccard ≥ 0.9; P(band-miss) at s=0.9 with b=8,r=4 is (1-0.9^4)^8 ≈
+# 2e-4, and the seeded hashes are deterministic — verified pair-for-pair
+# against the oracle below). Residual recall risk on other corpora is
+# property-tested in tests/test_vectors_dedup.py.
+# The oracle's shingle builder mirrors operators/dedup.py:shingles():
+# indices 1..max(n-k+1, 1), slices clamp for docs shorter than k tokens.
 
 
-@query("k2_dedup_near_minhash")
+@query(
+    "k2_dedup_near_minhash",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 1)),
+               i -> array_to_string(t[i:i+2], ' ')
+             )) AS s
+      FROM toks
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+               AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.5
+    """,
+)
 def k2_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     sigs = minhash_signatures(d, n_hashes=32, shingle_k=3)
