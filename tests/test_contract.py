@@ -56,6 +56,18 @@ def test_parity_slice(spark, sf_dir, name):
     assert result["status"] in ("PASS", "ROWS_ONLY"), result
 
 
+def test_driver_window_composition():
+    """The driver verifies only the first ~50 queries() entries (r1
+    finding); pin the round-2 window so a refactor can't silently push a
+    must-verify entry out of it."""
+    window = list(entrymod.queries())[:50]
+    assert window == entrymod._PRIORITY
+    assert len(entrymod._PRIORITY) == 50
+    # every window entry this round is hash-checkable (no rows-only slots)
+    oracles = entrymod.oracle_sql()
+    assert all(n in oracles for n in window)
+
+
 def test_no_unhashable_output_columns(spark, sf_dir):
     """No registry query may emit array/map/struct output columns.
 
