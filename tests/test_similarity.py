@@ -76,3 +76,55 @@ def test_dedup_embedding_keeper_invariants(spark, sf_dir):
             # canonical keeper is an earlier vector, and itself a keeper
             # OR a dup of something even earlier (chain always descends)
             assert r["dup_of"] < r["vec_id"]
+
+
+def test_blocked_strategy_bit_identical_and_driver_free(spark, sf_dir):
+    """The beyond-broadcast path must (a) never collect the reference
+    side to the driver — its physical plan is cogroup-shaped — and
+    (b) produce bit-identical results to the broadcast kernel (disjoint
+    per-block partials + same deterministic re-rank key)."""
+    from upc_sku_data_loader_spark.operators.similarity import topk_pairs
+
+    def rows(df):
+        return sorted(
+            (tuple(r) for r in df.collect()),
+            key=lambda t: tuple(str(x) for x in t),
+        )
+
+    for a, b in [
+        (
+            knn_join(spark, sf_dir, k=3, strategy="broadcast"),
+            knn_join(spark, sf_dir, k=3, strategy="blocked"),
+        ),
+        (
+            topk_pairs(spark, sf_dir, k=10, strategy="broadcast"),
+            topk_pairs(spark, sf_dir, k=10, strategy="blocked"),
+        ),
+        (
+            dedup_embedding(spark, sf_dir, tau=0.35, strategy="broadcast"),
+            dedup_embedding(spark, sf_dir, tau=0.35, strategy="blocked"),
+        ),
+    ]:
+        assert rows(a) == rows(b)
+
+    plan = (
+        knn_join(spark, sf_dir, k=3, strategy="blocked")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_ann_ivf_trains_without_full_collect(spark, sf_dir, monkeypatch):
+    """IVF centroid training must never pull the full table to the
+    driver: embedding_matrix (the broadcast-path full collect) is
+    poisoned and ann_ivf must still run end-to-end."""
+    from upc_sku_data_loader_spark.operators import similarity as S
+
+    def boom(*a, **k):  # pragma: no cover - should never fire
+        raise AssertionError("ann_ivf called embedding_matrix (full collect)")
+
+    monkeypatch.setattr(S, "embedding_matrix", boom)
+    out = S.ann_ivf(spark, sf_dir, n_centroids=8, n_probe=2, k=3).collect()
+    assert len(out) > 0

@@ -4,22 +4,35 @@ Fast path: Arrow-batched ``mapInPandas`` + numpy float64 block matmul.
 BASELINE.md measured the naive crossJoin+HOF plan at 33.5 s vs DuckDB
 0.17 s at sf0.1 (n=2000, d=64) — the vectorized path is mandatory.
 
-Scale design (100 TB / billions of vectors):
-- Here the reference side fits comfortably in a broadcast (n×d doubles);
-  each executor partition multiplies its block against it — an
-  embarrassingly parallel O(n·m·d/p) with BLAS constants, no shuffle.
-- When the reference side outgrows broadcast, the same kernel runs over
-  a *blocked cross join*: repartition both sides into B blocks, join on
-  block ids, matmul per block pair, per-block top-k, then a cheap global
-  top-k reduce (the per-row candidate bound below still applies).
+Scale design (100 TB / billions of vectors) — two physical strategies
+behind one logical operator, chosen by ``strategy=`` (default "auto"):
+
+- **broadcast** (reference side fits executor memory): collect + L2
+  normalize the reference matrix once, broadcast it; each executor
+  partition multiplies its query block against it — embarrassingly
+  parallel O(n·m·d/p) with BLAS constants, no shuffle.
+- **blocked** (beyond broadcast): NO driver-side collect anywhere.  The
+  reference side is hashed into B blocks executor-side; queries are
+  replicated across the B block ids (the blocked cross join — the
+  irreducible cost of exact KNN beyond broadcast); a
+  ``cogroup().applyInPandas`` pairs each reference block with the full
+  query set, computes a per-block matmul top-k, and a final
+  ``row_number`` window reduces B·k partial candidates per query to the
+  global top-k.  Both shuffles are keyed (block_id, then q_vec_id); no
+  single task ever holds more than one reference block.
+- "auto" picks broadcast below ``BROADCAST_MAX_ROWS`` reference rows
+  (a metadata-only parquet count), blocked above.
 - The ANN tier (``ann_ivf``) cuts candidate generation to n_probe
   clusters — IVF-style coarse quantization with deterministic seeding;
-  recall is property-tested against the exact path.
+  centroids are trained from executor-side aggregates (never a
+  full-table collect); recall is property-tested vs the exact path.
 
 Determinism contract: similarities are rounded to 6 dp and ordered by
 (rounded sim DESC, neighbor id ASC), which both numpy and DuckDB agree
 on bit-for-bit (cross-engine fp drift ~1e-15 can't straddle a 5e-7
-boundary in practice).
+boundary in practice).  The blocked path is bit-identical to the
+broadcast path by construction: per-block partials are disjoint and the
+global window re-ranks with the same key.
 """
 
 from __future__ import annotations
@@ -29,12 +42,16 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
 
 SIM_DECIMALS = 6
+
+# "auto" switches to the blocked strategy above this many reference rows
+# (~64-dim float64 ≈ 512 B/row → 500k rows ≈ 256 MB, a sane broadcast cap).
+BROADCAST_MAX_ROWS = 500_000
 
 
 def _normalized(mat: np.ndarray) -> np.ndarray:
@@ -45,7 +62,9 @@ def _normalized(mat: np.ndarray) -> np.ndarray:
 
 
 def embedding_matrix(spark: SparkSession, sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    """(vec_ids int64[n], L2-normalized float64[n,d]) — the broadcast side."""
+    """(vec_ids int64[n], L2-normalized float64[n,d]) — the broadcast-side
+    matrix for the SMALL-reference strategy only; the blocked strategy
+    never calls this (no full-table driver collect at scale)."""
     pdf = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").toPandas()
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
     mat = np.vstack(pdf["embedding"].to_numpy())
@@ -60,31 +79,46 @@ def _row_topk(
     k: int,
 ) -> Iterator[tuple[int, int, float, int]]:
     """Per query row: top-k neighbors by (round(sim,6) DESC, id ASC),
-    excluding self.  Yields (query_id, neighbor_id, sim, rank)."""
+    excluding self.  Yields (query_id, neighbor_id, sim, rank).
+
+    np.argpartition bounds the sort to the top-k boundary; every
+    candidate tied with the k-th similarity is kept for the id
+    tie-break, so the result is exact and deterministic."""
     sims = np.round(chunk_mat @ all_mat.T, SIM_DECIMALS)
     for i, qid in enumerate(chunk_ids):
         row = sims[i]
         mask = all_ids != qid
         cand_ids = all_ids[mask]
         cand_sims = row[mask]
+        n = len(cand_ids)
+        if n == 0:
+            continue
+        if k < n:
+            kth = np.partition(cand_sims, n - k)[n - k]
+            sel = cand_sims >= kth  # ties at the boundary included
+            cand_ids = cand_ids[sel]
+            cand_sims = cand_sims[sel]
         order = np.lexsort((cand_ids, -cand_sims))[:k]
         for rank, j in enumerate(order, start=1):
             yield int(qid), int(cand_ids[j]), float(cand_sims[j]), rank
 
 
-def knn_join(
-    spark: SparkSession,
-    sf_dir: str,
-    k: int = 3,
-    query_filter: str | None = None,
+def _pick_strategy(
+    strategy: str, reference: DataFrame, spark: SparkSession
+) -> str:
+    if strategy == "auto":
+        # parquet count is metadata-only (rowgroup footers), cheap even at scale
+        return "broadcast" if reference.count() <= BROADCAST_MAX_ROWS else "blocked"
+    if strategy not in ("broadcast", "blocked"):
+        raise ValueError(f"unknown similarity strategy {strategy!r}")
+    return strategy
+
+
+def _knn_broadcast(
+    spark: SparkSession, sf_dir: str, queries: DataFrame, k: int
 ) -> DataFrame:
-    """K nearest neighbors for each (optionally filtered) query vector."""
     ids, mat = embedding_matrix(spark, sf_dir)
     bc = spark.sparkContext.broadcast((ids, mat))
-
-    queries = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    if query_filter:
-        queries = queries.filter(query_filter)
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         all_ids, all_mat = bc.value
@@ -102,13 +136,83 @@ def knn_join(
     return queries.mapInPandas(compute, schema)
 
 
-def topk_pairs(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+def _knn_blocked(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: DataFrame,
+    k: int,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact KNN without any driver-side collect: per-reference-block
+    matmul top-k via cogroup, then a global window re-rank."""
+    ref = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .withColumn("block_id", F.pmod(F.hash("vec_id"), F.lit(n_blocks)).cast("int"))
+    )
+    q_rep = queries.crossJoin(
+        spark.range(n_blocks).select(F.col("id").cast("int").alias("block_id"))
+    )
+
+    def per_block(q_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["q_vec_id", "neighbor_id", "sim"]
+        if q_pdf.empty or r_pdf.empty:
+            return pd.DataFrame(columns=cols).astype(
+                {"q_vec_id": "int64", "neighbor_id": "int64", "sim": "float64"}
+            )
+        qids = q_pdf["vec_id"].to_numpy(dtype=np.int64)
+        qmat = _normalized(np.vstack(q_pdf["embedding"].to_numpy()))
+        rids = r_pdf["vec_id"].to_numpy(dtype=np.int64)
+        rmat = _normalized(np.vstack(r_pdf["embedding"].to_numpy()))
+        rows = [
+            (q, nb, s) for q, nb, s, _ in _row_topk(qids, qmat, rids, rmat, k)
+        ]
+        return pd.DataFrame(rows, columns=cols)
+
+    partial = (
+        q_rep.groupby("block_id")
+        .cogroup(ref.groupby("block_id"))
+        .applyInPandas(per_block, "q_vec_id bigint, neighbor_id bigint, sim double")
+    )
+    # disjoint reference blocks → partials never overlap; B·k rows per
+    # query reduce to the global top-k with the same deterministic key
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_vec_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def knn_join(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    query_filter: str | None = None,
+    strategy: str = "auto",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """K nearest neighbors for each (optionally filtered) query vector."""
+    queries = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if query_filter:
+        queries = queries.filter(query_filter)
+    ref = load(spark, sf_dir, "embeddings")
+    if _pick_strategy(strategy, ref, spark) == "broadcast":
+        return _knn_broadcast(spark, sf_dir, queries, k)
+    return _knn_blocked(spark, sf_dir, queries, k, n_blocks)
+
+
+def topk_pairs(
+    spark: SparkSession, sf_dir: str, k: int = 10, strategy: str = "auto"
+) -> DataFrame:
     """Global top-k most-similar distinct pairs (a < b) by cosine.
 
     Per-row top-k is sufficient: if pair (a,b) is in the global top-k,
     at most k-1 pairs beat it, so b is within a's per-row top-k.
     """
-    per_row = knn_join(spark, sf_dir, k=k)
+    per_row = knn_join(spark, sf_dir, k=k, strategy=strategy)
     pairs = per_row.select(
         F.least("q_vec_id", "neighbor_id").alias("a"),
         F.greatest("q_vec_id", "neighbor_id").alias("b"),
@@ -117,41 +221,109 @@ def topk_pairs(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     return pairs.orderBy(F.desc("sim"), "a", "b").limit(k)
 
 
+def _dup_of_block(
+    cids: np.ndarray, cmat: np.ndarray, rids: np.ndarray, rmat: np.ndarray, tau: float
+) -> list[int | None]:
+    """Per query: lowest reference id with id < query id and sim ≥ tau."""
+    sims = np.round(cmat @ rmat.T, SIM_DECIMALS)
+    out: list[int | None] = []
+    for i, qid in enumerate(cids):
+        cand = (rids < qid) & (sims[i] >= tau)
+        out.append(int(rids[cand].min()) if cand.any() else None)
+    return out
+
+
 def dedup_embedding(
-    spark: SparkSession, sf_dir: str, tau: float = 0.8
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = 0.8,
+    strategy: str = "auto",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-dup dedup: each vector is a duplicate of the
     LOWEST-id vector whose cosine similarity (rounded to 6 dp) ≥ tau;
-    vectors with no earlier near-neighbor are keepers.  Same broadcast
-    block-matmul kernel as knn_join; at beyond-broadcast scale the
-    ann_ivf blocking bounds the candidate set first."""
-    ids, mat = embedding_matrix(spark, sf_dir)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    vectors with no earlier near-neighbor are keepers.  Broadcast kernel
+    for small references; the blocked strategy computes a per-block
+    min-dup-id partial and reduces with a keyed min — associative, so
+    bit-identical to the broadcast answer."""
     vecs = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if _pick_strategy(strategy, vecs, spark) == "broadcast":
+        ids, mat = embedding_matrix(spark, sf_dir)
+        bc = spark.sparkContext.broadcast((ids, mat))
 
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_mat = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            cids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            cmat = _normalized(np.vstack(pdf["embedding"].to_numpy()))
-            sims = np.round(cmat @ all_mat.T, SIM_DECIMALS)
-            dup_of = []
-            for i, qid in enumerate(cids):
-                cand = (all_ids < qid) & (sims[i] >= tau)
-                dup_of.append(int(all_ids[cand].min()) if cand.any() else None)
-            yield pd.DataFrame(
-                {
-                    "vec_id": cids,
-                    "dup_of": pd.array(dup_of, dtype="Int64"),
-                    "is_keeper": [d is None for d in dup_of],
-                }
-            )
+        def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            all_ids, all_mat = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                cids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                cmat = _normalized(np.vstack(pdf["embedding"].to_numpy()))
+                dup_of = _dup_of_block(cids, cmat, all_ids, all_mat, tau)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": cids,
+                        "dup_of": pd.array(dup_of, dtype="Int64"),
+                        "is_keeper": [d is None for d in dup_of],
+                    }
+                )
 
-    return vecs.mapInPandas(
-        compute, "vec_id bigint, dup_of bigint, is_keeper boolean"
+        return vecs.mapInPandas(
+            compute, "vec_id bigint, dup_of bigint, is_keeper boolean"
+        )
+
+    # fresh load → distinct lineage, avoids self-join ambiguity in cogroup
+    ref = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .withColumn("block_id", F.pmod(F.hash("vec_id"), F.lit(n_blocks)).cast("int"))
     )
+    q_rep = vecs.crossJoin(
+        spark.range(n_blocks).select(F.col("id").cast("int").alias("block_id"))
+    )
+
+    def per_block(q_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        if q_pdf.empty:
+            return pd.DataFrame(
+                {"vec_id": pd.array([], dtype="int64"),
+                 "dup_of": pd.array([], dtype="Int64")}
+            )
+        cids = q_pdf["vec_id"].to_numpy(dtype=np.int64)
+        if r_pdf.empty:
+            dup_of: list[int | None] = [None] * len(cids)
+        else:
+            cmat = _normalized(np.vstack(q_pdf["embedding"].to_numpy()))
+            rids = r_pdf["vec_id"].to_numpy(dtype=np.int64)
+            rmat = _normalized(np.vstack(r_pdf["embedding"].to_numpy()))
+            dup_of = _dup_of_block(cids, cmat, rids, rmat, tau)
+        return pd.DataFrame(
+            {"vec_id": cids, "dup_of": pd.array(dup_of, dtype="Int64")}
+        )
+
+    partial = (
+        q_rep.groupby("block_id")
+        .cogroup(ref.groupby("block_id"))
+        .applyInPandas(per_block, "vec_id bigint, dup_of bigint")
+    )
+    # every query appears once per block (possibly with NULL dup_of), so
+    # min() over blocks preserves "no earlier near-neighbor ⇒ keeper"
+    return partial.groupBy("vec_id").agg(
+        F.min("dup_of").alias("dup_of"),
+        F.min("dup_of").isNull().alias("is_keeper"),
+    )
+
+
+def _assign_udf(spark: SparkSession, cents: np.ndarray):
+    """Scalar pandas UDF: nearest-centroid id for each embedding."""
+    bc = spark.sparkContext.broadcast(cents)
+
+    @F.pandas_udf("int")
+    def assign(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        m = _normalized(np.vstack(emb.to_numpy()))
+        return pd.Series(np.argmax(m @ bc.value.T, axis=1).astype(np.int32))
+
+    return assign
 
 
 def ann_ivf(
@@ -166,50 +338,83 @@ def ann_ivf(
     n_centroids lowest vec_ids, one Lloyd refinement), probe the n_probe
     nearest inverted lists, exact rerank within them.
 
-    At 100 TB the same shape becomes: train centroids on a sample,
-    broadcast them, shuffle vectors once on cluster id (the inverted
-    index), then route each query to n_probe partitions — candidate work
-    drops by ~n_centroids/n_probe vs brute force.
+    Training never collects the table: the driver sees only (a) the
+    n_centroids seed rows (bounded limit-k collect) and (b) the
+    n_centroids × d per-(cluster, position) means — an executor-side
+    aggregate whose size is independent of the table.  Assignment,
+    probing, and rerank all run executor-side; the rerank pairs each
+    inverted list with the queries probing it via cogroup, so candidate
+    work drops by ~n_centroids/n_probe vs brute force and the inverted
+    index is the (cluster-keyed) shuffle itself.
     """
-    ids, mat = embedding_matrix(spark, sf_dir)
-    order = np.argsort(ids)
-    seed_idx = order[:n_centroids]
-    centroids = mat[seed_idx]
-    # one Lloyd iteration for balance (deterministic)
-    assign = np.argmax(mat @ centroids.T, axis=1)
-    for c in range(n_centroids):
-        members = mat[assign == c]
-        if len(members):
-            centroids[c] = members.mean(axis=0)
-    centroids = _normalized(centroids)
-    assign = np.argmax(mat @ centroids.T, axis=1)
-    bc = spark.sparkContext.broadcast((ids, mat, centroids, assign))
+    from ..functions import vectors as V
+
+    vecs = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    # (a) deterministic seeds: the n_centroids lowest vec_ids
+    seed_rows = vecs.orderBy("vec_id").limit(n_centroids).collect()
+    cents0 = _normalized(
+        np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows])
+    )
+
+    # (b) one Lloyd iteration: per-(cluster, pos) mean of the normalized
+    # vectors, computed as a keyed JVM-side aggregate
+    norm_vec = F.transform(
+        V.as_double(F.col("embedding")), lambda x: x / V.l2_norm(V.as_double(F.col("embedding")))
+    )
+    assigned0 = vecs.withColumn("cluster", _assign_udf(spark, cents0)("embedding"))
+    means = (
+        assigned0.select("cluster", F.posexplode(norm_vec).alias("pos", "v"))
+        .groupBy("cluster", "pos")
+        .agg(F.avg("v").alias("c"))
+        .collect()
+    )
+    cents1 = cents0.copy()  # empty clusters keep their seed
+    for r in means:
+        cents1[r["cluster"], r["pos"]] = r["c"]
+    cents1 = _normalized(cents1)
+
+    # final inverted index: one cluster per vector, executor-side
+    inverted = vecs.withColumn("cluster", _assign_udf(spark, cents1)("embedding"))
 
     queries = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     if query_filter:
         queries = queries.filter(query_filter)
 
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_mat, cents, asg = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            cids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            cmat = _normalized(np.vstack(pdf["embedding"].to_numpy()))
-            probe = np.argsort(-(cmat @ cents.T), axis=1)[:, :n_probe]
-            out = []
-            for i, qid in enumerate(cids):
-                cand_mask = np.isin(asg, probe[i]) & (all_ids != qid)
-                cand_ids = all_ids[cand_mask]
-                sims = np.round(all_mat[cand_mask] @ cmat[i], SIM_DECIMALS)
-                order_i = np.lexsort((cand_ids, -sims))[:k]
-                out.extend(
-                    (int(qid), int(cand_ids[j]), float(sims[j]), r + 1)
-                    for r, j in enumerate(order_i)
-                )
-            yield pd.DataFrame(
-                out, columns=["q_vec_id", "neighbor_id", "sim", "rank"]
-            )
+    bc_c = spark.sparkContext.broadcast(cents1)
 
-    schema = "q_vec_id bigint, neighbor_id bigint, sim double, rank int"
-    return queries.mapInPandas(compute, schema)
+    @F.pandas_udf("array<int>")
+    def probes(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="object")
+        m = _normalized(np.vstack(emb.to_numpy()))
+        order = np.argsort(-(m @ bc_c.value.T), axis=1)[:, :n_probe]
+        return pd.Series([row.astype(np.int32) for row in order])
+
+    probed = queries.withColumn("cluster", F.explode(probes("embedding")))
+
+    def per_cluster(q_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["q_vec_id", "neighbor_id", "sim"]
+        if q_pdf.empty or r_pdf.empty:
+            return pd.DataFrame(columns=cols).astype(
+                {"q_vec_id": "int64", "neighbor_id": "int64", "sim": "float64"}
+            )
+        qids = q_pdf["vec_id"].to_numpy(dtype=np.int64)
+        qmat = _normalized(np.vstack(q_pdf["embedding"].to_numpy()))
+        rids = r_pdf["vec_id"].to_numpy(dtype=np.int64)
+        rmat = _normalized(np.vstack(r_pdf["embedding"].to_numpy()))
+        rows = [(q, nb, s) for q, nb, s, _ in _row_topk(qids, qmat, rids, rmat, k)]
+        return pd.DataFrame(rows, columns=cols)
+
+    partial = (
+        probed.groupby("cluster")
+        .cogroup(inverted.groupby("cluster"))
+        .applyInPandas(per_cluster, "q_vec_id bigint, neighbor_id bigint, sim double")
+    )
+    # inverted lists are disjoint → partials never overlap a neighbor
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_vec_id", "neighbor_id", "sim", "rank")
+    )
