@@ -68,3 +68,28 @@ def test_minhash_lsh_finds_near_duplicates(spark):
     pairs = {(r["a"], r["b"]) for r in verified.collect()}
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_lsh_bucket_cap_defuses_degenerate_band(spark):
+    """Adversarial corpus: 60 identical docs collide in EVERY band (one
+    degenerate bucket per band → 60² candidate work uncapped).  With a
+    small cap the degenerate buckets are dropped before the self-join —
+    the pipeline completes without the quadratic bucket and still finds
+    the genuine near-dup pair living in small buckets."""
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit")
+              for i in range(60)]
+    near = [
+        (100, "the quick brown fox jumps over the lazy dog tonight"),
+        (101, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    docs = spark.createDataFrame(boiler + near, "doc_id long, text string")
+    sigs = minhash_signatures(docs, n_hashes=32, shingle_k=3)
+
+    uncapped = lsh_candidate_pairs(sigs, max_bucket_size=None)
+    assert uncapped.count() >= 60 * 59 // 2  # the quadratic blowup is real
+
+    capped = lsh_candidate_pairs(sigs, max_bucket_size=5)
+    pairs = {(r["a"], r["b"]) for r in capped.collect()}
+    assert (100, 101) in pairs          # genuine pair survives
+    assert all(a >= 100 for a, _ in pairs)  # degenerate bucket dropped
+    assert len(pairs) == 1

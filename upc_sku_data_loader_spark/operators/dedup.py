@@ -11,8 +11,9 @@ Scale notes:
 - Everything is one explode + two keyed shuffles (doc_id, then band
   key); no crossJoin ever materializes.
 - Band-key skew (a degenerate bucket with B docs → B² candidate pairs)
-  is the real 100 TB risk: mitigate with a per-bucket size cap or by
-  salting giant buckets; AQE skew-split handles moderate cases.
+  is the real 100 TB risk: ``lsh_candidate_pairs(max_bucket_size=...)``
+  drops degenerate buckets before the self-join (on by default); AQE
+  skew-split handles moderate cases below the cap.
 - xxhash64 is Spark-JVM-specific → the LSH stage is rows-only for the
   oracle; the *verify* stage (exact Jaccard) and the recall property
   (vs exact all-pairs) are tested in pytest instead.
@@ -62,9 +63,22 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, n_bands: int = 8, rows_per_band: int = 4
+    signatures: DataFrame,
+    n_bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
-    """Distinct (a, b) candidate pairs colliding in ≥1 LSH band."""
+    """Distinct (a, b) candidate pairs colliding in ≥1 LSH band.
+
+    ``max_bucket_size`` is the band-skew guard: a degenerate bucket with
+    B docs yields B² candidate pairs, which is the one quadratic blowup
+    in this pipeline.  Buckets larger than the cap are dropped before
+    the self-join (a bucket that large means boilerplate/empty shingles,
+    not near-duplicates; a missed pair costs recall in one band only —
+    the other n_bands-1 bands still catch genuine pairs).  The bucket
+    count is a window over the same (band, key) the join shuffles on, so
+    the guard adds no extra shuffle key.  ``None`` disables the cap.
+    """
     bands = signatures.select(
         "doc_id",
         F.explode(
@@ -85,6 +99,15 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "key")
+        bands = (
+            bands.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bucket_n") <= max_bucket_size)
+            .drop("_bucket_n")
+        )
     left = bands.alias("l")
     right = bands.alias("r")
     return (
