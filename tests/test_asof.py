@@ -58,3 +58,23 @@ def test_asof_matches_pandas_merge_asof(spark):
         got["asof_rts"].astype("float64"), expected["rts"].astype("float64"),
         check_names=False,
     )
+
+
+def test_asof_null_right_value_not_backfilled(spark):
+    """If the latest at-or-before right row carries a NULL value, the
+    output must surface that NULL — not silently substitute an older
+    row's value (all asof_* columns must come from the SAME right row)."""
+    left = spark.createDataFrame([(1, 100), (1, 250)], "k int, lts long")
+    right = spark.createDataFrame(
+        [(1, 50, 1.5), (1, 200, None)], "k int, rts long, val double"
+    )
+    rows = {
+        r["lts"]: r
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            right_values=["val"],
+        ).collect()
+    }
+    assert rows[100]["asof_rts"] == 50 and rows[100]["asof_val"] == 1.5
+    # latest right row at ts=200 has NULL val: ts and val must agree
+    assert rows[250]["asof_rts"] == 200 and rows[250]["asof_val"] is None

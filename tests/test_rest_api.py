@@ -10,6 +10,8 @@ import json
 import threading
 import urllib.parse
 
+import pytest
+
 from upc_sku_data_loader_spark.sources.rest_api import (
     fake_transport,
     fetch_products,
@@ -108,3 +110,43 @@ def test_fake_transport_is_pure_function():
     recs = [json.loads(l) for l in fake_transport(url).splitlines()]
     assert [r["upc"] for r in recs] == ["000000000042", "000000000043"]
     assert recs[0]["in_stock"] is True and recs[1]["in_stock"] is False
+
+
+def test_http_transport_retry_semantics(monkeypatch):
+    """404 raises immediately (no retry, no sleep); 500 retries with
+    backoff but never sleeps after the final failed attempt."""
+    import io
+    import urllib.error
+
+    import upc_sku_data_loader_spark.sources.rest_api as R
+
+    calls = {"n": 0}
+    sleeps: list[float] = []
+    monkeypatch.setattr(R.time, "sleep", sleeps.append)
+
+    def raise_http(code):
+        def fake_urlopen(req, timeout=None):
+            calls["n"] += 1
+            raise urllib.error.HTTPError(
+                "http://x", code, "err", hdrs=None, fp=io.BytesIO(b"")
+            )
+        return fake_urlopen
+
+    monkeypatch.setattr(R.urllib.request, "urlopen", raise_http(404))
+    with pytest.raises(urllib.error.HTTPError):
+        R.http_transport("http://x", max_retries=5, backoff_s=0.5)
+    assert calls["n"] == 1 and sleeps == []  # non-retryable: one shot
+
+    calls["n"] = 0
+    monkeypatch.setattr(R.urllib.request, "urlopen", raise_http(500))
+    with pytest.raises(RuntimeError):
+        R.http_transport("http://x", max_retries=3, backoff_s=0.5)
+    assert calls["n"] == 3
+    assert sleeps == [0.5, 1.0]  # no sleep after the last attempt
+
+    calls["n"] = 0
+    sleeps.clear()
+    monkeypatch.setattr(R.urllib.request, "urlopen", raise_http(429))
+    with pytest.raises(RuntimeError):
+        R.http_transport("http://x", max_retries=2, backoff_s=0.25)
+    assert calls["n"] == 2 and sleeps == [0.25]  # 429 IS retryable

@@ -5,10 +5,14 @@ Strategy (pure DataFrame, one shuffle, no UDF):
   1. tag both sides and union them on (key, ts);
   2. one window per key ordered by (ts, side) — right rows sort before
      left rows at equal ts so ``>=`` (inclusive) semantics hold;
-  3. ``last(<right value>, ignorenulls=True)`` over an
-     unbounded-preceding frame carries the most recent right value
-     forward;
-  4. keep only left rows.
+  3. ``last(<struct of ALL carried right columns>, ignorenulls=True)``
+     over an unbounded-preceding frame carries the most recent right
+     ROW forward — one struct, not per-column fills, so every asof_*
+     output column comes from the same right row and that row's genuine
+     NULL values are preserved (pd.merge_asof semantics; carrying each
+     column independently would silently mix rows when the latest right
+     row holds a NULL);
+  4. keep only left rows and project the struct's fields.
 
 Scale: the union shuffles once on the key (same as any keyed join) and
 the window is a single sort within each key partition — this is the
@@ -39,6 +43,14 @@ def asof_join(
     keys = [on] if isinstance(on, str) else list(on)
     carried = [right_ts, *right_values]
 
+    rt = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        # one struct = the whole carried right row; non-null whenever a
+        # right row exists, even if every carried value in it is NULL
+        F.struct(*[F.col(c) for c in carried]).alias("__rrow"),
+    )
     lt = left.select(
         *keys,
         F.col(left_ts).alias("__ts"),
@@ -46,14 +58,10 @@ def asof_join(
         F.struct(
             *[c for c in left.columns if c not in keys and c != left_ts]
         ).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in carried],
+        F.lit(None).cast(rt.schema["__rrow"].dataType).alias("__rrow"),
     )
-    rt = right.select(
-        *keys,
-        F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
-        F.lit(None).cast(lt.schema["__lrow"].dataType).alias("__lrow"),
-        *[F.col(c).alias(f"__r_{c}") for c in carried],
+    rt = rt.withColumn(
+        "__lrow", F.lit(None).cast(lt.schema["__lrow"].dataType)
     )
 
     w = (
@@ -61,15 +69,13 @@ def asof_join(
         .orderBy(F.col("__ts"), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    unioned = lt.unionByName(rt)
-    for c in carried:
-        unioned = unioned.withColumn(
-            f"asof_{c}", F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w)
-        )
+    unioned = lt.unionByName(rt, allowMissingColumns=False).withColumn(
+        "__asof_row", F.last(F.col("__rrow"), ignorenulls=True).over(w)
+    )
     out = unioned.filter(F.col("__side") == 1)
     return out.select(
         *keys,
         F.col("__ts").alias(left_ts),
         "__lrow.*",
-        *[F.col(f"asof_{c}") for c in carried],
+        *[F.col("__asof_row").getField(c).alias(f"asof_{c}") for c in carried],
     )

@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import math
 import time
+import urllib.error
 import urllib.parse
 import urllib.request
 from collections.abc import Callable, Iterator
@@ -118,15 +119,24 @@ def http_transport(
     backoff_s: float = 0.5,
     timeout_s: float = 30.0,
 ) -> str:
-    """GET with exponential backoff on 429/5xx/connection errors."""
+    """GET with exponential backoff on 429/5xx/connection errors.
+
+    Non-retryable client errors (4xx other than 429) re-raise
+    immediately — retrying a 401/404 only hammers the API; and no
+    backoff sleep is wasted after the final failed attempt."""
     last_err: Exception | None = None
     for attempt in range(max_retries):
         try:
             req = urllib.request.Request(url, headers=headers or {})
             with urllib.request.urlopen(req, timeout=timeout_s) as resp:
                 return resp.read().decode("utf-8")
+        except urllib.error.HTTPError as e:
+            if 400 <= e.code < 500 and e.code != 429:
+                raise
+            last_err = e
         except Exception as e:  # noqa: BLE001 — urllib raises a zoo
             last_err = e
+        if attempt < max_retries - 1:
             time.sleep(backoff_s * (2**attempt))
     raise RuntimeError(f"GET {url} failed after {max_retries} retries") from last_err
 
