@@ -56,3 +56,51 @@ def test_c8_asof_is_single_shuffle_window_plan(spark, sf_dir):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     # one keyed exchange for the union+window (plus AQE reads); never a join
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+# --- Headline-query plan snapshots (bench regression guard) -----------------
+# Exact operator-count fingerprints of the six BENCH queries' executed
+# plans. A refactor that adds a shuffle, drops a broadcast, or falls
+# back to a cartesian product changes these counts and must update the
+# snapshot DELIBERATELY (with a bench run justifying it).
+
+HEADLINE_PLAN_SNAPSHOT = {
+    "d1_agg_hash_grouped": {"Exchange hashpartitioning": 1},
+    "c1_join_inner_equi": {
+        "Exchange hashpartitioning": 1,
+        "BroadcastExchange": 2,
+        "BroadcastHashJoin": 2,
+    },
+    "e1_win_row_number": {"Exchange hashpartitioning": 1, "Window": 3},
+    "i1_tumbling_window": {"Exchange hashpartitioning": 1},
+    "k7_term_freq_tfidf": {
+        "Exchange hashpartitioning": 4,
+        "BroadcastExchange": 1,
+        "BroadcastHashJoin": 1,
+        "Window": 3,
+    },
+    "k3_similarity_topk": {"Exchange hashpartitioning": 1, "MapInPandas": 1},
+}
+
+_PLAN_MARKERS = [
+    "Exchange hashpartitioning",
+    "Exchange rangepartitioning",
+    "BroadcastExchange",
+    "SortMergeJoin",
+    "BroadcastHashJoin",
+    "CartesianProduct",
+    "BroadcastNestedLoopJoin",
+    "MapInPandas",
+    "FlatMapCoGroupsInPandas",
+    "ArrowEvalPython",
+    "BatchEvalPython",
+    "Window",
+]
+
+
+def test_headline_plan_snapshots(spark, sf_dir):
+    got = {}
+    for name, expected in HEADLINE_PLAN_SNAPSHOT.items():
+        plan = _executed_plan(spark, name, sf_dir)
+        got[name] = {m: plan.count(m) for m in _PLAN_MARKERS if plan.count(m)}
+    assert got == HEADLINE_PLAN_SNAPSHOT
