@@ -114,9 +114,10 @@ def k3_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- K4: KNN join (top-3 neighbors per query vector) ---------------------------
 
 
-@query(
-    "k4_knn_join",
-    oracle=f"""
+# Shared by k4 (auto→broadcast kernel) and k4b (forced blocked strategy):
+# both physical plans implement the same logical KNN join, so one oracle
+# hash-checks each against DuckDB independently.
+K4_ORACLE = f"""
     WITH scored AS (
       SELECT a.vec_id AS q_vec_id, b.vec_id AS neighbor_id,
              ROUND({V.cosine_sql('a.embedding', 'b.embedding')}, 6) AS sim,
@@ -131,8 +132,10 @@ def k3_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT q_vec_id, neighbor_id, sim, CAST(rank AS INT) AS rank
     FROM scored WHERE rank <= 3
-    """,
-)
+    """
+
+
+@query("k4_knn_join", oracle=K4_ORACLE)
 def k4_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(spark, sf_dir, k=3, query_filter="vec_id % 20 = 0")
 
@@ -535,9 +538,8 @@ def k15_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- K17: embedding-cosine near-dup dedup (canonical-keeper semantics) ---------------------
 
 
-@query(
-    "k17_dedup_embedding",
-    oracle=f"""
+# Shared by k17 (auto→broadcast) and k17b (forced blocked strategy).
+K17_ORACLE = f"""
     WITH dup AS (
       SELECT a.vec_id AS vec_id, MIN(b.vec_id) AS dup_of
       FROM embeddings a
@@ -550,8 +552,10 @@ def k15_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            d.dup_of,
            d.dup_of IS NULL AS is_keeper
     FROM embeddings e LEFT JOIN dup d USING (vec_id)
-    """,
-)
+    """
+
+
+@query("k17_dedup_embedding", oracle=K17_ORACLE)
 def k17_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_embedding(spark, sf_dir, tau=0.35)
 
@@ -565,3 +569,22 @@ def k16_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf(
         spark, sf_dir, n_centroids=16, n_probe=2, k=3, query_filter="vec_id % 20 = 0"
     )
+
+
+# --- K4b/K17b: the beyond-broadcast BLOCKED strategy, hash-checked -------------
+# Same logical operators as K4/K17, but forcing strategy="blocked" so the
+# scale path (cogroup per-block matmul + global re-rank, zero driver-side
+# collect — operators/similarity.py) is itself verified against the DuckDB
+# oracle, not just pytest-compared to the broadcast kernel.
+
+
+@query("k4b_knn_join_blocked", oracle=K4_ORACLE)
+def k4b_knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_join(
+        spark, sf_dir, k=3, query_filter="vec_id % 20 = 0", strategy="blocked"
+    )
+
+
+@query("k17b_dedup_embedding_blocked", oracle=K17_ORACLE)
+def k17b_dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_embedding(spark, sf_dir, tau=0.35, strategy="blocked")
