@@ -588,3 +588,163 @@ def k4b_knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("k17b_dedup_embedding_blocked", oracle=K17_ORACLE)
 def k17b_dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_embedding(spark, sf_dir, tau=0.35, strategy="blocked")
+
+
+# --- K18: character-n-gram Jaccard near-dup pairs ------------------------------
+# Completes the dedup ladder (exact K1 → MinHash-LSH K2 → SimHash K14 →
+# token-Jaccard K9 → embedding K17) with the char-granularity tier that
+# catches near-dups token splitting misses (whitespace/punct edits).
+# Contract = pairs passing BOTH the length-ratio prune and 5-gram
+# Jaccard ≥ 0.7; the prune is part of the operator on both sides.
+# Plan: inverted-index gram join — explode distinct grams, self-join on
+# the gram, count matches per (a, b), then join per-doc gram-set sizes
+# to finish |A∩B| / (|A|+|B|-|A∩B|).  Keyed shuffles only (gram, then
+# pair), no nested-loop join, no per-pair array re-intersection; cost is
+# Σ_gram (docs_per_gram)², the standard set-similarity-join bound.  A
+# degenerate ubiquitous gram is the K2-style skew risk — the same
+# bucket-cap mitigation applies if a gram's posting list explodes.
+
+
+@query(
+    "k18_ngram_jaccard",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, n_chars,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(text) - 4, 1)),
+               i -> substring(text, i, 5)
+             )) AS grams
+      FROM documents
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams)
+                    - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+    FROM g a JOIN g b
+      ON a.doc_id < b.doc_id
+     AND b.n_chars BETWEEN CAST(a.n_chars * 0.7 AS BIGINT)
+                       AND CAST(a.n_chars / 0.7 AS BIGINT)
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / (len(a.grams) + len(b.grams)
+             - len(list_intersect(a.grams, b.grams))) >= 0.7
+    """,
+)
+def k18_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n = 5
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - (n - 1), F.lit(1))),
+            lambda i: F.col("text").substr(i, F.lit(n)),
+        )
+    )
+    g = d.select("doc_id", "n_chars", grams.alias("grams"))
+    sizes = g.select("doc_id", F.size("grams").alias("sz"), "n_chars")
+    # shuffle 8-byte hashed gram keys, not 5-char strings (64-bit
+    # collisions are negligible vs the 6-dp jaccard contract)
+    ex = g.select("doc_id", F.explode("grams").alias("gr_s")).select(
+        "doc_id", F.xxhash64("gr_s").alias("gr")
+    )
+    inter = (
+        ex.alias("x")
+        .join(
+            ex.alias("y"),
+            (F.col("x.gr") == F.col("y.gr"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("a"), F.col("sz").alias("sza"), F.col("n_chars").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("b"), F.col("sz").alias("szb"), F.col("n_chars").alias("nb")
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sza") + F.col("szb") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .filter(
+            F.col("nb").between(
+                (F.col("na") * 0.7).cast("bigint"), (F.col("na") / 0.7).cast("bigint")
+            )
+        )
+        .filter(jac >= 0.7)
+        .select("a", "b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --- K19: end-to-end curation pipeline ------------------------------------------
+# The composition a training-data pipeline actually runs, as ONE declarative
+# plan Catalyst optimizes end to end: quality gate → exact dedup (keep
+# lowest doc_id) → per-language corpus stats.  Spark dedups on sha2(text)
+# (shuffles a 32-byte key, not document bodies — the 100 TB-safe key);
+# the oracle groups raw text, which is value-identical absent SHA-256
+# collisions.
+
+
+@query(
+    "k19_curation_pipeline",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, text, n_chars,
+             string_split(text, ' ') AS toks
+      FROM documents
+    ),
+    gated AS (
+      SELECT doc_id, lang, text, n_chars,
+             len(toks) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS unique_ratio
+      FROM scored
+      WHERE len(toks) >= 10
+        AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3
+    ),
+    deduped AS (
+      SELECT MIN(doc_id) AS doc_id,
+             MIN(lang) AS lang,
+             MIN(n_tokens) AS n_tokens,
+             MIN(unique_ratio) AS unique_ratio
+      FROM gated
+      GROUP BY text
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs_kept,
+           SUM(n_tokens) AS n_tokens_total,
+           ROUND(AVG(unique_ratio), 6) AS avg_unique_ratio
+    FROM deduped
+    GROUP BY lang
+    """,
+)
+def k19_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = TXT.tokens("text")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "unique_ratio"
+        ),
+    )
+    gated = scored.filter(
+        (F.col("n_tokens") >= 10) & (F.col("unique_ratio") >= 0.3)
+    )
+    deduped = (
+        gated.withColumn("content_key", F.sha2("text", 256))
+        .groupBy("content_key")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("lang").alias("lang"),
+            F.min("n_tokens").alias("n_tokens"),
+            F.min("unique_ratio").alias("unique_ratio"),
+        )
+    )
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").alias("n_tokens_total"),
+        F.round(F.avg("unique_ratio"), 6).alias("avg_unique_ratio"),
+    )
