@@ -78,3 +78,42 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.select("doc_id", "payload").mapInPandas(compute, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_index int, byte_offset bigint, frame_sha256 string"
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 256, max_frames: int = 8
+) -> DataFrame:
+    """Frame sampling over opaque media payloads: one output row per
+    sampled fixed-stride chunk (a real video decoder would seek
+    keyframes; the chunking stands in for it deterministically, so the
+    one-to-many Arrow plumbing — the part Spark owns — is fully real and
+    oracle-checkable).  Row explosion happens inside the worker, so a
+    batch of B payloads yields ≤ B·max_frames rows without a join."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out: list[tuple[int, int, int, str]] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = min(
+                    max_frames, max(1, -(-len(data) // frame_bytes))
+                )
+                for i in range(n_frames):
+                    off = i * frame_bytes
+                    chunk = data[off : off + frame_bytes]
+                    out.append(
+                        (doc_id, i, off, hashlib.sha256(chunk).hexdigest())
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "frame_index", "byte_offset", "frame_sha256"],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(compute, FRAME_SCHEMA)

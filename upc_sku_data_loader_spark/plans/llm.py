@@ -15,7 +15,11 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..functions import text as TXT
 from ..functions import vectors as V
-from ..functions.multimodal import extract_features, with_binary_payload
+from ..functions.multimodal import (
+    extract_features,
+    sample_frames,
+    with_binary_payload,
+)
 from ..operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
@@ -533,6 +537,37 @@ def k15_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     media = with_binary_payload(d)
     return extract_features(media)
+
+
+# --- K15b: frame sampling over media payloads (one-to-many mapInPandas) --------
+# The video-shaped half of the multimodal surface: each payload yields up
+# to 8 fixed-stride 256-byte "frames" (a real decoder would seek
+# keyframes; the deterministic chunking keeps the fan-out plumbing
+# oracle-checkable — fixtures are ASCII so char offsets == byte offsets).
+
+
+@query(
+    "k15b_multimodal_frames",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, text,
+             unnest(generate_series(
+               0,
+               CAST(least(8, greatest(1, ceil(n_chars / 256.0))) AS INT) - 1
+             )) AS frame_index
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(frame_index AS INT) AS frame_index,
+           CAST(frame_index * 256 AS BIGINT) AS byte_offset,
+           sha256(substring(text, CAST(frame_index * 256 + 1 AS INT), 256))
+             AS frame_sha256
+    FROM f
+    """,
+)
+def k15b_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return sample_frames(with_binary_payload(d), frame_bytes=256, max_frames=8)
 
 
 # --- K17: embedding-cosine near-dup dedup (canonical-keeper semantics) ---------------------
