@@ -93,3 +93,19 @@ def test_lsh_bucket_cap_defuses_degenerate_band(spark):
     assert (100, 101) in pairs          # genuine pair survives
     assert all(a >= 100 for a, _ in pairs)  # degenerate bucket dropped
     assert len(pairs) == 1
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    """(1,2)+(2,3) must collapse to one cluster with keeper 1 even though
+    (1,3) was never compared; disjoint components stay separate; a long
+    chain converges within the iteration bound."""
+    from upc_sku_data_loader_spark.operators.dedup import dedup_clusters
+
+    chain = [(i, i + 1) for i in range(10, 18)]  # 10-11-...-18 (diameter 8)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)] + chain, "a long, b long"
+    )
+    got = {r["doc_id"]: r["cluster_keeper"] for r in dedup_clusters(pairs).collect()}
+    assert {k: got[k] for k in (1, 2, 3)} == {1: 1, 2: 1, 3: 1}
+    assert got[5] == 5 and got[6] == 5
+    assert all(got[i] == 10 for i in range(10, 19))

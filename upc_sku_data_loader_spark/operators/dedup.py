@@ -148,6 +148,66 @@ def verify_jaccard(
     )
 
 
+def dedup_clusters(pairs: DataFrame, max_iters: int = 15) -> DataFrame:
+    """Resolve near-dup pairs into connected components: every member of
+    a component maps to the component's lowest doc id (the canonical
+    keeper).  This is the step after LSH candidate verification — pair
+    (a,b) + pair (b,c) must yield ONE cluster {a,b,c} even though (a,c)
+    was never compared.
+
+    Algorithm: iterative min-label propagation (the simple variant of
+    the large-star/small-star map-reduce connected-components family —
+    public algorithm, cf. Kiveris et al., "Connected Components in
+    MapReduce and Beyond").  Each round: label[v] ← min(label[v],
+    min(label[u]) over neighbors u); converges in O(component diameter)
+    rounds — near-dup components are shallow (duplicates of duplicates),
+    so a handful of keyed-shuffle rounds.  Early-exits when a round
+    changes nothing.
+
+    Iterative-plan discipline: each round's labels are
+    ``localCheckpoint``-ed.  persist() alone caches data but the logical
+    plan still deepens every round (Catalyst analysis cost grows until
+    the driver OOMs around ~10 rounds); checkpointing truncates lineage
+    so every round plans against a flat cached relation.
+    """
+    e = pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    edges = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .groupBy("u")
+            .agg(F.min("label").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc_id == neigh.u, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("neigh_min", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_keeper"))
+
+
 def simhash(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_bits: int = 63
 ) -> DataFrame:

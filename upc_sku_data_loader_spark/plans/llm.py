@@ -21,6 +21,7 @@ from ..functions.multimodal import (
     with_binary_payload,
 )
 from ..operators.dedup import (
+    dedup_clusters,
     lsh_candidate_pairs,
     minhash_signatures,
     simhash,
@@ -65,9 +66,8 @@ def k1_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # indices 1..max(n-k+1, 1), slices clamp for docs shorter than k tokens.
 
 
-@query(
-    "k2_dedup_near_minhash",
-    oracle="""
+# Shared by k2 and k20 (cluster resolution over the same pair set).
+K2_ORACLE = """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh AS (
       SELECT doc_id,
@@ -85,8 +85,10 @@ def k1_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     )
     SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.5
-    """,
-)
+    """
+
+
+@query("k2_dedup_near_minhash", oracle=K2_ORACLE)
 def k2_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     sigs = minhash_signatures(d, n_hashes=32, shingle_k=3)
@@ -783,3 +785,42 @@ def k19_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("n_tokens_total"),
         F.round(F.avg("unique_ratio"), 6).alias("avg_unique_ratio"),
     )
+
+
+# --- K20: near-dup cluster resolution (connected components) -------------------
+# The step after K2: pair (a,b) + pair (b,c) must collapse to ONE cluster
+# {a,b,c} with keeper = min id, even though (a,c) was never compared.
+# Spark side: iterative min-label propagation over the pair graph
+# (operators/dedup.py:dedup_clusters — O(diameter) keyed-shuffle rounds).
+# Oracle: the same pair set (K2's exact-Jaccard CTE; LSH recall is 1.0 on
+# this corpus) closed transitively with a recursive CTE.  An iterative
+# Spark algorithm hash-matched against a recursive-SQL fixpoint.
+
+
+@query(
+    "k20_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      {K2_ORACLE}
+    ),
+    edges AS (
+      SELECT a AS u, b AS v FROM pairs
+      UNION ALL
+      SELECT b, a FROM pairs
+    ),
+    reach AS (
+      SELECT u AS id, v AS r FROM edges
+      UNION
+      SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+    )
+    SELECT id AS doc_id, LEAST(id, MIN(r)) AS cluster_keeper
+    FROM reach
+    GROUP BY id
+    """,
+)
+def k20_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, n_hashes=32, shingle_k=3)
+    cands = lsh_candidate_pairs(sigs, n_bands=8, rows_per_band=4)
+    pairs = verify_jaccard(cands, d, shingle_k=3, threshold=0.5)
+    return dedup_clusters(pairs)
