@@ -109,3 +109,44 @@ def test_dedup_clusters_transitive_closure(spark):
     assert {k: got[k] for k in (1, 2, 3)} == {1: 1, 2: 1, 3: 1}
     assert got[5] == 5 and got[6] == 5
     assert all(got[i] == 10 for i in range(10, 19))
+
+
+def test_dedup_clusters_matches_union_find_on_random_graphs(spark):
+    """Property: on random pair graphs the Spark fixpoint equals a
+    reference union-find, component for component."""
+    import numpy as np
+
+    from upc_sku_data_loader_spark.operators.dedup import dedup_clusters
+
+    rng = np.random.default_rng(23)
+    for _ in range(3):
+        n = 40
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n, size=(45, 2))
+            if a != b
+        ]
+        edges = [(min(a, b), max(a, b)) for a, b in edges]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        members = {v for e in edges for v in e}
+        expected = {v: find(v) for v in sorted(members)}
+
+        got = {
+            r["doc_id"]: r["cluster_keeper"]
+            for r in dedup_clusters(
+                spark.createDataFrame(edges, "a long, b long")
+            ).collect()
+        }
+        assert got == expected
