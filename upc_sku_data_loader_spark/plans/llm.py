@@ -633,13 +633,17 @@ def k17b_dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 # catches near-dups token splitting misses (whitespace/punct edits).
 # Contract = pairs passing BOTH the length-ratio prune and 5-gram
 # Jaccard ≥ 0.7; the prune is part of the operator on both sides.
-# Plan: inverted-index gram join — explode distinct grams, self-join on
-# the gram, count matches per (a, b), then join per-doc gram-set sizes
-# to finish |A∩B| / (|A|+|B|-|A∩B|).  Keyed shuffles only (gram, then
-# pair), no nested-loop join, no per-pair array re-intersection; cost is
-# Σ_gram (docs_per_gram)², the standard set-similarity-join bound.  A
-# degenerate ubiquitous gram is the K2-style skew risk — the same
-# bucket-cap mitigation applies if a gram's posting list explodes.
+# Plan: PREFIX-FILTERED set-similarity join (PPJoin-family, public
+# algorithm — Xiao et al., "Efficient Similarity Joins for Near
+# Duplicate Detection").  A naive inverted-index join explodes on
+# frequent grams (a gram in d docs costs d² pairs, and common English
+# 5-grams hit most docs).  Prefix theorem: under any global token
+# order, J(A,B) ≥ t ⇒ the first |X| - ceil(t·|X|) + 1 tokens of each
+# side share ≥ 1 token.  Ordering by ascending document frequency makes
+# those prefixes the RAREST ~30% of each doc's grams, so candidate
+# generation joins only short posting lists; candidates are then
+# exact-verified with a full array_intersect.  Keyed shuffles only, and
+# the frequent-gram skew never reaches a join.
 
 
 @query(
@@ -668,7 +672,7 @@ def k17b_dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def k18_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    n = 5
+    n, t = 5, 0.7
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length("text") - (n - 1), F.lit(1))),
@@ -676,40 +680,48 @@ def k18_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     g = d.select("doc_id", "n_chars", grams.alias("grams"))
-    sizes = g.select("doc_id", F.size("grams").alias("sz"), "n_chars")
-    # shuffle 8-byte hashed gram keys, not 5-char strings (64-bit
+    # hashed grams: 8-byte shuffle keys instead of 5-char strings (64-bit
     # collisions are negligible vs the 6-dp jaccard contract)
-    ex = g.select("doc_id", F.explode("grams").alias("gr_s")).select(
-        "doc_id", F.xxhash64("gr_s").alias("gr")
-    )
-    inter = (
-        ex.alias("x")
+    ex = g.select(
+        "doc_id", F.size("grams").alias("sz"), F.explode("grams").alias("gr_s")
+    ).select("doc_id", "sz", F.xxhash64("gr_s").alias("gr"))
+    # global order = (document frequency ASC, gram) → rarest first
+    dfreq = ex.groupBy("gr").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "gr")
+    ranked = ex.join(dfreq, "gr").withColumn("pos", F.row_number().over(w))
+    # prefix theorem: J(A,B) ≥ t ⇒ prefixes of length |X|-ceil(t·|X|)+1 overlap
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+    ).select("doc_id", "gr")
+    cands = (
+        prefix.alias("x")
         .join(
-            ex.alias("y"),
+            prefix.alias("y"),
             (F.col("x.gr") == F.col("y.gr"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
-        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
     )
-    sa = sizes.select(
-        F.col("doc_id").alias("a"), F.col("sz").alias("sza"), F.col("n_chars").alias("na")
+    # exact verify on the (few) candidates
+    ga = g.select(
+        F.col("doc_id").alias("a"), F.col("grams").alias("gra"), F.col("n_chars").alias("na")
     )
-    sb = sizes.select(
-        F.col("doc_id").alias("b"), F.col("sz").alias("szb"), F.col("n_chars").alias("nb")
+    gb = g.select(
+        F.col("doc_id").alias("b"), F.col("grams").alias("grb"), F.col("n_chars").alias("nb")
     )
-    jac = F.col("n_inter").cast("double") / (
-        F.col("sza") + F.col("szb") - F.col("n_inter")
-    ).cast("double")
+    inter = F.size(F.array_intersect("gra", "grb")).cast("double")
+    union = (F.size("gra") + F.size("grb")).cast("double") - inter
+    jac = inter / union
     return (
-        inter.join(sa, "a")
-        .join(sb, "b")
+        cands.join(ga, "a")
+        .join(gb, "b")
         .filter(
             F.col("nb").between(
                 (F.col("na") * 0.7).cast("bigint"), (F.col("na") / 0.7).cast("bigint")
             )
         )
-        .filter(jac >= 0.7)
+        .filter(jac >= t)
         .select("a", "b", F.round(jac, 6).alias("jaccard"))
     )
 
