@@ -74,21 +74,28 @@ def test_no_unhashable_output_columns(spark, sf_dir):
     The grading driver's canonicalizer hashes rows cell-by-cell and
     crashes on unhashable cells (numpy.ndarray / dict) — r1 recorded
     d8/k5b as failures for exactly this. Serialize with array_join /
-    to_json instead (both engines render identically).
+    to_json instead (both engines render identically). DecimalType is
+    banned too: Spark surfaces Decimal('x.60') where DuckDB's client
+    yields float 'x.6' (the r1 b2_cast hash-fail) — cast to DOUBLE or
+    VARCHAR at the query edge. BinaryType has no cross-engine canonical
+    text form either.
     """
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        DecimalType,
+        MapType,
+        StructType,
+    )
 
+    banned = (ArrayType, MapType, StructType, DecimalType, BinaryType)
     offenders = {}
     for name, fn in entrymod.queries().items():
         df = fn(spark, sf_dir)
-        bad = [
-            f.name
-            for f in df.schema.fields
-            if isinstance(f.dataType, (ArrayType, MapType, StructType))
-        ]
+        bad = [f.name for f in df.schema.fields if isinstance(f.dataType, banned)]
         if bad:
             offenders[name] = bad
-    assert not offenders, f"array/map/struct output columns: {offenders}"
+    assert not offenders, f"driver-unhashable output columns: {offenders}"
 
 
 def test_all_oracles_are_valid_duckdb_sql(sf_dir):
