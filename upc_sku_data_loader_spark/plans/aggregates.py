@@ -425,3 +425,38 @@ def d13_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p_sum").cast("double").alias("total_value"),
         F.max("p_max").alias("max_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# D14 — approx_percentile (t-digest-style sketch). Same discipline as D4:
+# sketch values differ across engines, so the hash-checked surface is
+# (exact percentile, sketch-within-bound boolean); the sketch still runs
+# and feeds the boolean. 5% relative error is far beyond the sketch's
+# expected error at accuracy=10000, so a trip means a broken sketch.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "d14_agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.90), 6) AS exact_p90,
+           TRUE AS within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def d14_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.90)"), 6).alias("exact_p90"),
+        F.expr("approx_percentile(l_extendedprice, 0.90, 10000)").alias("approx_p90"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_p90",
+        (
+            F.abs(F.col("approx_p90") - F.col("exact_p90")) / F.col("exact_p90")
+            <= 0.05
+        ).alias("within_bound"),
+    )
