@@ -836,3 +836,82 @@ def k20_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = lsh_candidate_pairs(sigs, n_bands=8, rows_per_band=4)
     pairs = verify_jaccard(cands, d, shingle_k=3, threshold=0.5)
     return dedup_clusters(pairs)
+
+
+# --- K21/K22: reproducible splitting & sampling --------------------------------
+# Training-data pipelines need splits and samples that are (a) uniform-ish,
+# (b) stable under reruns and engine swaps, (c) free of coordination.
+# Portable trick: md5 produces identical hex in Spark and DuckDB (unlike
+# xxhash64), so hex(md5(key)) % 100 is an engine-independent pseudo-random
+# bucket — content-addressed, no RNG state, no shuffle beyond the final agg.
+
+
+def _md5_bucket(col):
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast(
+        "int"
+    ) % 100
+
+
+@query(
+    "k21_train_split",
+    oracle="""
+    WITH b AS (
+      SELECT lang, n_chars,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(CAST(n_chars AS BIGINT)) AS n_chars_total
+    FROM b
+    GROUP BY 1, 2
+    """,
+)
+def k21_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bucket = _md5_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        d.select("lang", split.alias("split"), "n_chars")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("n_chars_total"),
+        )
+    )
+
+
+@query(
+    "k22_stratified_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(sample_rank AS INT) AS sample_rank
+    FROM ranked
+    WHERE sample_rank <= 5
+    """,
+)
+def k22_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sample: rank docs inside each stratum by
+    md5(key) — a stable pseudo-random order both engines agree on — and
+    keep the first 5.  One keyed window; rerun-identical anywhere."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= 5)
+    )
