@@ -64,9 +64,14 @@ def asof_join(
         "__lrow", F.lit(None).cast(lt.schema["__lrow"].dataType)
     )
 
+    # __rrow as the final sort key makes ties deterministic: several right
+    # rows sharing (key, ts) would otherwise be picked arbitrarily per
+    # run; ordering by the carried struct pins the winner to the greatest
+    # struct value (documented tie policy — pandas' "last in input order"
+    # has no distributed equivalent).
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts"), F.col("__side"))
+        .orderBy(F.col("__ts"), F.col("__side"), F.col("__rrow"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = lt.unionByName(rt, allowMissingColumns=False).withColumn(

@@ -155,14 +155,16 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 15) -> DataFrame:
     (a,b) + pair (b,c) must yield ONE cluster {a,b,c} even though (a,c)
     was never compared.
 
-    Algorithm: iterative min-label propagation (the simple variant of
-    the large-star/small-star map-reduce connected-components family —
-    public algorithm, cf. Kiveris et al., "Connected Components in
-    MapReduce and Beyond").  Each round: label[v] ← min(label[v],
-    min(label[u]) over neighbors u); converges in O(component diameter)
-    rounds — near-dup components are shallow (duplicates of duplicates),
-    so a handful of keyed-shuffle rounds.  Early-exits when a round
-    changes nothing.
+    Algorithm: iterative min-label propagation with pointer doubling
+    (the simple variant of the large-star/small-star map-reduce
+    connected-components family — public algorithm, cf. Kiveris et al.,
+    "Connected Components in MapReduce and Beyond").  Each round:
+    label[v] ← min(label[v], min(label[u]) over neighbors u), then one
+    pointer-jump label[v] ← min(label[v], label[label[v]]) — the jump
+    halves chain depth, so convergence is O(log diameter) rounds, not
+    O(diameter).  Early-exits when a round changes nothing and raises
+    RuntimeError if max_iters rounds still left labels moving (silent
+    non-convergence would emit two different keepers for one component).
 
     Iterative-plan discipline: each round's labels are
     ``localCheckpoint``-ed.  persist() alone caches data but the logical
@@ -180,18 +182,29 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 15) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges.v == labels.doc_id)
             .groupBy("u")
             .agg(F.min("label").alias("neigh_min"))
         )
+        stepped = labels.join(neigh, labels.doc_id == neigh.u, "left").select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce("neigh_min", F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jump: follow the current label one hop (label[label[v]])
+        hop = stepped.select(
+            F.col("doc_id").alias("h_id"), F.col("label").alias("h_label")
+        )
         new_labels = (
-            labels.join(neigh, labels.doc_id == neigh.u, "left")
+            stepped.join(hop, stepped.label == hop.h_id, "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("label"), F.coalesce("neigh_min", F.col("label"))
+                    F.col("label"), F.coalesce("h_label", F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
@@ -202,10 +215,20 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 15) -> DataFrame:
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
-    return labels.select("doc_id", F.col("label").alias("cluster_keeper"))
+    edges.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"dedup_clusters did not converge within {max_iters} rounds "
+            "(component diameter > 2^max_iters is pathological input)"
+        )
+    result = labels.select("doc_id", F.col("label").alias("cluster_keeper"))
+    return result
 
 
 def simhash(

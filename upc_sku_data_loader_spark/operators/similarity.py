@@ -11,15 +11,15 @@ behind one logical operator, chosen by ``strategy=`` (default "auto"):
   normalize the reference matrix once, broadcast it; each executor
   partition multiplies its query block against it — embarrassingly
   parallel O(n·m·d/p) with BLAS constants, no shuffle.
-- **blocked** (beyond broadcast): NO driver-side collect anywhere.  The
-  reference side is hashed into B blocks executor-side; queries are
-  replicated across the B block ids (the blocked cross join — the
-  irreducible cost of exact KNN beyond broadcast); a
-  ``cogroup().applyInPandas`` pairs each reference block with the full
-  query set, computes a per-block matmul top-k, and a final
-  ``row_number`` window reduces B·k partial candidates per query to the
-  global top-k.  Both shuffles are keyed (block_id, then q_vec_id); no
-  single task ever holds more than one reference block.
+- **blocked** (beyond broadcast): NO driver-side collect anywhere.  A
+  QB×RB grid of cogroup cells: queries hash into QB blocks (replicated
+  across RB), references into RB blocks (replicated across QB) — the
+  blocked cross join, the irreducible cost of exact KNN beyond
+  broadcast.  Each ``cogroup().applyInPandas`` cell multiplies one
+  query block against one reference block (task memory |Q|/QB +
+  |R|/RB — neither side is ever whole in a task), and a final
+  ``row_number`` window reduces RB·k partial candidates per query to
+  the global top-k.  All shuffles are keyed ((qb, rb), then q_vec_id).
 - "auto" picks broadcast below ``BROADCAST_MAX_ROWS`` reference rows
   (a metadata-only parquet count), blocked above.
 - The ANN tier (``ann_ivf``) cuts candidate generation to n_probe
@@ -136,54 +136,91 @@ def _knn_broadcast(
     return queries.mapInPandas(compute, schema)
 
 
+def _pair_topk_pdf(q_pdf: pd.DataFrame, r_pdf: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Shared cogroup kernel: per-query top-k of q_pdf against r_pdf."""
+    cols = ["q_vec_id", "neighbor_id", "sim"]
+    if q_pdf.empty or r_pdf.empty:
+        return pd.DataFrame(columns=cols).astype(
+            {"q_vec_id": "int64", "neighbor_id": "int64", "sim": "float64"}
+        )
+    qids = q_pdf["vec_id"].to_numpy(dtype=np.int64)
+    qmat = _normalized(np.vstack(q_pdf["embedding"].to_numpy()))
+    rids = r_pdf["vec_id"].to_numpy(dtype=np.int64)
+    rmat = _normalized(np.vstack(r_pdf["embedding"].to_numpy()))
+    rows = [(q, nb, s) for q, nb, s, _ in _row_topk(qids, qmat, rids, rmat, k)]
+    return pd.DataFrame(rows, columns=cols)
+
+
+def _global_topk(partial: DataFrame, k: int) -> DataFrame:
+    """Reduce disjoint per-block top-k partials to the global top-k with
+    the deterministic (sim DESC, neighbor ASC) key."""
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_vec_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def _grid_cogroup(
+    spark: SparkSession,
+    queries: DataFrame,
+    ref: DataFrame,
+    kernel,
+    out_schema: str,
+    n_blocks: int,
+    n_query_blocks: int,
+) -> DataFrame:
+    """Blocked cross join as a QB×RB grid of cogroup cells.
+
+    BOTH sides are blocked: queries hash into QB blocks (replicated
+    across the RB reference blocks), references into RB blocks
+    (replicated across QB) — so one task holds |Q|/QB + |R|/RB rows,
+    never a full side.  Replication cost is the classic grid bound
+    (RB·|Q| + QB·|R| rows shuffled once, keyed).
+    """
+    r_rep = ref.withColumn(
+        "rb", F.pmod(F.hash("vec_id"), F.lit(n_blocks)).cast("int")
+    ).crossJoin(
+        spark.range(n_query_blocks).select(F.col("id").cast("int").alias("qb"))
+    )
+    q_rep = queries.withColumn(
+        "qb", F.pmod(F.hash("vec_id"), F.lit(n_query_blocks)).cast("int")
+    ).crossJoin(spark.range(n_blocks).select(F.col("id").cast("int").alias("rb")))
+    return (
+        q_rep.groupby("qb", "rb")
+        .cogroup(r_rep.groupby("qb", "rb"))
+        .applyInPandas(kernel, out_schema)
+    )
+
+
 def _knn_blocked(
     spark: SparkSession,
     sf_dir: str,
     queries: DataFrame,
     k: int,
     n_blocks: int = 8,
+    n_query_blocks: int = 8,
 ) -> DataFrame:
-    """Exact KNN without any driver-side collect: per-reference-block
-    matmul top-k via cogroup, then a global window re-rank."""
-    ref = (
-        load(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .withColumn("block_id", F.pmod(F.hash("vec_id"), F.lit(n_blocks)).cast("int"))
-    )
-    q_rep = queries.crossJoin(
-        spark.range(n_blocks).select(F.col("id").cast("int").alias("block_id"))
-    )
+    """Exact KNN without any driver-side collect: grid-blocked cogroup
+    matmul top-k, then a global window re-rank."""
+    ref = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    def per_block(q_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
-        cols = ["q_vec_id", "neighbor_id", "sim"]
-        if q_pdf.empty or r_pdf.empty:
-            return pd.DataFrame(columns=cols).astype(
-                {"q_vec_id": "int64", "neighbor_id": "int64", "sim": "float64"}
-            )
-        qids = q_pdf["vec_id"].to_numpy(dtype=np.int64)
-        qmat = _normalized(np.vstack(q_pdf["embedding"].to_numpy()))
-        rids = r_pdf["vec_id"].to_numpy(dtype=np.int64)
-        rmat = _normalized(np.vstack(r_pdf["embedding"].to_numpy()))
-        rows = [
-            (q, nb, s) for q, nb, s, _ in _row_topk(qids, qmat, rids, rmat, k)
-        ]
-        return pd.DataFrame(rows, columns=cols)
+    def per_cell(q_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        return _pair_topk_pdf(q_pdf, r_pdf, k)
 
-    partial = (
-        q_rep.groupby("block_id")
-        .cogroup(ref.groupby("block_id"))
-        .applyInPandas(per_block, "q_vec_id bigint, neighbor_id bigint, sim double")
+    partial = _grid_cogroup(
+        spark,
+        queries,
+        ref,
+        per_cell,
+        "q_vec_id bigint, neighbor_id bigint, sim double",
+        n_blocks,
+        n_query_blocks,
     )
-    # disjoint reference blocks → partials never overlap; B·k rows per
+    # disjoint reference blocks → partials never overlap; RB·k rows per
     # query reduce to the global top-k with the same deterministic key
-    w = Window.partitionBy("q_vec_id").orderBy(
-        F.desc("sim"), F.asc("neighbor_id")
-    )
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_vec_id", "neighbor_id", "sim", "rank")
-    )
+    return _global_topk(partial, k)
 
 
 def knn_join(
@@ -272,16 +309,9 @@ def dedup_embedding(
         )
 
     # fresh load → distinct lineage, avoids self-join ambiguity in cogroup
-    ref = (
-        load(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .withColumn("block_id", F.pmod(F.hash("vec_id"), F.lit(n_blocks)).cast("int"))
-    )
-    q_rep = vecs.crossJoin(
-        spark.range(n_blocks).select(F.col("id").cast("int").alias("block_id"))
-    )
+    ref = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    def per_block(q_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+    def per_cell(q_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
         if q_pdf.empty:
             return pd.DataFrame(
                 {"vec_id": pd.array([], dtype="int64"),
@@ -299,13 +329,13 @@ def dedup_embedding(
             {"vec_id": cids, "dup_of": pd.array(dup_of, dtype="Int64")}
         )
 
-    partial = (
-        q_rep.groupby("block_id")
-        .cogroup(ref.groupby("block_id"))
-        .applyInPandas(per_block, "vec_id bigint, dup_of bigint")
+    partial = _grid_cogroup(
+        spark, vecs, ref, per_cell, "vec_id bigint, dup_of bigint",
+        n_blocks, n_blocks,
     )
-    # every query appears once per block (possibly with NULL dup_of), so
-    # min() over blocks preserves "no earlier near-neighbor ⇒ keeper"
+    # every query appears once per reference block (possibly with NULL
+    # dup_of), so min() over blocks preserves "no earlier near-neighbor
+    # ⇒ keeper"
     return partial.groupBy("vec_id").agg(
         F.min("dup_of").alias("dup_of"),
         F.min("dup_of").isNull().alias("is_keeper"),
@@ -358,11 +388,16 @@ def ann_ivf(
     )
 
     # (b) one Lloyd iteration: per-(cluster, pos) mean of the normalized
-    # vectors, computed as a keyed JVM-side aggregate
+    # vectors, computed as a keyed JVM-side aggregate.  The norm is
+    # materialized once per row (O(d)) before the per-element divide —
+    # inlining l2_norm inside the transform lambda would re-evaluate the
+    # O(d) aggregate per element, an O(d²) row cost.
+    assigned0 = vecs.withColumn(
+        "cluster", _assign_udf(spark, cents0)("embedding")
+    ).withColumn("nrm", V.l2_norm(V.as_double(F.col("embedding"))))
     norm_vec = F.transform(
-        V.as_double(F.col("embedding")), lambda x: x / V.l2_norm(V.as_double(F.col("embedding")))
+        V.as_double(F.col("embedding")), lambda x: x / F.col("nrm")
     )
-    assigned0 = vecs.withColumn("cluster", _assign_udf(spark, cents0)("embedding"))
     means = (
         assigned0.select("cluster", F.posexplode(norm_vec).alias("pos", "v"))
         .groupBy("cluster", "pos")
@@ -394,17 +429,7 @@ def ann_ivf(
     probed = queries.withColumn("cluster", F.explode(probes("embedding")))
 
     def per_cluster(q_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
-        cols = ["q_vec_id", "neighbor_id", "sim"]
-        if q_pdf.empty or r_pdf.empty:
-            return pd.DataFrame(columns=cols).astype(
-                {"q_vec_id": "int64", "neighbor_id": "int64", "sim": "float64"}
-            )
-        qids = q_pdf["vec_id"].to_numpy(dtype=np.int64)
-        qmat = _normalized(np.vstack(q_pdf["embedding"].to_numpy()))
-        rids = r_pdf["vec_id"].to_numpy(dtype=np.int64)
-        rmat = _normalized(np.vstack(r_pdf["embedding"].to_numpy()))
-        rows = [(q, nb, s) for q, nb, s, _ in _row_topk(qids, qmat, rids, rmat, k)]
-        return pd.DataFrame(rows, columns=cols)
+        return _pair_topk_pdf(q_pdf, r_pdf, k)
 
     partial = (
         probed.groupby("cluster")
@@ -412,9 +437,4 @@ def ann_ivf(
         .applyInPandas(per_cluster, "q_vec_id bigint, neighbor_id bigint, sim double")
     )
     # inverted lists are disjoint → partials never overlap a neighbor
-    w = Window.partitionBy("q_vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_vec_id", "neighbor_id", "sim", "rank")
-    )
+    return _global_topk(partial, k)

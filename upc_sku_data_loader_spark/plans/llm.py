@@ -92,7 +92,13 @@ K2_ORACLE = """
 def k2_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     sigs = minhash_signatures(d, n_hashes=32, shingle_k=3)
-    cands = lsh_candidate_pairs(sigs, n_bands=8, rows_per_band=4)
+    # cap disabled: the oracle is exact all-pairs Jaccard with no cap, so
+    # the hash-checked contract must not drop oversized buckets (the cap
+    # is a scale knob for uncontracted pipelines; its behavior is pinned
+    # by the adversarial test in tests/test_vectors_dedup.py)
+    cands = lsh_candidate_pairs(
+        sigs, n_bands=8, rows_per_band=4, max_bucket_size=None
+    )
     return verify_jaccard(cands, d, shingle_k=3, threshold=0.5).orderBy(
         F.desc("jaccard"), "a", "b"
     )
@@ -663,8 +669,8 @@ def k17b_dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
     FROM g a JOIN g b
       ON a.doc_id < b.doc_id
-     AND b.n_chars BETWEEN CAST(a.n_chars * 0.7 AS BIGINT)
-                       AND CAST(a.n_chars / 0.7 AS BIGINT)
+     AND b.n_chars BETWEEN CAST(TRUNC(a.n_chars * 0.7) AS BIGINT)
+                       AND CAST(TRUNC(a.n_chars / 0.7) AS BIGINT)
     WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
           / (len(a.grams) + len(b.grams)
              - len(list_intersect(a.grams, b.grams))) >= 0.7
@@ -703,7 +709,10 @@ def k18_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
-    # exact verify on the (few) candidates
+    # exact verify on the (few) candidates.  NB: the length-prune bounds
+    # must TRUNCATE identically on both sides — DuckDB CAST(double AS
+    # BIGINT) rounds-to-nearest while Spark .cast('bigint') truncates,
+    # so the oracle wraps its bounds in TRUNC (same rule as b2_cast).
     ga = g.select(
         F.col("doc_id").alias("a"), F.col("grams").alias("gra"), F.col("n_chars").alias("na")
     )
@@ -833,7 +842,10 @@ def k19_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def k20_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     sigs = minhash_signatures(d, n_hashes=32, shingle_k=3)
-    cands = lsh_candidate_pairs(sigs, n_bands=8, rows_per_band=4)
+    # cap disabled for the same oracle-contract reason as k2
+    cands = lsh_candidate_pairs(
+        sigs, n_bands=8, rows_per_band=4, max_bucket_size=None
+    )
     pairs = verify_jaccard(cands, d, shingle_k=3, threshold=0.5)
     return dedup_clusters(pairs)
 
