@@ -1,0 +1,594 @@
+"""Composite analytics queries — TPC-H-shaped multi-operator plans.
+
+SURVEY.md §2 inventories single-operator queries; this module adds the
+*composition* tier (reference file:line n/a — empty tree, SURVEY §0.1):
+classic TPC-H query shapes adapted to the fixture schema (no partsupp,
+no commit/receipt dates — substitutes documented per query).  Each query
+exercises a combination the driver's per-operator checks cannot: EXISTS
+/ NOT EXISTS as semi/anti joins with non-equi residuals, correlated
+scalar subqueries as pre-aggregated joins, scalar subqueries as
+broadcast cross joins, disjunctive join predicates, multi-level
+aggregation, and deterministic top-k over 6-table join trees.
+
+Scale notes (the plans Catalyst produces, asserted-by-inspection):
+- All dimension sides (region 5, nation 25, supplier 100, customer
+  1500·sf, part 2000·sf) are broadcast-eligible; AQE picks BHJ so the
+  only real shuffles are the final aggregations.
+- Filters are applied on the base tables *before* joins so parquet
+  pushdown sees them (`PushedFilters` on the scan).
+- Correlated subqueries are rewritten as keyed pre-aggregations joined
+  on the correlation key — one extra shuffle on a small agg output, no
+  per-row re-scan (what a naive nested-loop translation would do).
+- Top-k always orders on a unique tiebreak so LIMIT is deterministic
+  cross-engine (dsum keeps the sort keys bit-identical — see
+  functions/exprs.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.exprs import dsum, dsum_sql, rnd, rnd_sql
+from ..registry import query
+
+REV_SQL = "l_extendedprice * (1 - l_discount)"
+
+
+# --- Q4: order-priority check (EXISTS → left-semi join + residual) ------------
+
+
+@query(
+    "q4_order_priority",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adapted: 'late shipment' = shipped >60 days after order
+    (fixtures lack commit/receipt dates).  EXISTS compiles to a left-semi
+    hash join on l_orderkey with the date residual evaluated in the join —
+    no row duplication, no distinct needed."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# --- Q5: local-supplier volume (6-table join, co-nation residual) -------------
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name AS nation, {dsum_sql(REV_SQL, "revenue")}
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue where supplier and customer share a nation,
+    restricted to one region/year.  nation⋈region filter is applied to
+    the small side first, so the fact-side joins see a pre-pruned
+    supplier list (broadcast)."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    joined = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+
+
+# --- Q6: forecasting revenue change (pure scan-side filter + global agg) ------
+
+
+@query(
+    "q6_revenue_forecast",
+    oracle=f"""
+    SELECT {dsum_sql("l_extendedprice * l_discount", "revenue")},
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: all three predicates reach the parquet scan
+    (PushedFilters); the agg is a single partial+final reduce — the
+    canonical 'scan-dominated' query at 100 TB."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --- Q7: volume shipping between two nations (symmetric pair filter) ----------
+
+
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, yr, {dsum_sql("volume", "revenue")}
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             YEAR(l.l_shipdate) AS yr, {REV_SQL} AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                             AND TIMESTAMP '1997-12-31'
+    )
+    GROUP BY supp_nation, cust_nation, yr
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume by year.  The two-nation
+    disjunction is evaluated after broadcast joins against the 25-row
+    nation dim twice (aliased) — no self-join of the fact side."""
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.withColumnRenamed("n_name", "supp_nation").withColumnRenamed(
+        "n_nationkey", "s_nk"
+    )
+    n2 = n.withColumnRenamed("n_name", "cust_nation").withColumnRenamed(
+        "n_nationkey", "c_nk"
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp_ntz"),
+            F.lit("1997-12-31").cast("timestamp_ntz"),
+        )
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    rpair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    joined = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nk") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("c_nk") == F.col("c_nationkey"))
+        .filter(pair | rpair)
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("yr")
+    ).agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+
+
+# --- Q8: market share of one nation within a region ---------------------------
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    SELECT yr,
+           {rnd_sql(
+               "SUM(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END) "
+               "/ SUM(volume)", "mkt_share", 6)}
+    FROM (
+      SELECT YEAR(o.o_orderdate) AS yr, n2.n_name AS nation, {REV_SQL} AS volume
+      FROM part p
+      JOIN lineitem l ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n1.n_regionkey
+      JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                              AND TIMESTAMP '1997-12-31'
+    )
+    GROUP BY yr
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_2's share of PROMO-part revenue sold into ASIA
+    customers, by year.  Conditional aggregation over one join tree —
+    the share is a ratio of two sums, rounded on both sides (order-
+    sensitive double division)."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = (
+        load(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cust_nk"))
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("nation")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp_ntz"),
+            F.lit("1997-12-31").cast("timestamp_ntz"),
+        )
+    )
+    l = load(spark, sf_dir, "lineitem")
+    joined = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("cust_nk") == F.col("c_nationkey"), "inner")
+        .join(F.broadcast(n2), F.col("supp_nk") == F.col("s_nationkey"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.round(
+            F.sum(F.when(F.col("nation") == "NATION_2", vol).otherwise(0.0))
+            / F.sum(vol),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+# --- Q10: returned-item reporting (top-20 customers by lost revenue) ----------
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           {dsum_sql(REV_SQL, "revenue")}
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: revenue lost to returns per customer, top 20.  dsum
+    makes the sort key bit-identical across engines; c_custkey breaks
+    any residual tie so LIMIT is deterministic.  Compiles to
+    TakeOrderedAndProject — no global sort."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "nation")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --- Q13: customer order-count distribution (outer join + double agg) ---------
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: two-level aggregation over a filtered LEFT join — the
+    join predicate (not a WHERE) keeps order-less customers with
+    c_count=0.  Second agg is tiny (distinct counts), so the only real
+    shuffle is the first groupBy."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --- Q14: promotion-revenue share (conditional agg ratio) ---------------------
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT {rnd_sql(
+        "100.0 * SUM(CASE WHEN p.p_type = 'PROMO' THEN " + REV_SQL +
+        " ELSE 0 END) / SUM(" + REV_SQL + ")", "promo_share", 6)},
+           COUNT(*) AS n_rows
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: PROMO revenue share in one month.  part is broadcast;
+    the ratio is rounded both sides (order-sensitive division)."""
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_share"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# --- Q17: small-quantity-order revenue (correlated avg → keyed pre-agg) -------
+
+
+@query(
+    "q17_small_quantity",
+    oracle=f"""
+    SELECT {dsum_sql("sub.l_extendedprice", "total_extended")},
+           COUNT(*) AS n_rows
+    FROM (
+      SELECT l.l_extendedprice
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#12'
+        AND l.l_quantity < (SELECT 0.9 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*))
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = l.l_partkey)
+    ) sub
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 adapted (0.9·avg — 0.2·avg matches nothing on the
+    uniform fixture).  The correlated subquery is decorrelated into a
+    per-partkey AVG joined back on l_partkey: one extra small shuffle
+    instead of a per-row rescan.  The threshold mean is computed as
+    exact-decimal-sum / count on BOTH sides (see functions/exprs.py) so
+    partition summation order cannot flip a borderline comparison."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12").select("p_partkey")
+    # Decorrelated per-part threshold — only parts of the filtered brand
+    # need an AVG, so the agg input is pre-pruned by a semi join.
+    thresholds = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(
+            (
+                0.9
+                * (
+                    F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double")
+                    / F.count(F.lit(1))
+                )
+            ).alias("qty_threshold")
+        )
+        .withColumnRenamed("l_partkey", "t_partkey")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(thresholds), F.col("t_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            dsum("l_extendedprice", "total_extended"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# --- Q18: large-volume customers (HAVING subquery → agg + join) ---------------
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 300
+    )
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds 300 (46 orders at
+    sf0.01).  The IN-subquery is an aggregation + left-semi join; the
+    qualifying-order set is tiny so it broadcasts into the fact join."""
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    o = load(spark, sf_dir, "orders").join(
+        F.broadcast(big), F.col("o_orderkey") == F.col("big_orderkey"), "left_semi"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        l.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# --- Q19: disjunctive join predicates (brand × size × quantity bands) ---------
+
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT {dsum_sql(REV_SQL, "revenue")}, COUNT(*) AS n_rows
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs across both join sides.  Catalyst keeps the
+    equi-key (p_partkey) for the hash join and evaluates the disjunction
+    as a residual; the brand IN-superset is pushed to the part scan."""
+    brands = ["Brand#12", "Brand#23", "Brand#34"]
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand").isin(brands)).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    l = load(spark, sf_dir, "lineitem")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# --- Q22: dormant high-balance customers (scalar subquery + NOT EXISTS) -------
+
+
+@query(
+    "q22_dormant_customers",
+    oracle="""
+    SELECT SUBSTR(CAST(c.c_custkey AS VARCHAR), 1, 1) AS code,
+           COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY code
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adapted: above-average-balance customers with no URGENT
+    orders (every fixture customer has *some* order, so the classic
+    no-orders-at-all predicate is empty).  The scalar AVG is a 1-row
+    broadcast cross join — no driver collect; NOT EXISTS is a left-anti
+    join against the pre-filtered orders side."""
+    c = load(spark, sf_dir, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(
+            F.substring(F.col("c_custkey").cast("string"), 1, 1).alias("code")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum("c_acctbal", "total_bal"),
+        )
+    )
