@@ -3,6 +3,7 @@
 from . import (  # noqa: F401
     aggregates,
     composite,
+    curation,
     events_streams,
     filters,
     joins,

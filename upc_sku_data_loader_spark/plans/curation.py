@@ -1,0 +1,414 @@
+"""Training-data curation operators: PII redaction, repetition-quality
+signals, document chunking, embedding quantization, inverted index,
+deterministic weighted sampling.
+
+These extend the LLM-pipeline tier (plans/llm.py, SURVEY §2.K) with the
+remaining operations a 100 TB pretraining-data pipeline runs between
+raw crawl and tokenizer (reference file:line n/a — empty tree §0.1):
+
+- k23 PII redaction — the fixture corpus is synthetic words, so each
+  doc is first augmented with deterministic fake PII derived from
+  doc_id (identical construction on both engines); the redaction
+  regexes then have real matches to find.  Pure `regexp_replace` /
+  `regexp_extract_all` column expressions — map-only, JVM-side,
+  scale-free.
+- k24 repetition signals (Gopher-style quality filters): duplicate-word
+  fraction, top-word fraction, top-bigram fraction.  Per-(doc, gram)
+  counts shuffle once on a composite key; partial aggregation absorbs
+  the explode fan-out map-side.
+- k25 fixed-size/stride chunking — one-to-many `explode(sequence(...))`
+  over word offsets; map-only (no shuffle at all), the shape RAG/
+  pretraining tokenization pipelines use.
+- k26 int8 symmetric quantization of embeddings — elementwise
+  higher-order functions only; every arithmetic step is IEEE-
+  deterministic (no summation-order dependence), so raw doubles
+  hash-match the oracle without rounding guards.
+- k27 inverted index (term → df, tf, sorted posting list) — the
+  classic IR build; posting lists serialized to strings so the output
+  schema stays driver-hashable (no ArrayType — see round-1 verdict).
+- k28 weighted Bernoulli sampling — inclusion probability ∝ doc
+  weight, driven by an md5-derived uniform so BOTH engines compute the
+  identical sample (no engine RNG, no transcendental functions whose
+  last-ulp could differ across libm implementations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+# Deterministic fake-PII construction, identical on both engines.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"555-[0-9]{4}"
+_IP_RE = r"10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+# --- K23: PII redaction -------------------------------------------------------
+
+
+@query(
+    "k23_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+               AS aug_text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(aug_text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(aug_text, '{_PHONE_RE}')) AS n_phones,
+           len(regexp_extract_all(aug_text, '{_IP_RE}'))    AS n_ips,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(aug_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g'),
+             '{_IP_RE}', '<IP>', 'g') AS redacted
+    FROM aug
+    """,
+)
+def k23_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails / phone numbers / internal IPs from documents.
+    Regexes are kept to the RE2 ∩ java.util.regex common subset
+    (character classes, bounded repeats — no backrefs/lookaround) so
+    Spark and the DuckDB oracle match identically."""
+    d = load(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("aug_text"),
+    )
+    red = (
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("aug_text"), _EMAIL_RE, "<EMAIL>"),
+                _PHONE_RE,
+                "<PHONE>",
+            ),
+            _IP_RE,
+            "<IP>",
+        )
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("aug_text"), F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("aug_text"), F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.size(F.regexp_extract_all(F.col("aug_text"), F.lit(_IP_RE), F.lit(0))).alias("n_ips"),
+        red.alias("redacted"),
+    )
+
+
+# --- K24: repetition-quality signals (Gopher-style) ---------------------------
+
+
+@query(
+    "k24_quality_repetition",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    w AS (SELECT doc_id, unnest(ws) AS gram FROM d),
+    wc AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM w GROUP BY doc_id, gram),
+    wt AS (SELECT doc_id, MAX(cnt) AS top_cnt, SUM(cnt) AS n_words,
+                  COUNT(*) AS n_distinct
+           FROM wc GROUP BY doc_id),
+    b AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(ws)),
+                                       i -> ws[i] || ' ' || ws[i + 1])) AS gram
+          FROM d WHERE len(ws) >= 2),
+    bc AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM b GROUP BY doc_id, gram),
+    bt AS (SELECT doc_id, MAX(cnt) AS top_bigram_cnt FROM bc GROUP BY doc_id)
+    SELECT wt.doc_id,
+           wt.n_words,
+           ROUND(1.0 - wt.n_distinct / wt.n_words, 6) AS dup_word_frac,
+           ROUND(wt.top_cnt / wt.n_words, 6) AS top_word_frac,
+           ROUND(COALESCE(bt.top_bigram_cnt / (wt.n_words - 1), 0.0), 6)
+             AS top_bigram_frac
+    FROM wt LEFT JOIN bt ON bt.doc_id = wt.doc_id
+    """,
+)
+def k24_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals used by Gopher/C4-style quality
+    filters: duplicate-word fraction, most-common-word fraction,
+    most-common-bigram fraction.  Each gram family is one explode →
+    two keyed aggregations; partial (map-side) aggregation collapses
+    the fan-out before the shuffle, so shuffled bytes ≈ distinct
+    (doc, gram) pairs, not total tokens."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    w = d.select("doc_id", F.explode("ws").alias("gram"))
+    wt = (
+        w.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("cnt").alias("top_cnt"),
+            F.sum("cnt").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+    )
+    bigrams = d.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("ws", i), F.element_at("ws", i + 1)
+                ),
+            )
+        ).alias("gram"),
+    )
+    bt = (
+        bigrams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_bigram_cnt"))
+    )
+    return (
+        wt.join(bt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 6).alias(
+                "dup_word_frac"
+            ),
+            F.round(F.col("top_cnt") / F.col("n_words"), 6).alias("top_word_frac"),
+            F.round(
+                F.coalesce(
+                    F.col("top_bigram_cnt") / (F.col("n_words") - 1), F.lit(0.0)
+                ),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+# --- K25: fixed-size / stride document chunking -------------------------------
+
+_CHUNK = 32
+_STRIDE = 24
+
+
+@query(
+    "k25_doc_chunking",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    s AS (
+      SELECT doc_id, ws,
+             unnest(range(0, len(ws), {_STRIDE})) AS start
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(start / {_STRIDE} AS BIGINT) AS chunk_idx,
+           least(len(ws) - start, {_CHUNK}) AS n_tokens,
+           array_to_string(
+             list_slice(ws, start + 1, least(start + {_CHUNK}, len(ws))), ' ')
+             AS chunk_text
+    FROM s
+    """,
+)
+def k25_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunks ({_CHUNK} words, stride {_STRIDE})
+    — the tokenizer-prep shape for pretraining / RAG.  One-to-many via
+    explode(sequence(...)) over word offsets: map-only, zero shuffles;
+    at 100 TB this parallelizes per input split with no coordination."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    s = d.select(
+        "doc_id",
+        "ws",
+        F.explode(
+            F.sequence(F.lit(0), F.size("ws") - 1, F.lit(_STRIDE))
+        ).alias("start"),
+    )
+    return s.select(
+        "doc_id",
+        (F.col("start") / _STRIDE).cast("long").alias("chunk_idx"),
+        F.least(F.size("ws") - F.col("start"), F.lit(_CHUNK)).alias("n_tokens"),
+        F.array_join(
+            F.slice(
+                F.col("ws"),
+                F.col("start") + 1,
+                F.least(F.lit(_CHUNK), F.size("ws") - F.col("start")),
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+
+
+# --- K26: int8 symmetric embedding quantization -------------------------------
+
+
+@query(
+    "k26_embedding_quantize",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             greatest(
+               list_max(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE)))) / 127.0,
+               1e-12) AS scale,
+             embedding
+      FROM embeddings
+    )
+    SELECT vec_id,
+           scale,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)))
+             AS BIGINT) AS q_checksum,
+           list_max(list_transform(embedding,
+                x -> abs(round(CAST(x AS DOUBLE) / scale) * scale
+                         - CAST(x AS DOUBLE)))) AS max_abs_err
+    FROM q
+    """,
+)
+def k26_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (scale = max|v|/127) with
+    reconstruction-error audit.  Elementwise HOFs only — map-side,
+    no shuffle; every step (abs, max, round, multiply, subtract) is
+    IEEE-deterministic so raw doubles hash-match the oracle.  The
+    integer checksum stands in for the quantized vector itself so the
+    output schema stays array-free (driver canonicalizer rule)."""
+    e = load(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.greatest(
+        F.array_max(F.transform(dbl, lambda x: F.abs(x))) / 127.0, F.lit(1e-12)
+    )
+    q = e.select("vec_id", "embedding", scale.alias("scale"))
+    qdbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qint = F.transform(qdbl, lambda x: F.round(x / F.col("scale")).cast("long"))
+    err = F.transform(
+        qdbl, lambda x: F.abs(F.round(x / F.col("scale")) * F.col("scale") - x)
+    )
+    return q.select(
+        "vec_id",
+        "scale",
+        F.aggregate(qint, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "q_checksum"
+        ),
+        F.array_max(err).alias("max_abs_err"),
+    )
+
+
+# --- K27: inverted index (term → df, tf, posting list) ------------------------
+
+
+@query(
+    "k27_inverted_index",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    stats AS (
+      SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      FROM w GROUP BY term
+    ),
+    postings AS (
+      SELECT term,
+             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS posting_list
+      FROM (SELECT DISTINCT term, doc_id FROM w)
+      GROUP BY term
+    )
+    SELECT s.term, s.tf, s.df, p.posting_list
+    FROM stats s JOIN postings p ON p.term = s.term
+    WHERE s.df >= 5
+    """,
+)
+def k27_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic IR inverted-index build: term → term frequency, document
+    frequency, sorted posting list (serialized — no ArrayType output).
+    One explode, one composite-key distinct, one keyed agg; at scale
+    posting lists for stopword-like terms are the skew risk — the
+    df >= 5 floor models the head, and a production build would cap or
+    shard postings per term (same salting pattern as d13)."""
+    w = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    )
+    stats = w.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+    postings = (
+        w.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_set("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("posting_list")
+        )
+    )
+    return (
+        stats.filter(F.col("df") >= 5)
+        .join(postings, "term")
+        .select("term", "tf", "df", "posting_list")
+    )
+
+
+# --- K28: deterministic weighted Bernoulli sampling ---------------------------
+
+_SAMPLE_RATE = 0.1  # inclusion probability of the max-weight doc
+
+
+@query(
+    "k28_weighted_sample",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(n_chars) AS max_chars FROM documents),
+    u AS (
+      SELECT doc_id, n_chars,
+             (CAST(CONCAT('0x', substr(md5('seed42:' || CAST(doc_id AS VARCHAR)),
+                                       1, 8)) AS UBIGINT) + 0.5)
+               / 4294967296.0 AS u
+      FROM documents
+    )
+    SELECT u.doc_id, u.n_chars, u.u
+    FROM u, mx
+    WHERE u.u < {_SAMPLE_RATE} * u.n_chars / mx.max_chars
+    """,
+)
+def k28_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli sample: P(include) ∝ n_chars, driven by a
+    seeded md5-derived uniform instead of an engine RNG so the sample
+    is reproducible AND cross-engine identical.  Arithmetic only
+    (integer hex parse, one divide, one compare) — no pow/log whose
+    last-ulp could differ between libm implementations.  The max-weight
+    scalar is a 1-row broadcast cross join, not a driver collect; at
+    100 TB the same two-pass shape (tiny agg + map-only filter) holds."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    mx = d.agg(F.max("n_chars").alias("max_chars"))
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / 4294967296.0
+    return (
+        d.withColumn("u", u)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("u") < _SAMPLE_RATE * F.col("n_chars") / F.col("max_chars"))
+        .select("doc_id", "n_chars", "u")
+    )
