@@ -431,3 +431,96 @@ def i10_output_modes_triggers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# --- A10: ORC round-trip (columnar alternative to parquet) --------------------
+
+
+@query(
+    "a10_orc_roundtrip",
+    oracle="""
+    SELECT p_partkey, p_brand, p_size, p_retailprice
+    FROM part
+    WHERE p_size >= 25
+    """,
+)
+def a10_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write→read round-trip (Spark's second first-class columnar
+    format; same predicate-pushdown/column-pruning machinery as
+    parquet).  The oracle reads the ORIGINAL parquet fixture, so a pass
+    proves the ORC hop is lossless — DuckDB never needs to read ORC."""
+    path = _scratch(sf_dir, "part_orc")
+    shutil.rmtree(path, ignore_errors=True)
+    load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    ).write.mode("overwrite").orc(path)
+    return spark.read.orc(path).filter(F.col("p_size") >= 25).select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    )
+
+
+# --- A11: text source (line-per-record, self-describing payload) --------------
+
+
+@query(
+    "a11_text_source",
+    oracle="""
+    SELECT doc_id, len(string_split(text, ' ')) AS n_words, n_chars
+    FROM documents
+    """,
+)
+def a11_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.read.text ingestion: each line is ``<doc_id>|<text>``;
+    the reader splits on the first '|' and recomputes word counts.
+    Oracle reads the original table, proving the text hop round-trips.
+    Line-oriented text is the lowest-common-denominator crawl format —
+    splittable, so 100 TB of it parallelizes per HDFS/S3 block."""
+    path = _scratch(sf_dir, "documents_txt")
+    shutil.rmtree(path, ignore_errors=True)
+    d = load(spark, sf_dir, "documents")
+    d.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text")).alias(
+            "value"
+        )
+    ).write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    doc_id = F.split("value", r"\|", 2).getItem(0).cast("long")
+    body = F.split("value", r"\|", 2).getItem(1)
+    return lines.select(
+        doc_id.alias("doc_id"),
+        F.size(F.split(body, " ")).alias("n_words"),
+        F.length(body).alias("n_chars"),
+    )
+
+
+# --- A12: binaryFile source (opaque blobs + metadata, multimodal shape) -------
+
+
+@query(
+    "a12_binaryfile_source",
+    oracle="""
+    SELECT doc_id, strlen(text) AS n_bytes, sha256(text) AS content_sha
+    FROM documents
+    WHERE doc_id % 25 = 0
+    """,
+)
+def a12_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``spark.read.format('binaryFile')``: one row per file with
+    (path, length, content: binary) — the ingestion shape for
+    image/audio corpora (SURVEY §2.K15 consumes the same layout).
+    Files are materialized from the fixture deterministically; the
+    oracle hashes the original text, so a pass proves byte-exact
+    ingestion.  Binary columns never appear in the output (driver
+    canonicalizer rule) — content is surfaced as sha2 hex."""
+    out = Path(_scratch(sf_dir, "doc_blobs"))
+    shutil.rmtree(out, ignore_errors=True)
+    out.mkdir(parents=True)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    for row in d.select("doc_id", "text").collect():  # few dozen small files
+        (out / f"{row['doc_id']}.bin").write_bytes(row["text"].encode("utf-8"))
+    files = spark.read.format("binaryFile").load(str(out))
+    return files.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1).cast("long").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+    )
