@@ -460,3 +460,29 @@ def d14_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("within_bound"),
     )
+
+
+# --- D15: explicit GROUPING SETS (finer than rollup/cube) ---------------------
+
+
+@query(
+    "d15_agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           {dsum_sql("l_quantity", "sum_qty")}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def d15_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form D6 rollup / D7 cube are
+    sugar for (Spark 4 `df.groupingSets`).  One Expand node multiplies
+    each input row per grouping set, then a single hash aggregation:
+    same one-shuffle shape as a plain groupBy, input inflated ×3."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupingSets(
+        [[F.col("l_returnflag"), F.col("l_linestatus")], [F.col("l_returnflag")], []],
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+    ).agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity", "sum_qty"))

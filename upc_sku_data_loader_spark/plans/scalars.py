@@ -370,3 +370,54 @@ def h10_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("text", 256).alias("text_sha256"),
         F.md5(F.concat("lang", F.lit(":"), "source")).alias("meta_md5"),
     )
+
+
+# --- H11: URL parsing / encoding ----------------------------------------------
+
+
+@query(
+    "h11_url_functions",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/' || lang || '/doc-'
+               || CAST(doc_id AS VARCHAR) || '?ref=' || CAST(doc_id % 7 AS VARCHAR)
+               AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           url,
+           regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?ref=([0-9]+)$', 1) AS ref,
+           replace(regexp_extract(url, '^https://[^/]+(/[^?]*)', 1), '/', '%2F')
+             AS path_encoded
+    FROM u
+    """,
+)
+def h11_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with Spark's dedicated `parse_url` (HOST/PATH/
+    QUERY parts) plus percent-encoding — crawl-pipeline normalization.
+    The oracle has no parse_url, so it re-derives the same parts with
+    anchored regexes over the identically-constructed URL; a match
+    proves parse_url's semantics on this URL shape, not just regex
+    equality.  Map-only column expressions."""
+    d = load(spark, sf_dir, "documents")
+    u = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+            F.col("lang"), F.lit("/doc-"), F.col("doc_id").cast("string"),
+            F.lit("?ref="), (F.col("doc_id") % 7).cast("string"),
+        ).alias("url"),
+    )
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref"),
+        F.regexp_replace(F.parse_url("url", F.lit("PATH")), "/", "%2F").alias(
+            "path_encoded"
+        ),
+    )

@@ -524,3 +524,86 @@ def a12_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.sha2(F.col("content"), 256).alias("content_sha"),
     )
+
+
+# --- ETL: SCD2 history build (validity intervals per key) ---------------------
+
+
+@query(
+    "etl_scd2_history",
+    oracle="""
+    SELECT user_id,
+           event_type,
+           ROW_NUMBER() OVER w AS version,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def etl_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: each event opens a new
+    version of its user's state; `lead(ts)` closes the previous one
+    (open-ended validity for the latest).  The warehouse pattern for
+    'latest record wins' upserts with full history retained.  One
+    window shuffle on user_id; event_id breaks ts ties so version
+    numbering is deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("version"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+# --- I12: streaming parquet file sink (checkpointed, exactly-once) ------------
+
+
+@query(
+    "i12_stream_parquet_sink",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    GROUP BY event_type
+    """,
+)
+def i12_stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream → filter/project → **parquet file sink** with a
+    checkpoint directory (exactly-once: the sink commits files
+    atomically per micro-batch; on restart the checkpoint skips
+    committed batches).  The streamed output is then re-read as a batch
+    table and aggregated — a pass proves no row was lost or duplicated
+    across the stream hop.  This is the durable-sink twin of I10's
+    memory sink."""
+    out = _scratch(sf_dir, "stream_out_parquet")
+    ckpt = _scratch(sf_dir, "stream_out_ckpt")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type").isin("purchase", "signup")
+    ).select("event_id", "user_id", "event_type", "value")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
+        )
+    )
