@@ -104,3 +104,44 @@ def test_headline_plan_snapshots(spark, sf_dir):
         plan = _executed_plan(spark, name, sf_dir)
         got[name] = {m: plan.count(m) for m in _PLAN_MARKERS if plan.count(m)}
     assert got == HEADLINE_PLAN_SNAPSHOT
+
+
+def test_q6_predicates_reach_parquet_scan(spark, sf_dir):
+    """TPC-H Q6 is scan-dominated: all three predicates must be pushed
+    to the parquet reader, not evaluated post-scan only."""
+    df = QUERIES["q6_revenue_forecast"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    for frag in ("l_discount", "l_quantity", "l_shipdate"):
+        assert frag in plan.split("PushedFilters: [", 1)[1].split("]", 1)[0], (
+            f"{frag} not pushed:\n" + plan[:2000]
+        )
+
+
+def test_q10_topk_uses_take_ordered(spark, sf_dir):
+    """Top-20 must compile to TakeOrderedAndProject (per-partition top-k
+    + driver merge of 20 rows), never a global Sort materialization."""
+    plan = _executed_plan(spark, "q10_returned_items", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q4_exists_is_semi_join_not_aggregate_dedup(spark, sf_dir):
+    """EXISTS must stay a left-semi hash join (no row duplication →
+    no distinct/agg needed to repair cardinality)."""
+    plan = _executed_plan(spark, "q4_order_priority", sf_dir)
+    assert "LeftSemi" in plan
+
+
+def test_k25_chunking_is_shuffle_free(spark, sf_dir):
+    """Chunking is explode + slice — a map-only plan; any Exchange means
+    an accidental shuffle crept in."""
+    df = QUERIES["k25_doc_chunking"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+
+
+def test_q17_decorrelated_no_cartesian(spark, sf_dir):
+    """The correlated AVG subquery must run as a keyed pre-agg join —
+    never a nested-loop/cartesian re-scan per outer row."""
+    plan = _executed_plan(spark, "q17_small_quantity", sf_dir)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
