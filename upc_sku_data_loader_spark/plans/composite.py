@@ -592,3 +592,114 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", "total_bal"),
         )
     )
+
+
+# --- Funnel: ordered event-sequence conversion (view → click → purchase) ------
+
+
+@query(
+    "q_event_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          GROUP BY e.user_id)
+    SELECT COUNT(v.user_id) AS n_view,
+           COUNT(c.user_id) AS n_click,
+           COUNT(p.user_id) AS n_purchase,
+           ROUND(COUNT(c.user_id) * 1.0 / COUNT(v.user_id), 6) AS view_to_click,
+           ROUND(COUNT(p.user_id) * 1.0 / COUNT(c.user_id), 6) AS click_to_purchase
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: first view, then the first click AFTER that view,
+    then the first purchase AFTER that click — strict event-sequence
+    semantics, not independent per-type counts.  Three keyed min-aggs
+    chained by joins on user_id; each stage's input shrinks, and all
+    three shuffles share the same key so AQE can reuse the
+    partitioning.  Counts are exact; ratios rounded on both sides."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.join(c.select("user_id", "t2"), "user_id", "left")
+        .join(p.select("user_id", "t3"), "user_id", "left")
+        .agg(
+            F.count("t1").alias("n_view"),
+            F.count("t2").alias("n_click"),
+            F.count("t3").alias("n_purchase"),
+            F.round(F.count("t2") * 1.0 / F.count("t1"), 6).alias("view_to_click"),
+            F.round(F.count("t3") * 1.0 / F.count("t2"), 6).alias("click_to_purchase"),
+        )
+    )
+
+
+# --- Cohort retention: weekly signup cohorts × activity offset ----------------
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    )
+    SELECT f.cohort_week,
+           datediff('day', f.cohort_week, a.week) // 7 AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN firsts f ON f.user_id = a.user_id
+    GROUP BY f.cohort_week, week_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by first-active
+    ISO week, counted per subsequent week of activity.  Both engines
+    date_trunc('week') to Monday so cohort keys agree exactly.  Two
+    keyed aggs + one join, all on user_id; the final (cohort, offset)
+    agg is tiny.  The canonical product-analytics rollup."""
+    # DuckDB date_trunc('week') yields DATE; cast Spark's timestamp to
+    # date so the cohort_week output column agrees representationally.
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = ev.distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("week"), F.col("cohort_week")) / 7
+            ).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
