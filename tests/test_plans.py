@@ -145,3 +145,24 @@ def test_q17_decorrelated_no_cartesian(spark, sf_dir):
     never a nested-loop/cartesian re-scan per outer row."""
     plan = _executed_plan(spark, "q17_small_quantity", sf_dir)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_c11_scan_has_dynamic_partition_pruning(spark, sf_dir):
+    """The fact scan must carry a dynamicpruning partition filter — the
+    runtime subquery injected from the dim side — so only matching
+    partition directories are read."""
+    df = QUERIES["c11_join_dpp"](spark, sf_dir)
+    df.count()
+    full = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in full.lower(), full[:2000]
+
+
+def test_a13_compaction_reduces_file_count(spark, sf_dir):
+    """64 fragment files must compact to ≤4 parquet files, losslessly."""
+    from upc_sku_data_loader_spark.plans.sources_sinks import _scratch
+
+    QUERIES["a13_compact_small_files"](spark, sf_dir).count()
+    frag = list(Path(_scratch(sf_dir, "orders_fragmented")).glob("*.parquet"))
+    compact = list(Path(_scratch(sf_dir, "orders_compacted")).glob("*.parquet"))
+    assert len(frag) == 64
+    assert 1 <= len(compact) <= 4

@@ -412,3 +412,89 @@ def k28_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < _SAMPLE_RATE * F.col("n_chars") / F.col("max_chars"))
         .select("doc_id", "n_chars", "u")
     )
+
+
+# --- K29: train/eval decontamination (n-gram overlap vs train set) ------------
+
+_DECON_N = 5  # 5-grams: measured 6/52 eval docs contaminated at sf0.01
+
+
+@query(
+    "k29_decontaminate",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+               % 100 AS bucket
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, bucket,
+             unnest(list_transform(
+               range(1, len(ws) - {_DECON_N} + 2),
+               i -> array_to_string(list_slice(ws, i, i + {_DECON_N} - 1), ' ')))
+               AS gram
+      FROM b WHERE len(ws) >= {_DECON_N}
+    ),
+    train AS (SELECT DISTINCT gram FROM g WHERE bucket < 90),
+    eval_g AS (SELECT DISTINCT doc_id, bucket, gram FROM g WHERE bucket >= 90),
+    totals AS (SELECT doc_id, bucket, COUNT(*) AS n_grams
+               FROM eval_g GROUP BY doc_id, bucket),
+    overlap AS (SELECT e.doc_id, COUNT(*) AS n_overlap
+                FROM eval_g e JOIN train t ON t.gram = e.gram
+                GROUP BY e.doc_id)
+    SELECT totals.doc_id,
+           CASE WHEN totals.bucket < 95 THEN 'val' ELSE 'test' END AS split,
+           totals.n_grams,
+           COALESCE(overlap.n_overlap, 0) AS n_overlap,
+           COALESCE(overlap.n_overlap, 0) > 0 AS is_contaminated
+    FROM totals LEFT JOIN overlap ON overlap.doc_id = totals.doc_id
+    """,
+)
+def k29_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination check: an eval (val/test) document is
+    contaminated if any of its word {_DECON_N}-grams also appears in any
+    train document — the standard pretraining leakage test.  Uses the
+    same content-addressed md5 split as k21 so the partition is
+    reproducible.  Exact formulation: distinct train grams ⟕ eval grams
+    as a semi join — keyed shuffles only.  At 100 TB the train-gram set
+    is the big side; the same plan holds with the gram key hashed
+    (xxhash64) to fixed width, or a Bloom/LSH pre-filter (k2's tier)
+    when exactness can be relaxed."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    b = d.select(
+        "doc_id", F.split("text", " ").alias("ws"), bucket.alias("bucket")
+    ).filter(F.size("ws") >= _DECON_N)
+    g = b.select(
+        "doc_id",
+        "bucket",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - _DECON_N + 1),
+                lambda i: F.array_join(F.slice(F.col("ws"), i, _DECON_N), " "),
+            )
+        ).alias("gram"),
+    )
+    train = g.filter(F.col("bucket") < 90).select("gram").distinct()
+    eval_g = g.filter(F.col("bucket") >= 90).select("doc_id", "bucket", "gram").distinct()
+    totals = eval_g.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("n_grams"))
+    overlap = (
+        eval_g.join(train, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        totals.join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("bucket") < 95, "val").otherwise("test").alias("split"),
+            "n_grams",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("is_contaminated"),
+        )
+    )

@@ -369,3 +369,56 @@ def c10_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("purchase_id").agg(
         F.count("click_id").alias("n_nearby_clicks")
     )
+
+
+# --- C11: dynamic partition pruning (runtime partition filter from a dim) -----
+
+
+@query(
+    "c11_join_dpp",
+    oracle="""
+    WITH dim AS (
+      SELECT * FROM (VALUES ('A', 'archive'), ('N', 'active'), ('R', 'audit'))
+        AS t(flag, action)
+    )
+    SELECT d.action,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS total_price
+    FROM lineitem l
+    JOIN dim d ON d.flag = l.l_returnflag
+    WHERE d.action = 'audit'
+    GROUP BY d.action
+    """,
+)
+def c11_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is stored partitioned by
+    l_returnflag; the dim-side filter (action='audit') is only known at
+    runtime, so Catalyst injects a `dynamicpruning` subquery into the
+    fact scan's PartitionFilters — only the matching partition
+    directories are read.  THE mechanism that makes star-schema joins
+    cheap on partitioned 100 TB tables (plan asserted in
+    tests/test_plans.py)."""
+    from pathlib import Path
+
+    from .sources_sinks import _scratch  # shared scratch layout
+
+    fact_path = _scratch(sf_dir, "lineitem_dpp")
+    if not Path(fact_path).exists():  # deterministic content; write once
+        load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_returnflag"
+        ).write.partitionBy("l_returnflag").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("A", "archive"), ("N", "active"), ("R", "audit")], "flag string, action string"
+    ).filter(F.col("action") == "audit")
+    return (
+        fact.join(F.broadcast(dim), fact.l_returnflag == dim.flag)
+        .groupBy("action")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

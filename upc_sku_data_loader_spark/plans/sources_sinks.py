@@ -607,3 +607,35 @@ def i12_stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
         )
     )
+
+
+# --- A13: small-files compaction (table maintenance) --------------------------
+
+
+@query(
+    "a13_compact_small_files",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    """,
+)
+def a13_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction: a fragmented table (64 shards from an
+    over-parallel upstream write) is rewritten into a few right-sized
+    files with `coalesce` — coalesce narrows partitions WITHOUT a
+    shuffle, which is the point of the maintenance pass.  At 100 TB the
+    same job runs per partition-directory with a target file size
+    (maxRecordsPerFile); a pass against the original-table oracle
+    proves compaction is content-lossless.  File-count invariants are
+    pinned in tests/test_plans.py."""
+    frag = _scratch(sf_dir, "orders_fragmented")
+    compact = _scratch(sf_dir, "orders_compacted")
+    shutil.rmtree(frag, ignore_errors=True)
+    shutil.rmtree(compact, ignore_errors=True)
+    src = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    src.repartition(64).write.parquet(frag)  # the fragmented upstream state
+    spark.read.parquet(frag).coalesce(4).write.parquet(compact)
+    return spark.read.parquet(compact)
