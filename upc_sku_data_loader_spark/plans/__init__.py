@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     scalars,
     sorts_setops,
     sources_sinks,
+    sql_api,
     udfs,
     windows,
 )

@@ -1,0 +1,75 @@
+"""SQL API surface: the engine accepts SQL text directly via
+``spark.sql`` over registered fixture views (SURVEY §2; reference
+file:line n/a — empty tree §0.1).
+
+These entries run the IDENTICAL SQL string on both engines — the
+literal text is both the Spark query (``spark.sql(TEXT)``) and the
+DuckDB oracle — pinning the engine's SQL dialect to the ANSI subset the
+two parsers share: qualified names, CTEs, window functions, CASE,
+decimal casts, timestamp literals.  This is the user-facing contract a
+reference user migrating SQL workloads cares about: paste the query,
+get the same answer.
+
+Scale: ``spark.sql`` text compiles into the same Catalyst plans as the
+DataFrame API — pushdown/broadcast/AQE all apply identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import register_views
+from ..registry import query
+
+# The exact text runs on both engines (ANSI-shared subset).
+_S1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_S2_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_spend
+  FROM orders
+  GROUP BY o_custkey
+),
+ranked AS (
+  SELECT c.c_mktsegment,
+         s.o_custkey,
+         s.total_spend,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.c_mktsegment
+           ORDER BY s.total_spend DESC, s.o_custkey ASC
+         ) AS rn
+  FROM spend s
+  JOIN customer c ON c.c_custkey = s.o_custkey
+)
+SELECT c_mktsegment, o_custkey, total_spend, rn
+FROM ranked
+WHERE rn <= 5
+"""
+
+
+@query("s1_sql_passthrough", oracle=_S1_SQL)
+def s1_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One SQL text, two engines: the oracle string IS the Spark input.
+    Aggregation with decimal-exact sums (the shared formulation from
+    functions/exprs.py written longhand in SQL)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_S1_SQL)
+
+
+@query("s2_sql_cte_window", oracle=_S2_SQL)
+def s2_sql_cte_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-text SQL with CTE chain + join + window top-5 per segment
+    (deterministic tiebreak) — the common BI-query shape, pasted
+    verbatim into spark.sql."""
+    register_views(spark, sf_dir)
+    return spark.sql(_S2_SQL)

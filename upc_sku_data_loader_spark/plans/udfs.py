@@ -203,3 +203,48 @@ def j6_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.* FROM j6_docs_subset, "
         "LATERAL explode_tokens(doc_id, text) AS t"
     )
+
+
+# --- J7: mapInArrow (zero-copy Arrow batch transform) -------------------------
+
+
+@query(
+    "j7_map_in_arrow",
+    oracle="""
+    SELECT o_orderkey,
+           FLOOR(o_totalprice * 100.0) AS price_cents,
+           CASE WHEN o_totalprice >= 150000.0 THEN 'high' ELSE 'normal' END
+             AS price_band
+    FROM orders
+    """,
+)
+def j7_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.mapInArrow``: the lowest-overhead Python surface — batches
+    arrive as pyarrow RecordBatches with NO pandas conversion, ideal
+    for libraries that speak Arrow natively (vector math, tokenizers).
+    The kernel uses pyarrow.compute only (IEEE-deterministic floor /
+    multiply / comparison), so results hash-match the SQL oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(batches):
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            price = t.column("o_totalprice")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    t.column("o_orderkey").combine_chunks(),
+                    pc.floor(pc.multiply(price, pa.scalar(100.0))).combine_chunks(),
+                    pc.if_else(
+                        pc.greater_equal(price, pa.scalar(150000.0)),
+                        pa.scalar("high"),
+                        pa.scalar("normal"),
+                    ).combine_chunks(),
+                ],
+                names=["o_orderkey", "price_cents", "price_band"],
+            )
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return o.mapInArrow(
+        kernel, "o_orderkey bigint, price_cents double, price_band string"
+    )
