@@ -498,3 +498,92 @@ def k29_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_overlap", F.lit(0)) > 0).alias("is_contaminated"),
         )
     )
+
+
+# --- K30: within-document span dedup (C4-style repetition removal) ------------
+
+_SPAN = 2  # words per span: 181/500 fixture docs contain a duplicate 2-span
+
+
+@query(
+    "k30_dedup_spans",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s AS (SELECT doc_id, ws,
+                 unnest(range(0, (len(ws) + {_SPAN} - 1) // {_SPAN})) AS pos
+          FROM d),
+    sp AS (SELECT doc_id, pos,
+                  array_to_string(
+                    list_slice(ws, pos * {_SPAN} + 1,
+                               least(pos * {_SPAN} + {_SPAN}, len(ws))), ' ')
+                    AS span
+           FROM s),
+    k AS (SELECT doc_id, pos, span,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id, span ORDER BY pos) AS rn
+          FROM sp)
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY pos)
+             AS dedup_text
+    FROM k
+    GROUP BY doc_id
+    """,
+)
+def k30_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style repetition removal WITHIN each document: the text is
+    segmented into fixed {_SPAN}-word spans; repeated spans keep only
+    their first occurrence and the document is reassembled in original
+    order.  (Real C4 dedups lines/sentences — the fixture corpus has no
+    sentence structure, so fixed spans stand in; the plan shape is
+    identical.)  One explode → per-(doc, span) window → ordered
+    re-aggregation: two keyed shuffles on doc_id-rooted keys, fan-out
+    absorbed map-side.  At 100 TB this runs per-document with no
+    cross-document state at all — trivially partition-parallel."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("ws") / float(_SPAN)).cast("int") - 1,
+                ),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.array_join(
+                        F.slice(
+                            F.col("ws"),
+                            i * _SPAN + 1,
+                            F.least(F.lit(_SPAN), F.size("ws") - i * _SPAN),
+                        ),
+                        " ",
+                    ).alias("span"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.span").alias("span"))
+    w = Window.partitionBy("doc_id", "span").orderBy("pos")
+    marked = spans.withColumn("rn", F.row_number().over(w))
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("bigint").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") == 1, F.struct("pos", "span")
+                        )
+                    )
+                ),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
