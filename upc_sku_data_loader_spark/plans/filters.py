@@ -271,3 +271,58 @@ def b10_upc_check_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         check.alias("check_digit"),
         (check == F.substring("upc13", 13, 1).cast("int")).alias("is_valid"),
     )
+
+
+# --- B11: validate-and-quarantine split (single-pass row triage) --------------
+
+
+@query(
+    "b11_validate_quarantine",
+    oracle="""
+    WITH t AS (
+      SELECT lpad(CAST(p_partkey AS VARCHAR), 12, '0') AS upc,
+             p_retailprice,
+             p_size
+      FROM part
+    )
+    SELECT upc, p_retailprice, p_size,
+           CASE
+             WHEN p_retailprice <= 0 THEN 'bad_price'
+             WHEN p_size < 1 OR p_size > 50 THEN 'bad_size'
+             WHEN length(upc) <> 12 THEN 'bad_upc'
+             ELSE 'ok'
+           END AS status,
+           CASE
+             WHEN p_retailprice <= 0 THEN 'price must be positive'
+             WHEN p_size < 1 OR p_size > 50 THEN 'size out of [1,50]'
+             WHEN length(upc) <> 12 THEN 'upc must be 12 digits'
+             ELSE NULL
+           END AS reason
+    FROM t
+    """,
+)
+def b11_validate_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row triage in one pass: every record tagged valid/quarantined
+    with a machine-readable reason — the load-path pattern where bad
+    rows go to a quarantine sink instead of poisoning the batch (the
+    first failing rule wins, so reasons are deterministic).  A
+    downstream writer would `partitionBy('status')` to split sinks with
+    zero extra passes.  Pure CASE expressions, map-only."""
+    t = load(spark, sf_dir, "part").select(
+        F.lpad(F.col("p_partkey").cast("string"), 12, "0").alias("upc"),
+        "p_retailprice",
+        "p_size",
+    )
+    status = (
+        F.when(F.col("p_retailprice") <= 0, "bad_price")
+        .when((F.col("p_size") < 1) | (F.col("p_size") > 50), "bad_size")
+        .when(F.length("upc") != 12, "bad_upc")
+        .otherwise("ok")
+    )
+    reason = (
+        F.when(F.col("p_retailprice") <= 0, "price must be positive")
+        .when((F.col("p_size") < 1) | (F.col("p_size") > 50), "size out of [1,50]")
+        .when(F.length("upc") != 12, "upc must be 12 digits")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return t.select("upc", "p_retailprice", "p_size", status.alias("status"), reason.alias("reason"))

@@ -201,3 +201,45 @@ def g4_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_type", (F.col("user_id") % 7).alias("user_mod")
     ).dropDuplicates()
+
+
+# --- G5: unionByName with missing columns (schema-evolution union) ------------
+
+
+@query(
+    "g5_union_by_name",
+    oracle="""
+    SELECT o_orderkey AS order_key, o_totalprice AS price,
+           o_orderpriority AS priority, NULL AS ship_flag
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT l_orderkey AS order_key, l_extendedprice AS price,
+           NULL AS priority, l_returnflag AS ship_flag
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def g5_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two sources with overlapping-but-unequal
+    columns merged by NAME (not position), absent columns null-filled —
+    `unionByName(allowMissingColumns=True)`.  The everyday shape when a
+    v2 feed adds fields; positional UNION would silently mis-align.
+    Map-only (no shuffle)."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") == 1)
+        .select(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_returnflag").alias("ship_flag"),
+        )
+    )
+    return o.unionByName(li, allowMissingColumns=True)
