@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     sorts_setops,
     sources_sinks,
     sql_api,
+    timeseries,
     udfs,
     windows,
 )

@@ -1,0 +1,206 @@
+"""Time-series / data-cleaning operators over the events stream table:
+gap-filling resample, z-score outlier flagging, winsorization.
+
+Classic observability/feature-engineering shapes (reference file:line
+n/a — empty tree §0.1) that a production events pipeline runs between
+raw ingestion and modeling:
+
+- t1 resample + gap-fill: regularize an irregular event stream onto a
+  daily grid per user, zero-filling silent days — `sequence()` +
+  explode + left join, the dense-grid prerequisite for rolling
+  features (E6/E7) and forecasting.
+- t2 z-score outliers: per-type standardization with outlier counts —
+  one grouped aggregation broadcast back onto the stream.
+- t3 winsorization: clip to the exact [p05, p95] per-type band before
+  aggregating — robust statistics without dropping rows.
+
+Scale notes: every op is one or two keyed aggregations plus a
+broadcastable stats side; the dense grid in t1 fans out rows but is
+generated executor-side (no driver materialization).  At 100 TB the
+per-user grid join stays partition-local after one shuffle on user_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+# --- T1: resample to a daily grid with gap-fill -------------------------------
+
+
+@query(
+    "t1_resample_gapfill",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS day_value
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY user_id, day
+    ),
+    spans AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM p GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM spans
+    )
+    SELECT g.user_id, g.day,
+           COALESCE(p.n_events, 0) AS n_events,
+           COALESCE(p.day_value, 0.0) AS day_value,
+           p.n_events IS NULL AS is_gap
+    FROM grid g LEFT JOIN p ON p.user_id = g.user_id AND p.day = g.day
+    """,
+)
+def t1_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize each user's purchase history onto a contiguous daily
+    grid from their first to last purchase, zero-filling silent days.
+    The grid is `explode(sequence(d0, d1, interval 1 day))` — generated
+    per user on executors, joined back on (user_id, day).  Downstream
+    rolling windows (E6/E7) require exactly this densification."""
+    p = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("day_value"),
+        )
+    )
+    grid = (
+        p.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    return grid.join(p, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("day_value", F.lit(0.0)).alias("day_value"),
+        F.col("n_events").isNull().alias("is_gap"),
+    )
+
+
+# --- T2: z-score outlier flagging ---------------------------------------------
+
+
+@query(
+    "t2_zscore_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT s.event_type, s.n,
+           ROUND(s.mu, 4) AS mu,
+           ROUND(s.sigma, 4) AS sigma,
+           CAST(SUM(CASE WHEN ABS((e.value - s.mu) / s.sigma) > 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(MAX(ABS((e.value - s.mu) / s.sigma)), 4) AS max_abs_z
+    FROM events e JOIN stats s ON s.event_type = e.event_type
+    GROUP BY s.event_type, s.n, s.mu, s.sigma
+    """,
+)
+def t2_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type standardization: z = (value − μ)/σ with |z| > 3 flagged.
+    Stats are one grouped agg over 5 groups — broadcast back onto the
+    stream, so the outlier pass is map-only after one shuffle.  μ/σ/z
+    are order-sensitive doubles → rounded on both sides (registry float
+    discipline)."""
+    e = load(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "n", "mu", "sigma")
+        .agg(
+            F.sum(F.when(z > 3, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+            F.round(F.max(z), 4).alias("max_abs_z"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("mu", 4).alias("mu"),
+            F.round("sigma", 4).alias("sigma"),
+            "n_outliers",
+            "max_abs_z",
+        )
+    )
+
+
+# --- T3: winsorization (clip to exact per-group percentile band) --------------
+
+
+@query(
+    "t3_winsorize",
+    oracle="""
+    WITH bands AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(b.p05, 6) AS p05,
+           ROUND(b.p95, 6) AS p95,
+           CAST(SUM(CASE WHEN e.value < b.p05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(SUM(CASE WHEN e.value > b.p95 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
+           CAST(SUM(CAST(GREATEST(b.p05, LEAST(b.p95, e.value))
+                         AS DECIMAL(30,6))) AS DOUBLE) AS winsorized_sum
+    FROM events e JOIN bands b ON b.event_type = e.event_type
+    GROUP BY e.event_type, b.p05, b.p95
+    """,
+)
+def t3_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize: clamp values into the exact per-type [p05, p95] band
+    (Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    interpolation definition, so the band edges agree bit-for-bit —
+    same pairing d10 relies on).  The robust-statistics alternative to
+    dropping outlier rows; clipped sum uses the exact-decimal
+    discipline."""
+    e = load(spark, sf_dir, "events")
+    bands = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clipped = F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("value")))
+    return (
+        e.join(F.broadcast(bands), "event_type")
+        .groupBy("event_type", "p05", "p95")
+        .agg(
+            F.sum(F.when(F.col("value") < F.col("p05"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_low"),
+            F.sum(F.when(F.col("value") > F.col("p95"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_high"),
+            F.sum(clipped.cast("decimal(30,6)")).cast("double").alias("winsorized_sum"),
+        )
+        .select(
+            "event_type",
+            F.round("p05", 6).alias("p05"),
+            F.round("p95", 6).alias("p95"),
+            "n_clipped_low",
+            "n_clipped_high",
+            "winsorized_sum",
+        )
+    )
