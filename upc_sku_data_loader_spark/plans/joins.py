@@ -422,3 +422,36 @@ def c11_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+# --- C12: null-safe equality join (<=> / IS NOT DISTINCT FROM) -----------------
+
+
+@query(
+    "c12_join_null_safe",
+    oracle="""
+    WITH c AS (SELECT c_custkey, NULLIF(c_nationkey % 5, 0) AS grp FROM customer),
+    s AS (SELECT s_suppkey, NULLIF(s_nationkey % 5, 0) AS grp FROM supplier)
+    SELECT c.grp, COUNT(*) AS n_pairs
+    FROM c JOIN s ON c.grp IS NOT DISTINCT FROM s.grp
+    GROUP BY c.grp
+    """,
+)
+def c12_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join: `eqNullSafe` (SQL `<=>`) matches NULL with
+    NULL, where ordinary equality silently drops every NULL-keyed row.
+    The semantics gap that corrupts delta detection when the natural
+    key is nullable.  Still a hash join (null-safe equality is a valid
+    hash key — NULLs hash to one bucket: the documented skew risk at
+    scale; pre-split NULL keys if they dominate)."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("grp")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.nullif(F.col("s_nationkey") % 5, F.lit(0)).alias("c_grp")
+    )
+    return (
+        c.join(F.broadcast(s), c.grp.eqNullSafe(s.c_grp))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -639,3 +639,40 @@ def a13_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     src.repartition(64).write.parquet(frag)  # the fragmented upstream state
     spark.read.parquet(frag).coalesce(4).write.parquet(compact)
     return spark.read.parquet(compact)
+
+
+# --- A14: schema-evolution read (mergeSchema across file generations) ----------
+
+
+@query(
+    "a14_schema_evolution_read",
+    oracle="""
+    SELECT r_regionkey, r_name, NULL AS r_zone FROM region
+    UNION ALL
+    SELECT n_nationkey AS r_regionkey, n_name AS r_name,
+           CAST(n_regionkey AS BIGINT) AS r_zone
+    FROM nation
+    """,
+)
+def a14_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the storage layer: generation-1 files lack a
+    column that generation-2 files carry; `mergeSchema=true` reconciles
+    the footer schemas and null-fills the missing column for old files.
+    How a 100 TB table absorbs additive schema changes without a
+    rewrite.  The oracle recomputes the union from the original tables,
+    proving both generations surface losslessly."""
+    path = _scratch(sf_dir, "evolving_table")
+    shutil.rmtree(path, ignore_errors=True)
+    load(spark, sf_dir, "region").select("r_regionkey", "r_name").write.parquet(
+        f"{path}/gen=1"
+    )
+    load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("r_regionkey"),
+        F.col("n_name").alias("r_name"),
+        F.col("n_regionkey").cast("bigint").alias("r_zone"),
+    ).write.parquet(f"{path}/gen=2")
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(path)
+        .select("r_regionkey", "r_name", "r_zone")
+    )
