@@ -587,3 +587,75 @@ def k30_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("dedup_text"),
     )
+
+
+# --- K31: vocabulary pruning (keep top-N corpus terms, reassemble docs) -------
+
+_VOCAB_KEEP = 26  # fixture vocab is 31 terms; prune the 5 least frequent
+
+
+@query(
+    "k31_vocab_prune",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, pos, word FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents)
+    ),
+    vocab AS (
+      SELECT word FROM (
+        SELECT word, COUNT(*) AS cnt FROM w GROUP BY word
+        ORDER BY cnt DESC, word ASC LIMIT {_VOCAB_KEEP})
+    )
+    SELECT w.doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           string_agg(CASE WHEN v.word IS NOT NULL THEN w.word END,
+                      ' ' ORDER BY w.pos) AS pruned_text
+    FROM w LEFT JOIN vocab v ON v.word = w.word
+    GROUP BY w.doc_id
+    """,
+)
+def k31_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-style vocabulary cap: rank corpus terms by frequency
+    (deterministic tiebreak), keep the top {_VOCAB_KEEP}, drop every
+    out-of-vocabulary token and reassemble each document in original
+    word order.  The vocab is a top-k agg (tiny) broadcast back onto
+    the posexplode'd corpus; reassembly is
+    `array_sort(collect_list(struct(pos, word)))` per doc — the same
+    order-preserving re-agg pattern as k30.  At 100 TB the vocab side
+    stays k rows regardless of corpus size."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    vocab = (
+        d.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(_VOCAB_KEEP)
+        .select(F.col("word").alias("v_word"))
+    )
+    marked = d.join(
+        F.broadcast(vocab), F.col("word") == F.col("v_word"), "left"
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.when(F.col("v_word").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("v_word").isNotNull(), F.struct("pos", "word")
+                        )
+                    )
+                ),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("pruned_text"),
+    )
