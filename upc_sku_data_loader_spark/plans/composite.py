@@ -95,7 +95,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5: revenue where supplier and customer share a nation,
     restricted to one region/year.  nation⋈region filter is applied to
     the small side first, so the fact-side joins see a pre-pruned
-    supplier list (broadcast)."""
+    supplier list; hints pin only the bounded dims (region/nation) and
+    AQE sizes the rest at runtime."""
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load(spark, sf_dir, "nation").join(
         F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
@@ -109,11 +110,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
     )
     l = load(spark, sf_dir, "lineitem")
+    # No broadcast hint on the supplier side: it scales with SF (only
+    # nation/region above are bounded); AQE picks BHJ when it fits.
     joined = (
         c.join(o, o.o_custkey == c.c_custkey)
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(s),
+            s,
             (F.col("s_suppkey") == F.col("l_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
@@ -201,7 +204,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     rpair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
     joined = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)  # supplier scales with SF: AQE decides
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("s_nk") == F.col("s_nationkey"))
@@ -265,8 +268,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = load(spark, sf_dir, "lineitem")
     joined = (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("cust_nk") == F.col("c_nationkey"), "inner")
@@ -388,7 +391,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))  # AQE decides
         .agg(
             F.round(
                 100.0
@@ -432,7 +435,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Decorrelated per-part threshold — only parts of the filtered brand
     # need an AVG, so the agg input is pre-pruned by a semi join.
     thresholds = (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_partkey")
         .agg(
             (
@@ -445,9 +448,11 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("l_partkey", "t_partkey")
     )
+    # p and thresholds scale as part/brand-count — no pinned broadcast;
+    # AQE broadcasts them at this SF and shuffles them beyond.
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(thresholds), F.col("t_partkey") == F.col("l_partkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(thresholds, F.col("t_partkey") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             dsum("l_extendedprice", "total_extended"),
@@ -494,7 +499,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         l.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))  # small side is the
+        # 46-order intermediate, not customer — AQE broadcasts the right one
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
         .agg(F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double").alias("total_qty"))
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
@@ -537,7 +543,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
            & F.col("l_quantity").between(20, 30))
     )
     return (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))  # AQE decides
         .filter(cond)
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
