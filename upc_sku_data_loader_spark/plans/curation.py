@@ -343,26 +343,25 @@ def k27_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents")
         .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     )
-    stats = w.groupBy("term").agg(
-        F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df")
-    )
-    postings = (
-        w.select("term", "doc_id")
-        .distinct()
-        .groupBy("term")
+    # Single chain: the exploded corpus shuffles ONCE on (term, doc_id)
+    # (map-side partial agg collapses the fan-out); the second agg's
+    # input is just the distinct pairs, so tf/df/postings come from one
+    # pass — no separate stats + postings scans.
+    pairs = w.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        pairs.groupBy("term")
         .agg(
+            F.sum("cnt").alias("tf"),
+            F.count(F.lit(1)).alias("df"),
             F.array_join(
                 F.transform(
-                    F.sort_array(F.collect_set("doc_id")),
+                    F.sort_array(F.collect_list("doc_id")),
                     lambda x: x.cast("string"),
                 ),
                 ",",
-            ).alias("posting_list")
+            ).alias("posting_list"),
         )
-    )
-    return (
-        stats.filter(F.col("df") >= 5)
-        .join(postings, "term")
+        .filter(F.col("df") >= 5)
         .select("term", "tf", "df", "posting_list")
     )
 
