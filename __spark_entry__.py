@@ -66,6 +66,22 @@ _PRIORITY = [
     "k15_multimodal_features", "k10_lang_id",
 ]
 
+# ROUND-3 ROTATION PLAN (apply at the start of round 3, after
+# CORRECTNESS_r02 lands): replace _PRIORITY with the never-yet-windowed
+# hash-checkable entries —
+#   composite tier: q4 q5 q6 q7 q8 q10 q13 q14 q17 q18 q19 q22
+#     q_event_funnel q_cohort_retention (14)
+#   curation: k23 k24 k25 k26 k27 k28 k29 k30 k31 (9)
+#   sources/maintenance: a10 a11 a12 a13 a14 (5)
+#   relational/API additions: c11 c12 d15 h11 g5 b11 etl_scd2_history
+#     i12_stream_parquet_sink j7_map_in_arrow s1 s2 t1 t2 t3 (14)
+#   round-2-era never-windowed: k11 k12 k13 k18 k19 k20
+#     e9_win_percent_cume d14 (8)
+# = exactly 50.  k21/k22 + k3/k4/k17/k4b/k17b roll to round 4 (k21/k22
+# were r2-windowed? no — verify against CORRECTNESS_r02 before
+# choosing; rows-only k14/k16/i10 stay outside the window per the
+# contract test).
+
 
 def _ordered() -> list[str]:
     missing = [n for n in _PRIORITY if n not in QUERIES]
