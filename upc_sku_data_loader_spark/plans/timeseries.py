@@ -204,3 +204,125 @@ def t3_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "winsorized_sum",
         )
     )
+
+
+# --- T4: OHLC downsampling (open/high/low/close per day) ----------------------
+
+
+@query(
+    "t4_ohlc_downsample",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, ts, event_id, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT day, value,
+             ROW_NUMBER() OVER (PARTITION BY day ORDER BY ts ASC,  event_id ASC)  AS rna,
+             ROW_NUMBER() OVER (PARTITION BY day ORDER BY ts DESC, event_id DESC) AS rnd
+      FROM e
+    )
+    SELECT day,
+           MAX(CASE WHEN rna = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rnd = 1 THEN value END) AS close,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS volume
+    FROM r
+    GROUP BY day
+    """,
+)
+def t4_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar downsampling: first/max/min/last value per day with a
+    deterministic (ts, event_id) tiebreak.  Spark side uses
+    `min_by`/`max_by` over a struct key — ONE hash aggregation, no
+    window pass at all (the oracle needs ROW_NUMBER CTEs only because
+    DuckDB's arg_min lacks composite keys).  The canonical time-series
+    compaction: at 100 TB it is a single keyed shuffle."""
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.struct("ts", "event_id").alias("k"),
+            "value",
+        )
+    )
+    return e.groupBy("day").agg(
+        F.min_by("value", F.col("k")).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", F.col("k")).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("volume"),
+    )
+
+
+# --- T5: batch sessionization (gap-based session ids via windows) -------------
+
+_GAP_S = 1800  # 30-minute inactivity gap
+
+
+@query(
+    "t5_sessionize_batch",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > {_GAP_S}
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o
+    ),
+    per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           MAX(n_events) AS longest_session
+    FROM per_session
+    GROUP BY user_id
+    """,
+)
+def t5_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in batch: a session break is >{_GAP_S}s
+    of inactivity; session ids are a running sum of break flags — the
+    lag + cumulative-sum window idiom (the batch twin of the stateful
+    streaming sessionizer i6/i6b, which must agree with this on replay).
+    Two window passes over one user_id shuffle, then two small aggs."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    flagged = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > _GAP_S
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.max("n_events").alias("longest_session"),
+    )
