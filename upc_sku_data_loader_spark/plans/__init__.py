@@ -19,10 +19,17 @@ from . import (  # noqa: F401
 
 __all__ = [
     "aggregates",
+    "composite",
+    "curation",
     "events_streams",
     "filters",
     "joins",
+    "llm",
     "scalars",
     "sorts_setops",
+    "sources_sinks",
+    "sql_api",
+    "timeseries",
+    "udfs",
     "windows",
 ]
