@@ -676,3 +676,62 @@ def a14_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
         .select("r_regionkey", "r_name", "r_zone")
     )
+
+
+# --- ETL3: incremental merge (latest-wins snapshot + delta consolidation) ------
+
+
+@query(
+    "etl3_incremental_merge",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS batch_id
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    ),
+    delta AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus,
+             o_totalprice * 1.1 AS o_totalprice, 2 AS batch_id
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+         OR o_orderkey % 97 = 0
+    ),
+    merged AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                   ORDER BY batch_id DESC) AS rn
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice, batch_id
+    FROM merged WHERE rn = 1
+    """,
+)
+def etl3_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental warehouse merge: a base snapshot consolidated with a
+    delta batch (updates + late arrivals), latest-batch-wins per key —
+    the `MERGE INTO` semantic expressed as union + row_number, which is
+    exactly how Spark implements upsert on plain parquet (no
+    table-format dependency).  One shuffle on the key; at 100 TB the
+    delta is typically ≪ base, so the sort inside each partition is
+    cheap and the base never rewrites more than the touched partitions
+    when combined with partitionBy on the write."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    base = o.filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", F.lit(1).alias("batch_id"))
+    delta = o.filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+        | (F.col("o_orderkey") % 97 == 0)
+    ).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        F.lit(2).alias("batch_id"),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("batch_id"))
+    return (
+        base.unionByName(delta)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
