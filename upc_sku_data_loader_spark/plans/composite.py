@@ -709,3 +709,489 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+# --- Q2: minimum-cost supplier (correlated MIN subquery → pre-agg join) -------
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eur AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    sc AS (
+      SELECT c.l_partkey, c.unit_cost, e.s_name, e.s_acctbal, e.n_name
+      FROM cost c JOIN eur e ON e.s_suppkey = c.l_suppkey
+    ),
+    minc AS (
+      SELECT l_partkey, MIN(unit_cost) AS min_cost
+      FROM sc GROUP BY l_partkey
+    )
+    SELECT sc.s_acctbal, sc.s_name, sc.n_name AS nation,
+           p.p_partkey, p.p_brand, ROUND(sc.unit_cost, 4) AS unit_cost
+    FROM sc
+    JOIN minc ON minc.l_partkey = sc.l_partkey
+             AND sc.unit_cost = minc.min_cost
+    JOIN part p ON p.p_partkey = sc.l_partkey
+    WHERE p.p_type = 'STANDARD' AND p.p_size BETWEEN 20 AND 30
+    ORDER BY sc.s_acctbal DESC, sc.s_name ASC, p.p_partkey ASC
+    LIMIT 20
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted (no partsupp table): the part-supplier cost
+    relation is derived from lineitem as MIN(unit price) per
+    (part, supplier).  The correlated 'cost = MIN(cost) over the
+    region' subquery becomes a keyed pre-aggregation joined back on
+    (partkey, cost) — one shuffle on the small agg output instead of a
+    per-row re-scan.  Region/nation prune the supplier side *before*
+    the fact join; MIN over identical IEEE divisions is bit-exact
+    cross-engine, so the equality join needs no rounding (output
+    rounded for display only)."""
+    cost = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = load(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    eur = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    sc = cost.join(eur, F.col("s_suppkey") == F.col("l_suppkey"))
+    minc = sc.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").between(20, 30)
+    )
+    return (
+        sc.join(
+            minc,
+            (F.col("mc_partkey") == F.col("l_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_brand",
+            rnd("unit_cost", "unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(20)
+    )
+
+
+# --- Q9: product-type profit by nation × year ---------------------------------
+
+
+@query(
+    "q9_product_type_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation, YEAR(o.o_orderdate) AS o_year,
+           {dsum_sql("l.l_extendedprice * (1 - l.l_discount)"
+                     " - l.l_quantity * p.p_retailprice * 0.1", "profit")}
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted: profit = revenue − 10 % of retail price × qty
+    (fixtures lack ps_supplycost).  Five-way join where only the part
+    filter is selective — it's applied before the join so the scan
+    prunes; nation broadcasts; the (nation, year) agg output is tiny.
+    Per-row profit is decimal-cast (dsum) so the sum is
+    order-independent across engines."""
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("l_quantity") * F.col("p_retailprice") * 0.1
+    )
+    return (
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(profit, "profit"))
+    )
+
+
+# --- Q11: important part values (scalar-subquery threshold) -------------------
+
+
+@query(
+    "q11_important_part_values",
+    oracle=f"""
+    WITH pv AS (
+      SELECT l.l_partkey, {dsum_sql("l.l_extendedprice * (1 - l.l_discount)",
+                                    "value")}
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_7'
+      GROUP BY l.l_partkey
+    )
+    SELECT pv.l_partkey AS p_partkey, pv.value
+    FROM pv, (SELECT CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+              AS total FROM pv) t
+    WHERE pv.value > t.total * 0.001
+    ORDER BY pv.value DESC, p_partkey ASC
+    LIMIT 50
+    """,
+)
+def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted: per-part shipped value (revenue) for one
+    nation's suppliers, keeping parts above 0.1 % of the nation total.
+    The scalar total is a 1-row aggregate cross-joined (broadcast) —
+    the pv relation is computed once and reused for both the threshold
+    and the output (Spark caches nothing here, but pv is one shuffle
+    over a pre-filtered fact side either way).  Both the per-part sums
+    and the grand total go through decimal casts so the > comparison
+    sees identical doubles on both engines."""
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    pv = (
+        load(spark, sf_dir, "lineitem")
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "value"))
+    )
+    total = pv.agg(
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total")
+    )
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("total") * 0.001)
+        .select("p_partkey", "value")
+        .orderBy(F.desc("value"), F.asc("p_partkey"))
+        .limit(50)
+    )
+
+
+# --- Q12: shipping-delay classes × order priority (conditional agg) -----------
+
+
+@query(
+    "q12_ship_delay_classes",
+    oracle="""
+    SELECT CASE WHEN DATEDIFF('day', o.o_orderdate, l.l_shipdate) <= 30
+                THEN 'FAST'
+                WHEN DATEDIFF('day', o.o_orderdate, l.l_shipdate) <= 60
+                THEN 'NORMAL'
+                ELSE 'SLOW' END AS delay_class,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY delay_class
+    """,
+)
+def q12_ship_delay_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted (no l_shipmode/commitdate): lineitems bucketed
+    by ship delay instead of ship mode, counting high- vs low-priority
+    lines per bucket.  One join + one 3-group agg; the priority split is
+    a conditional SUM, not two scans.  DATEDIFF day semantics agree
+    across engines for timestamp inputs."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.when(delay <= 30, "FAST")
+            .when(delay <= 60, "NORMAL")
+            .otherwise("SLOW")
+            .alias("delay_class")
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --- Q15: top supplier (scalar MAX over a derived revenue view) ---------------
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             {dsum_sql("l_extendedprice * (1 - l_discount)", "total_revenue")}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, rev.total_revenue
+    FROM rev, (SELECT MAX(total_revenue) AS max_rev FROM rev) m
+    JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.total_revenue = m.max_rev
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue.  The
+    classic formulation creates a view and compares against its MAX —
+    here the view is the `rev` aggregate and the MAX is a 1-row
+    broadcast cross join (no second scan of lineitem, no driver
+    collect).  dsum makes per-supplier revenue exact, so `= max_rev`
+    is a safe double equality on both engines."""
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --- Q16: supplier counts per part group (anti join + count distinct) ---------
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#9'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted: distinct supplier count per (brand, type,
+    size) group, excluding flagged suppliers (negative balance stands in
+    for the 'Customer Complaints' comment filter — fixtures have no
+    comment column).  NOT IN over a provably non-null key column is an
+    anti join; part filters are pushed to the scan; COUNT DISTINCT
+    shuffles once on the group key with partial dedup map-side."""
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    flagged = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(flagged), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --- Q20: dominant suppliers of a part family (two-level agg + semi chain) ----
+
+
+@query(
+    "q20_dominant_suppliers",
+    oracle=f"""
+    WITH sq AS (
+      SELECT l_partkey, l_suppkey, {dsum_sql("l_quantity", "qty")}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+        AND l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE 'small%')
+      GROUP BY l_partkey, l_suppkey
+    ),
+    pt AS (
+      SELECT l_partkey, CAST(SUM(CAST(qty AS DECIMAL(30,6))) AS DOUBLE)
+             AS part_total
+      FROM sq GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_name, n.n_name AS nation
+    FROM sq
+    JOIN pt ON pt.l_partkey = sq.l_partkey
+    JOIN supplier s ON s.s_suppkey = sq.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE sq.qty > pt.part_total * 0.3
+      AND r.r_name = 'AMERICA'
+    """,
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (no ps_availqty): suppliers who shipped more
+    than 30 % of a 'small%' part's 1997 volume — the classic
+    'availqty > half of shipped' correlated threshold becomes a
+    two-level aggregation (per part×supplier, then per part) joined on
+    the correlation key.  The part IN-list is a semi join against a
+    pre-filtered part scan; region prunes the supplier dimension before
+    the final DISTINCT projection."""
+    parts = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    sq = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(parts, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum("l_quantity", "qty"))
+    )
+    pt = sq.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
+        F.sum(F.col("qty").cast("decimal(30,6)")).cast("double").alias("part_total")
+    )
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n = load(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        sq.join(pt, F.col("pt_partkey") == F.col("l_partkey"))
+        .filter(F.col("qty") > F.col("part_total") * 0.3)
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_name", F.col("n_name").alias("nation"))
+        .distinct()
+    )
+
+
+# --- Q21: suppliers who kept orders waiting (semi + anti on one key) ----------
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH fl AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    cand AS (
+      SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+      FROM fl l1
+      WHERE l1.late
+        AND EXISTS (SELECT 1 FROM fl l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM fl l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.late)
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM cand JOIN supplier s ON s.s_suppkey = cand.l_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name ASC
+    LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted: a supplier 'kept an order waiting' when it was
+    the ONLY late shipper (ship > order date + 60d) in a multi-supplier
+    finished order.  The EXISTS / NOT-EXISTS pair over the same
+    relation is rewritten as ONE per-order aggregation (distinct
+    supplier count + distinct late-supplier count) joined back to the
+    late lines — two shuffles on l_orderkey instead of three
+    self-joins; the oracle keeps the classic correlated form, proving
+    the rewrite's semantics.  numwait counts distinct orders."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    fl = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("late"),
+        )
+    )
+    per_order = fl.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    cand = (
+        fl.filter(F.col("late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(per_order, F.col("po_orderkey") == F.col("l_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        cand.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
