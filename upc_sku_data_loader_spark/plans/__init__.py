@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     sources_sinks,
     sql_api,
     timeseries,
+    training,
     udfs,
     windows,
 )
@@ -30,6 +31,7 @@ __all__ = [
     "sources_sinks",
     "sql_api",
     "timeseries",
+    "training",
     "udfs",
     "windows",
 ]

@@ -1,0 +1,451 @@
+"""Training-pipeline operators: the steps between curated corpus and
+training shards (reference file:line n/a — empty tree, SURVEY §0.1).
+
+Extends the curation tier (plans/curation.py) with the operations that
+turn a cleaned document corpus into model-ready data:
+
+- k32 sequence packing — concat-then-split packing of documents into
+  fixed-length context windows (the GPT-style packer: concatenate the
+  corpus in doc order, cut every L tokens, report which docs overlap
+  which packs).  The global running token offset is a *distributed
+  prefix sum*: per-range-shard window cumsum + a tiny cross-shard
+  offset relation — never a single global window over the fact table.
+- k33 stratified sampling — exact n-per-stratum selection ordered by an
+  md5 hash, so both engines pick the identical sample (no engine RNG).
+- k34 Gopher-style quality rules — word-count bounds, mean word
+  length, stopword fraction as hard filter flags (Rae et al. 2021,
+  arXiv:2112.11446 §A1.1 — public paper), pure column expressions.
+- k35 unigram log-prob scoring — a perplexity proxy: corpus unigram
+  LM, per-doc mean token log-probability.  Two aggs + one broadcast
+  join; the only transcendental (LN) is rounded to 6 dp on both
+  engines before the exact decimal mean.
+- k36 global chunk dedup — first-occurrence-wins dedup of 10-token
+  chunks ACROSS the corpus (k30 dedups spans *within* a doc); one
+  shuffle on chunk text, reconstruction via ordered string_agg.
+- k37 dedup clusters — connected components over the near-duplicate
+  pair graph (3-shingle Jaccard ≥ 0.5, same-language blocking), the
+  step that turns pairwise near-dup hits into canonical-document
+  groups.  Spark side: iterative min-label propagation (bounded, with
+  lineage checkpoints); oracle: DuckDB recursive-CTE transitive
+  closure — a genuinely iterative algorithm still hash-checked exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.exprs import dsum, dsum_sql
+from ..registry import query
+
+PACK_LEN = 256  # tokens per packed context window (k32)
+CHUNK = 10  # tokens per dedup chunk (k36)
+
+# Word-3-gram shingle set per doc, identical construction both engines.
+_SHINGLE_EXPR = (
+    "transform(sequence(1, greatest(size(t) - 2, 1)),"
+    " i -> concat_ws(' ', slice(t, i, 3)))"
+)
+_SHINGLE_SQL = """
+    SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+    FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+         UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(i)
+"""
+
+
+# --- K32: sequence packing (concat-then-split into context windows) -----------
+
+
+@query(
+    "k32_sequence_packing",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS ntok FROM documents
+    ),
+    c AS (
+      SELECT doc_id, ntok,
+             CAST(SUM(ntok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_end
+      FROM d
+    )
+    SELECT doc_id, pack_id,
+           CAST(LEAST(cum_end, (pack_id + 1) * {PACK_LEN})
+                - GREATEST(cum_end - ntok, pack_id * {PACK_LEN})
+                AS BIGINT) AS tok_in_pack
+    FROM c, UNNEST(generate_series((cum_end - ntok) // {PACK_LEN},
+                                   (cum_end - 1) // {PACK_LEN})) AS g(pack_id)
+    """,
+)
+def k32_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-split packing: documents concatenated in doc_id
+    order, cut every PACK_LEN tokens; emits one row per (doc, pack)
+    overlap with the token count the doc contributes to that pack.
+
+    Scale design: the running offset is computed as a two-level prefix
+    sum — dense doc_ids are range-sharded (contiguous id blocks), the
+    cumsum runs per shard, and cross-shard offsets come from a
+    #shards-row aggregate (the only single-partition window, O(shards)
+    not O(rows)).  At 100 TB this is the textbook distributed scan
+    pattern; a naive `ORDER BY doc_id` global window would serialize
+    the whole corpus through one task (the oracle may do exactly that —
+    DuckDB is single-node)."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("ntok"))
+        .withColumn("shard", F.expr("doc_id div 64"))
+    )
+    w_local = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.withColumn("local_end", F.sum("ntok").over(w_local))
+    # Cross-shard offsets: tiny relation (one row per shard), exclusive
+    # prefix over shard totals — single-partition window over #shards rows.
+    totals = d.groupBy("shard").agg(F.sum("ntok").alias("shard_tot"))
+    w_off = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        F.col("shard").alias("off_shard"),
+        F.coalesce(F.sum("shard_tot").over(w_off), F.lit(0)).alias("offset"),
+    )
+    packed = (
+        local.join(F.broadcast(offsets), F.col("off_shard") == F.col("shard"))
+        .withColumn("cum_end", (F.col("local_end") + F.col("offset")).cast("long"))
+        .withColumn("pack_id", F.explode(F.expr(
+            f"sequence((cum_end - ntok) div {PACK_LEN},"
+            f" (cum_end - 1) div {PACK_LEN})"
+        )))
+    )
+    return packed.select(
+        "doc_id",
+        "pack_id",
+        (
+            F.least(F.col("cum_end"), (F.col("pack_id") + 1) * PACK_LEN)
+            - F.greatest(F.col("cum_end") - F.col("ntok"), F.col("pack_id") * PACK_LEN)
+        ).cast("long").alias("tok_in_pack"),
+    )
+
+
+# --- K33: stratified sampling (exact n per stratum, hash-ordered) -------------
+
+
+@query(
+    "k33_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, rk
+    FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rk
+      FROM documents
+    )
+    WHERE rk <= 20
+    """,
+)
+def k33_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sample: 20 docs per language, selected by
+    md5-hash rank so the sample is deterministic and engine-independent
+    (the hash IS the random order — no RNG).  One shuffle on the
+    stratum key.  Scale note: a stratum far larger than memory should
+    first prune with an approximate hash-threshold (percentile of the
+    hash at ~n/N) before the exact window — the window then sorts only
+    the surviving sliver; the semantics here are the exact top-n."""
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 20)
+    )
+
+
+# --- K34: Gopher-style quality rules ------------------------------------------
+
+
+@query(
+    "k34_gopher_rules",
+    oracle="""
+    WITH sig AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             strlen(replace(text, ' ', ''))
+               * 1.0 / len(string_split(text, ' ')) AS mwl,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the', 'a', 'of', 'and', 'in')))
+               * 1.0 / len(string_split(text, ' ')) AS stop_frac
+      FROM documents
+    )
+    SELECT doc_id, n_words,
+           ROUND(mwl, 4) AS mean_word_len,
+           ROUND(stop_frac, 4) AS stopword_frac,
+           (n_words BETWEEN 20 AND 1000
+            AND mwl BETWEEN 3 AND 10
+            AND stop_frac >= 0.01) AS passes
+    FROM sig
+    """,
+)
+def k34_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule hard filters (word-count bounds, mean word length
+    3–10, stopword fraction ≥ 1 %) as per-doc flags.  Pure JVM column
+    expressions — map-only, no shuffle, whole-stage codegen; the rule
+    comparisons run on the RAW doubles (identical arithmetic both
+    engines), rounding applies only to the reported signal columns."""
+    n_words = F.size(F.split("text", " "))
+    mwl = F.length(F.translate("text", " ", "")) * 1.0 / n_words
+    stop_frac = (
+        F.expr(
+            "size(filter(split(text, ' '),"
+            " w -> w IN ('the', 'a', 'of', 'and', 'in')))"
+        )
+        * 1.0
+        / n_words
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mwl, 4).alias("mean_word_len"),
+        F.round(stop_frac, 4).alias("stopword_frac"),
+        (
+            n_words.between(20, 1000)
+            & mwl.between(3, 10)
+            & (stop_frac >= 0.01)
+        ).alias("passes"),
+    )
+
+
+# --- K35: unigram log-prob scoring (perplexity proxy) -------------------------
+
+
+@query(
+    "k35_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    freq AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq),
+    scored AS (
+      SELECT t.doc_id,
+             ROUND(LN(CAST(f.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE)), 6)
+               AS logp
+      FROM tok t JOIN freq f ON f.w = t.w, tot
+    )
+    SELECT doc_id, COUNT(*) AS n_tok,
+           ROUND({dsum_sql("logp", "s").replace(" AS s", "")} / COUNT(*), 4)
+             AS logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def k35_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity proxy: per-doc mean log-probability under the
+    corpus's own unigram LM — the classic cheap quality score (low =
+    rare-token soup).  Plan: explode → vocab count agg → broadcast the
+    vocab back onto the token stream (the vocab is bounded by
+    |unique tokens|, small even at 100 TB after Zipf truncation) → one
+    per-doc agg.  LN is the only libm call; both sides round it to
+    6 dp before the exact decimal sum, absorbing any last-ulp
+    cross-engine drift."""
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").cast("long").alias("total"))
+    scored = (
+        tok.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("cnt").cast("double") / F.col("total").cast("double")), 6
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.round(
+            F.sum(F.col("logp").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("logprob"),
+    )
+
+
+# --- K36: global chunk dedup (first occurrence wins, cross-corpus) ------------
+
+
+@query(
+    "k36_chunk_dedup_global",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             (len(string_split(text, ' ')) + {CHUNK} - 1) // {CHUNK} AS nch
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, i AS idx,
+             array_to_string(list_slice(t, i * {CHUNK} + 1,
+                                        i * {CHUNK} + {CHUNK}), ' ') AS chunk
+      FROM d, UNNEST(generate_series(0, nch - 1)) AS g(i)
+    ),
+    marked AS (
+      SELECT doc_id, idx, chunk,
+             ROW_NUMBER() OVER (PARTITION BY chunk
+                                ORDER BY doc_id, idx) = 1 AS kept
+      FROM ch
+    )
+    SELECT doc_id, COUNT(*) AS n_chunks,
+           SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
+           COALESCE(string_agg(chunk, ' ' ORDER BY idx)
+                    FILTER (WHERE kept), '') AS dedup_text
+    FROM marked GROUP BY doc_id
+    """,
+)
+def k36_chunk_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus chunk dedup: every 10-token chunk is kept only at
+    its first global occurrence (min doc_id, then min offset) — the
+    corpus-level complement of k30's within-document span dedup.  One
+    shuffle on chunk text (the window's partition key); reconstruction
+    is an ordered in-group concat.  At 100 TB the chunk column would be
+    a 64-bit hash instead of the raw text (same plan shape, 8-byte
+    shuffle key) with keeper resolution by (hash, doc_id, idx)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("t"),
+    ).withColumn("nch", F.expr(f"(size(t) + {CHUNK} - 1) div {CHUNK}"))
+    ch = d.select(
+        "doc_id",
+        F.explode(F.expr("sequence(0, nch - 1)")).alias("idx"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "idx",
+        F.expr(f"concat_ws(' ', slice(t, idx * {CHUNK} + 1, {CHUNK}))").alias("chunk"),
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "idx")
+    marked = ch.withColumn("kept", F.row_number().over(w) == 1)
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+        F.coalesce(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(CASE WHEN kept THEN"
+                    " struct(idx, chunk) END)), x -> x.chunk)"
+                ),
+            ),
+            F.lit(""),
+        ).alias("dedup_text"),
+    )
+
+
+# --- K37: near-dup connected components (iterative ⇄ recursive-CTE oracle) ----
+
+
+@query(
+    "k37_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang
+                         AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT da, db FROM pairs
+      JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+      WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+    ),
+    sym AS (SELECT da AS a, db AS b FROM edges
+            UNION ALL SELECT db, da FROM edges),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a)
+    SELECT doc_id, component,
+           COUNT(*) OVER (PARTITION BY component) AS cluster_size
+    FROM comp
+    """,
+)
+def k37_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: connected components over the pair
+    graph (word-3-shingle Jaccard ≥ 0.5, same-language blocking), the
+    step that converts pairwise near-dup hits into canonical groups
+    (component id = min doc_id; singletons are their own component).
+
+    Spark side is iterative min-label propagation: each round joins the
+    label table to the symmetric edge list, takes the min neighbor
+    label, and stops when no label changed — O(graph diameter) rounds,
+    each a pair of keyed shuffles, with `localCheckpoint` truncating
+    the growing lineage (the standard large-graph CC pattern; GraphX
+    does the same under the hood).  The oracle proves the fixpoint with
+    a recursive-CTE transitive closure — feasible single-node because
+    closure size is Σ component², and near-dup components are tiny.
+    Edge building is inverted-index based (docs sharing a shingle),
+    never all-pairs."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", F.split("text", " ").alias("t"))
+    sh = toks.select(
+        "doc_id", "lang", F.explode(F.expr(_SHINGLE_EXPR)).alias("s")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("da"), "lang", "s")
+    b = sh.select(F.col("doc_id").alias("db"), F.col("lang").alias("lb"),
+                  F.col("s").alias("sb"))
+    pairs = (
+        a.join(b, (F.col("s") == F.col("sb")) & (F.col("lang") == F.col("lb"))
+               & (F.col("da") < F.col("db")))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    edges = (
+        pairs.join(sizes.select(F.col("doc_id").alias("da"),
+                                F.col("n").alias("na")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"),
+                           F.col("n").alias("nb")), "db")
+        .filter(F.col("common") * 1.0
+                / (F.col("na") + F.col("nb") - F.col("common")) >= 0.5)
+        .select("da", "db")
+    )
+    sym = edges.union(edges.select(F.col("db"), F.col("da"))).toDF("a", "b")
+    sym = sym.localCheckpoint(eager=True)  # edges reused every round
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("component"))
+    for _ in range(20):  # diameter bound; converges in O(log n) typically
+        nbr_min = (
+            sym.join(labels, F.col("b") == F.col("doc_id"))
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("component").alias("nbr_comp"))
+        )
+        new = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("nbr_comp"), F.col("component"))
+                 < F.col("component")).alias("changed"),
+            )
+        )
+        new = new.localCheckpoint(eager=True)
+        if new.filter(F.col("changed")).limit(1).count() == 0:
+            labels = new.drop("changed")
+            break
+        labels = new.drop("changed")
+    csize = labels.groupBy(F.col("component").alias("cc")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labels.join(F.broadcast(csize), F.col("cc") == F.col("component")).select(
+        "doc_id", "component", "cluster_size"
+    )
