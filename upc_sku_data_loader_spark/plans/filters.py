@@ -326,3 +326,86 @@ def b11_validate_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("string"))
     )
     return t.select("upc", "p_retailprice", "p_size", status.alias("status"), reason.alias("reason"))
+
+
+# --- B12: column statistics profiler ------------------------------------------
+
+
+@query(
+    "b12_column_profile",
+    # One row per profiled column: null count, distinct count, min/max
+    # rendered through printf so both engines canonicalize doubles and
+    # timestamps identically (CAST(double AS VARCHAR) diverges between
+    # Java's Double.toString and DuckDB's formatter).
+    oracle="""
+    SELECT 'o_orderkey' AS col_name,
+           COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_repr,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_repr
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*) - COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           printf('%.2f', MIN(o_totalprice)), printf('%.2f', MAX(o_totalprice))
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*) - COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate),
+           strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+def b12_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass (deequ/Great-Expectations style): per-column
+    null count, distinct count, and canonical min/max over `orders`,
+    emitted as one row per column.  The whole profile is ONE aggregate
+    over ONE scan — Spark plans the multiple COUNT(DISTINCT)s as a
+    single Expand + two-level hash aggregate, so adding columns widens
+    the row, it does not add passes.  min/max go through printf-style
+    formatting (`format_string`) so the profile row is type-uniform and
+    engine-canonical."""
+    o = load(spark, sf_dir, "orders")
+    prof = o.agg(
+        (F.count(F.lit(1)) - F.count("o_orderkey")).alias("nn_key"),
+        F.countDistinct("o_orderkey").alias("nd_key"),
+        F.min("o_orderkey").cast("string").alias("mn_key"),
+        F.max("o_orderkey").cast("string").alias("mx_key"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("nn_cust"),
+        F.countDistinct("o_custkey").alias("nd_cust"),
+        F.min("o_custkey").cast("string").alias("mn_cust"),
+        F.max("o_custkey").cast("string").alias("mx_cust"),
+        (F.count(F.lit(1)) - F.count("o_totalprice")).alias("nn_price"),
+        F.countDistinct("o_totalprice").alias("nd_price"),
+        F.format_string("%.2f", F.min("o_totalprice")).alias("mn_price"),
+        F.format_string("%.2f", F.max("o_totalprice")).alias("mx_price"),
+        (F.count(F.lit(1)) - F.count("o_orderdate")).alias("nn_date"),
+        F.countDistinct("o_orderdate").alias("nd_date"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("mn_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("mx_date"),
+        (F.count(F.lit(1)) - F.count("o_orderpriority")).alias("nn_prio"),
+        F.countDistinct("o_orderpriority").alias("nd_prio"),
+        F.min("o_orderpriority").alias("mn_prio"),
+        F.max("o_orderpriority").alias("mx_prio"),
+    )
+    return prof.select(
+        F.expr(
+            "stack(5,"
+            " 'o_orderkey', nn_key, nd_key, mn_key, mx_key,"
+            " 'o_custkey', nn_cust, nd_cust, mn_cust, mx_cust,"
+            " 'o_totalprice', nn_price, nd_price, mn_price, mx_price,"
+            " 'o_orderdate', nn_date, nd_date, mn_date, mx_date,"
+            " 'o_orderpriority', nn_prio, nd_prio, mn_prio, mx_prio)"
+            " AS (col_name, n_nulls, n_distinct, min_repr, max_repr)"
+        )
+    )

@@ -449,3 +449,142 @@ def k37_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.join(F.broadcast(csize), F.col("cc") == F.col("component")).select(
         "doc_id", "component", "cluster_size"
     )
+
+
+# --- K38: leakage-safe train/val/test split -----------------------------------
+
+
+@query(
+    "k38_leakage_safe_split",
+    oracle="""
+    SELECT doc_id, source,
+           CASE WHEN b < 10 THEN 'test'
+                WHEN b < 20 THEN 'val'
+                ELSE 'train' END AS split
+    FROM (
+      SELECT doc_id, source,
+             CAST('0x' || substr(md5(source), 1, 4) AS UBIGINT) % 100 AS b
+      FROM documents
+    )
+    """,
+)
+def k38_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment keyed on the GROUP (source), not the
+    document: every doc from one source lands in the same split, so
+    near-duplicates within a crawl/source can never straddle the
+    train/eval boundary (the standard contamination guard).  The
+    assignment is a pure hash of the group key — map-only, no shuffle,
+    no RNG, stable under re-runs and engine-independent (md5 on both
+    sides).  10 % test / 10 % val / 80 % train by hash bucket."""
+    b = (
+        F.conv(F.substring(F.md5(F.col("source").cast("binary")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(b < 10, "test").when(b < 20, "val").otherwise("train").alias("split"),
+    )
+
+
+# --- K39: temperature-weighted source resampling ------------------------------
+
+_ALPHA = 0.5  # mixture temperature: weight_s ∝ count_s^0.5
+_BUDGET = 200  # expected docs kept across the corpus
+
+
+@query(
+    "k39_source_temperature_sample",
+    oracle=f"""
+    WITH n AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+    w AS (
+      SELECT source, n_s, POW(n_s, {_ALPHA}) AS w_s,
+             SUM(POW(n_s, {_ALPHA})) OVER () AS w_tot
+      FROM n
+    ),
+    p AS (
+      SELECT source, n_s,
+             ROUND(LEAST(1.0, {_BUDGET} * w_s / w_tot / n_s), 6) AS p_keep
+      FROM w
+    )
+    SELECT d.doc_id, d.source, p.p_keep
+    FROM documents d JOIN p ON p.source = d.source
+    WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) AS UBIGINT)
+          / 16777216.0 < p.p_keep
+    """,
+)
+def k39_source_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture resampling: per-source keep
+    probability p_s ∝ n_s^α / n_s (α = 0.5 flattens the source
+    distribution, the standard multi-corpus rebalancing trick), scaled
+    to an expected total budget and capped at 1.  The keep decision is
+    a deterministic md5-fraction Bernoulli (hash(doc_id)/16^6 < p_s) —
+    reproducible shard-for-shard, engine-independent, no RNG state.
+
+    Plan: one tiny per-source agg (|sources| rows), its global weight
+    sum via a single-partition window over that tiny relation, then a
+    broadcast join back onto the fact table — map-only on the 100 TB
+    side."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    w = n.select(
+        "source", "n_s", F.pow("n_s", _ALPHA).alias("w_s")
+    ).withColumn("w_tot", F.sum("w_s").over(Window.partitionBy()))
+    p = w.select(
+        "source",
+        F.round(
+            F.least(F.lit(1.0), _BUDGET * F.col("w_s") / F.col("w_tot") / F.col("n_s")),
+            6,
+        ).alias("p_keep"),
+    )
+    frac = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 6),
+            16,
+            10,
+        ).cast("double")
+        / 16777216.0
+    )
+    return (
+        docs.join(F.broadcast(p), "source")
+        .filter(frac < F.col("p_keep"))
+        .select("doc_id", "source", "p_keep")
+    )
+
+
+# --- K40: size-balanced shard assignment (round-robin over size rank) ---------
+
+_SHARDS = 8
+
+
+@query(
+    "k40_shard_assign",
+    oracle=f"""
+    SELECT doc_id, ntok,
+           CAST((rk - 1) % {_SHARDS} AS BIGINT) AS shard_id
+    FROM (
+      SELECT doc_id, len(string_split(text, ' ')) AS ntok,
+             ROW_NUMBER() OVER (ORDER BY len(string_split(text, ' ')) DESC,
+                                doc_id) AS rk
+      FROM documents
+    )
+    """,
+)
+def k40_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced shard assignment: docs ranked by token count
+    (desc) and dealt round-robin across shards — the longest-
+    processing-time-first heuristic that keeps per-shard token totals
+    within one max-doc of each other, so no training shard becomes a
+    straggler.  Deterministic (ties broken by doc_id).
+
+    Scale note: the global size rank here is a single window at test
+    scale; the 100 TB formulation is `sort + two-level prefix COUNT`
+    exactly like k32's offset relation (range-partitioned sort gives
+    per-partition ranks; a #partitions-row cumulative count turns them
+    global) — same output, no single-task sort."""
+    w = Window.orderBy(F.col("ntok").desc(), "doc_id")
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("ntok"))
+        .withColumn("shard_id", ((F.row_number().over(w) - 1) % _SHARDS).cast("long"))
+    )
