@@ -1,0 +1,225 @@
+"""Invariant + plan-shape tests for the training-shard tier
+(plans/training.py k32–k40, plans/filters.py b12).
+
+Each test checks a property the DuckDB oracle cannot express as a
+hash compare: conservation laws, balance bounds, split purity,
+shuffle counts.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from upc_sku_data_loader_spark.plans.training import CHUNK, PACK_LEN, _SHARDS
+from upc_sku_data_loader_spark.registry import QUERIES
+
+
+def _executed_plan(spark, name, sf_dir) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    df.count()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- k32 sequence packing -----------------------------------------------------
+
+
+def test_k32_packing_conserves_tokens(spark, sf_dir):
+    """Every token lands in exactly one pack: per-doc tok_in_pack sums
+    to the doc's token count, and every pack except the last is full."""
+    packs = QUERIES["k32_sequence_packing"](spark, sf_dir)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.size(F.split("text", " ")).alias("ntok"))
+    )
+    per_doc = packs.groupBy("doc_id").agg(F.sum("tok_in_pack").alias("got"))
+    bad = per_doc.join(docs, "doc_id").filter(F.col("got") != F.col("ntok"))
+    assert bad.count() == 0
+
+    per_pack = {
+        r["pack_id"]: r["tot"]
+        for r in packs.groupBy("pack_id")
+        .agg(F.sum("tok_in_pack").alias("tot"))
+        .collect()
+    }
+    last = max(per_pack)
+    for pid, tot in per_pack.items():
+        assert tot == PACK_LEN or (pid == last and 0 < tot <= PACK_LEN), (pid, tot)
+
+
+def test_k32_no_global_window(spark, sf_dir):
+    """The prefix sum must shard: every Window node carries a partition
+    key except the #shards-row offset relation (which aggregates first,
+    so its window input is the tiny shard-totals side)."""
+    plan = _executed_plan(spark, "k32_sequence_packing", sf_dir)
+    # The doc-level cumsum window must be partitioned by shard; a plan
+    # that windows the full table unpartitioned would not mention the
+    # shard column in any Window spec.
+    assert "windowspecdefinition(shard" in plan.replace(" ", "").lower() or (
+        "Window" in plan and "shard" in plan
+    ), plan[:2000]
+
+
+# --- k33 stratified sample ----------------------------------------------------
+
+
+def test_k33_exact_n_per_stratum_and_deterministic(spark, sf_dir):
+    s1 = QUERIES["k33_stratified_sample"](spark, sf_dir).collect()
+    per_lang = defaultdict(int)
+    for r in s1:
+        per_lang[r["lang"]] += 1
+    langs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("lang").count().collect()
+    )
+    for lr in langs:
+        assert per_lang[lr["lang"]] == min(20, lr["count"])
+    s2 = QUERIES["k33_stratified_sample"](spark, sf_dir).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+
+
+# --- k34 gopher rules ---------------------------------------------------------
+
+
+def test_k34_flags_match_recomputed_signals(spark, sf_dir):
+    rows = QUERIES["k34_gopher_rules"](spark, sf_dir).collect()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    stop = {"the", "a", "of", "and", "in"}
+    for r in rows[:200]:
+        words = texts[r["doc_id"]].split(" ")
+        n = len(words)
+        mwl = sum(len(w) for w in words) / n
+        sf = sum(w in stop for w in words) / n
+        expect = 20 <= n <= 1000 and 3 <= mwl <= 10 and sf >= 0.01
+        assert r["n_words"] == n
+        assert r["passes"] == expect, (r, n, mwl, sf)
+
+
+# --- k35 unigram logprob ------------------------------------------------------
+
+
+def test_k35_logprob_nonpositive_and_counts(spark, sf_dir):
+    rows = QUERIES["k35_unigram_logprob"](spark, sf_dir)
+    assert rows.filter(F.col("logprob") > 0).count() == 0
+    n_tok_sum = rows.agg(F.sum("n_tok")).collect()[0][0]
+    corpus_tok = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split("text", " ")))
+        .count()
+    )
+    assert n_tok_sum == corpus_tok
+
+
+# --- k36 global chunk dedup ---------------------------------------------------
+
+
+def test_k36_kept_chunks_globally_unique(spark, sf_dir):
+    out = QUERIES["k36_chunk_dedup_global"](spark, sf_dir)
+    assert out.filter(F.col("n_kept") > F.col("n_chunks")).count() == 0
+    # Re-chunk every doc's dedup_text: the multiset of kept chunks must
+    # contain no duplicate chunk text anywhere in the corpus.
+    kept = out.filter(F.col("dedup_text") != "").select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, (size(split(dedup_text, ' ')) + {CHUNK} - 1)"
+                f" div {CHUNK} - 1),"
+                f" i -> concat_ws(' ', slice(split(dedup_text, ' '), i * {CHUNK} + 1,"
+                f" {CHUNK})))"
+            )
+        ).alias("chunk")
+    )
+    dupes = kept.groupBy("chunk").count().filter(F.col("count") > 1)
+    assert dupes.count() == 0
+
+
+# --- k37 dedup clusters -------------------------------------------------------
+
+
+def test_k37_component_invariants(spark, sf_dir):
+    rows = QUERIES["k37_dedup_clusters"](spark, sf_dir).collect()
+    assert len(rows) == len({r["doc_id"] for r in rows})  # total function
+    sizes = defaultdict(set)
+    for r in rows:
+        assert r["component"] <= r["doc_id"]  # min-label semantics
+        sizes[r["component"]].add(r["doc_id"])
+    for r in rows:
+        assert r["cluster_size"] == len(sizes[r["component"]])
+    for comp, members in sizes.items():
+        assert comp == min(members)  # label IS the min member
+
+
+# --- k38 leakage-safe split ---------------------------------------------------
+
+
+def test_k38_split_pure_per_source(spark, sf_dir):
+    rows = QUERIES["k38_leakage_safe_split"](spark, sf_dir).collect()
+    by_source = defaultdict(set)
+    for r in rows:
+        by_source[r["source"]].add(r["split"])
+    assert all(len(s) == 1 for s in by_source.values()), by_source
+
+
+def test_k38_map_only_plan(spark, sf_dir):
+    plan = _executed_plan(spark, "k38_leakage_safe_split", sf_dir)
+    assert "Exchange" not in plan, plan[:1500]
+
+
+# --- k39 temperature sample ---------------------------------------------------
+
+
+def test_k39_probabilities_and_flattening(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_by_source = {r["source"]: r["count"] for r in docs.groupBy("source").count().collect()}
+    kept = QUERIES["k39_source_temperature_sample"](spark, sf_dir).collect()
+    p_by_source = {}
+    for r in kept:
+        assert 0 < r["p_keep"] <= 1
+        p_by_source[r["source"]] = r["p_keep"]
+    # Temperature α<1 flattens: a larger source must get a ≤ keep-prob.
+    ps = sorted(p_by_source.items(), key=lambda kv: n_by_source[kv[0]])
+    for (_, p_small), (_, p_big) in zip(ps, ps[1:]):
+        assert p_big <= p_small + 1e-9
+
+
+# --- k40 shard assignment -----------------------------------------------------
+
+
+def test_k40_shards_balanced(spark, sf_dir):
+    out = QUERIES["k40_shard_assign"](spark, sf_dir)
+    tot = out.groupBy("shard_id").agg(
+        F.sum("ntok").alias("tok"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    assert len(tot) == _SHARDS
+    counts = [r["n"] for r in tot]
+    assert max(counts) - min(counts) <= 1  # round-robin doc balance
+    toks = [r["tok"] for r in tot]
+    max_doc = out.agg(F.max("ntok")).collect()[0][0]
+    # Dealing size-sorted docs round-robin keeps totals within a few
+    # max-doc lengths of each other.
+    assert max(toks) - min(toks) <= 3 * max_doc, (toks, max_doc)
+
+
+# --- b12 column profile -------------------------------------------------------
+
+
+def test_b12_single_scan(spark, sf_dir):
+    plan = _executed_plan(spark, "b12_column_profile", sf_dir)
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+
+
+def test_b12_values_match_recomputation(spark, sf_dir):
+    rows = {r["col_name"]: r for r in QUERIES["b12_column_profile"](spark, sf_dir).collect()}
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact = o.agg(
+        F.countDistinct("o_custkey").alias("nd"),
+        F.min("o_custkey").alias("mn"),
+        F.max("o_custkey").alias("mx"),
+    ).collect()[0]
+    r = rows["o_custkey"]
+    assert r["n_nulls"] == 0
+    assert r["n_distinct"] == exact["nd"]
+    assert r["min_repr"] == str(exact["mn"]) and r["max_repr"] == str(exact["mx"])
