@@ -166,3 +166,30 @@ def test_a13_compaction_reduces_file_count(spark, sf_dir):
     compact = list(Path(_scratch(sf_dir, "orders_compacted")).glob("*.parquet"))
     assert len(frag) == 64
     assert 1 <= len(compact) <= 4
+
+
+def test_c13_salted_join_shuffles_not_broadcasts(spark, sf_dir):
+    """Salting is pointless under a broadcast join: the hint must hold
+    and the physical plan must be a shuffled hash join on (salt, key)."""
+    plan = _executed_plan(spark, "c13_join_salted_skew", sf_dir)
+    assert "BroadcastHashJoin" not in plan, plan[:1500]
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan[:1500]
+    assert "salt" in plan
+
+
+def test_d17_sketch_merge_not_corpus_shuffle(spark, sf_dir):
+    """The MG partial pass must be map-only: the only exchanges allowed
+    are the sketch merge and the candidate recount agg — the exploded
+    token stream itself must never hit a shuffle un-aggregated."""
+    from upc_sku_data_loader_spark.registry import QUERIES as Q
+
+    df = Q["d17_heavy_hitters"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "MapInPandas" in final, final[:1500]
+    assert "LeftSemi" in final, final[:1500]  # recount is a semi filter
+    # Only two row shuffles exist: the sketch-candidate merge and the
+    # recount agg — both downstream of a partial aggregate, never the
+    # raw exploded token stream.
+    assert final.count("Exchange hashpartitioning") <= 2, final

@@ -486,3 +486,63 @@ def d15_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag"),
         F.col("l_linestatus"),
     ).agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity", "sum_qty"))
+
+
+# --- D17: heavy hitters (Misra-Gries candidates + exact recount) --------------
+
+
+@query(
+    "d17_heavy_hitters",
+    # Oracle = EXACT top-10: the sketch must reproduce it exactly
+    # (coverage guarantee holds — 10th word freq ≫ n_tokens/capacity).
+    oracle="""
+    SELECT w AS item, COUNT(*) AS cnt
+    FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY w
+    ORDER BY cnt DESC, item
+    LIMIT 10
+    """,
+)
+def d17_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent tokens via a distributed Misra-Gries
+    sketch: per-task m-counter summaries (mapInPandas, map-only),
+    counter-sum merge (shuffles #tasks×m sketch rows, never the
+    corpus), then an exact recount of the surviving candidates — so
+    the answer is exact, not approximate, whenever the k-th frequency
+    exceeds n/m (operators/sketches.py has the bound arithmetic)."""
+    from ..operators.sketches import heavy_hitters
+
+    tok = load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    return heavy_hitters(tok, "w", k=10, capacity=256)
+
+
+# --- D18: equi-width histogram ------------------------------------------------
+
+_BUCKET_W = 30000
+
+
+@query(
+    "d18_histogram",
+    oracle=f"""
+    SELECT CAST(FLOOR(o_totalprice / {_BUCKET_W}) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           {dsum_sql("o_totalprice", "total")}
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def d18_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value: one hash aggregate on the
+    computed bucket key — the profiling primitive behind range
+    partition sizing and skew diagnosis.  Map-side partial aggregation
+    compresses each task to ≤ #buckets rows before the shuffle."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bucket", F.floor(F.col("o_totalprice") / _BUCKET_W).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total"))
+    )

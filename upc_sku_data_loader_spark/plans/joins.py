@@ -455,3 +455,50 @@ def c12_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("grp")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# --- C13: salted skew join (output bit-identical to the plain join) -----------
+
+_SALT_R = 8
+
+
+@query(
+    "c13_join_salted_skew",
+    # The oracle is the PLAIN join+agg: salting is a physical rewrite
+    # and must be invisible in the result.
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY p_brand
+    """,
+)
+def c13_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted shuffle join: the build side (part) is replicated
+    once per salt value and the probe side (lineitem) tags each row
+    with a hash-derived salt, so one hot l_partkey fans out over
+    _SALT_R reducers instead of serializing through one.  Each probe
+    row still matches exactly one replica (its own salt), so the output
+    is bit-identical to the unsalted join — which is exactly what the
+    oracle asserts.  This is the manual fallback for skew AQE cannot
+    fix (AQE splits oversized *partitions*, salting splits one
+    oversized *key*); the salt column never escapes the operator."""
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_SALT_R))
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .select("p_partkey", "p_brand")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT_R - 1))))
+        .withColumn("salt", F.col("salt").cast("long"))
+    )
+    return (
+        li.join(p.hint("shuffle_hash"), (li.salt == p.salt) & (li.l_partkey == p.p_partkey))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )
