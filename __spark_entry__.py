@@ -67,20 +67,28 @@ _PRIORITY = [
 ]
 
 # ROUND-3 ROTATION PLAN (apply at the start of round 3, after
-# CORRECTNESS_r02 lands): replace _PRIORITY with the never-yet-windowed
-# hash-checkable entries —
-#   composite tier: q4 q5 q6 q7 q8 q10 q13 q14 q17 q18 q19 q22
-#     q_event_funnel q_cohort_retention (14)
-#   curation: k23 k24 k25 k26 k27 k28 k29 k30 k31 (9)
-#   sources/maintenance: a10 a11 a12 a13 a14 (5)
-#   relational/API additions: c11 c12 d15 h11 g5 b11 etl_scd2_history
-#     i12_stream_parquet_sink j7_map_in_arrow s1 s2 t1 t2 t3 (14)
-#   round-2-era never-windowed: k11 k12 k13 k18 k19 k20
-#     e9_win_percent_cume d14 (8)
-# = exactly 50.  k21/k22 + k3/k4/k17/k4b/k17b roll to round 4 (k21/k22
-# were r2-windowed? no — verify against CORRECTNESS_r02 before
-# choosing; rows-only k14/k16/i10 stay outside the window per the
-# contract test).
+# CORRECTNESS_r02 lands).  The never-yet-windowed hash-checkable pool
+# now EXCEEDS one 50-entry window; rotate over it across rounds 3-4,
+# risk-first (string-agg/array-serialization-heavy entries before
+# plain relational ones, newest code before old):
+#   round-3 pick (50):
+#     training tier (newest, serialization-heavy): k32 k33 k34 k35 k36
+#       k37 k38 k39 k40 (9)
+#     sketch/skew/profile additions: b12 c13 d17 d18 (4)
+#     curation: k23 k24 k25 k26 k27 k28 k29 k30 k31 (9)
+#     composite A-half: q4 q5 q6 q7 q8 q10 q13 q14 q_event_funnel
+#       q_cohort_retention (10)
+#     sources/maintenance: a10 a11 a12 a13 a14 (5)
+#     relational/API: c11 c12 d15 h11 g5 b11 etl_scd2_history
+#       i12_stream_parquet_sink j7_map_in_arrow s1 s2 (11)
+#     round-2-era never-windowed: k18 k20 (2)
+#   round-4 remainder: composite B-half (q17 q18 q19 q22 q2 q9 q11 q12
+#     q15 q16 q20 q21), t1-t5, k11 k12 k13 k19 k21 k22 d14
+#     e9_win_percent_cume, plus re-verification of k3/k4/k17/k4b/k17b
+#     (impl changed in r2).
+# Rows-only entries (k14/k16/i10) stay OUTSIDE the window per the
+# contract test; cross-check the final list against CORRECTNESS_r02
+# before applying.
 
 
 def _ordered() -> list[str]:
