@@ -193,3 +193,44 @@ def test_d17_sketch_merge_not_corpus_shuffle(spark, sf_dir):
     # recount agg — both downstream of a partial aggregate, never the
     # raw exploded token stream.
     assert final.count("Exchange hashpartitioning") <= 2, final
+
+
+def test_a15_clustered_files_have_disjoint_date_ranges(spark, sf_dir):
+    """Cluster-on-write must produce parquet files whose o_orderdate
+    footer ranges are pairwise disjoint — the invariant that makes
+    min/max file skipping effective."""
+    import pyarrow.parquet as pq
+
+    from upc_sku_data_loader_spark.plans.sources_sinks import _scratch
+
+    QUERIES["a15_clustered_write"](spark, sf_dir).count()
+    ranges = []
+    for f in sorted(Path(_scratch(sf_dir, "orders_clustered")).glob("*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["o_orderdate"]
+        lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    assert len(ranges) >= 4
+    ranges.sort()
+    for (_, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b, ranges
+
+
+def test_b13_check_digits_valid(spark, sf_dir):
+    """Every emitted code must satisfy the GS1 mod-10 rule, and the
+    EAN-13 must embed the UPC-A unchanged."""
+    rows = QUERIES["b13_gtin_convert"](spark, sf_dir).collect()
+
+    def ok(code: str) -> bool:
+        digits = [int(c) for c in code]
+        body, cd = digits[:-1], digits[-1]
+        s = sum(d * (3 if (len(body) - i) % 2 == 1 else 1) for i, d in enumerate(body))
+        return (10 - s % 10) % 10 == cd
+
+    for r in rows[:500]:
+        assert len(r["upc_a"]) == 12 and ok(r["upc_a"])
+        assert len(r["ean13"]) == 13 and ok(r["ean13"])
+        assert r["ean13"] == "0" + r["upc_a"]
+        assert len(r["gtin14_case"]) == 14 and ok(r["gtin14_case"])
+        assert r["gtin14_case"][0] == "1"

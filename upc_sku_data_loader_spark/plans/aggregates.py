@@ -546,3 +546,45 @@ def d18_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total"))
     )
+
+
+# --- D19: mergeable HLL sketches (per-shard build, union, estimate) -----------
+
+
+@query(
+    "d19_hll_merge",
+    # Oracle: the exact cardinality + literal TRUE — same discipline as
+    # d4/d14: the sketch estimate is asserted within bound, the exact
+    # value is hash-compared.
+    oracle="""
+    SELECT COUNT(DISTINCT o_custkey) AS exact_distinct,
+           TRUE AS within_bound
+    FROM orders
+    """,
+)
+def d19_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL,
+    built into Spark 4): each order-status shard builds its OWN sketch
+    (`hll_sketch_agg`), the binary sketches union (`hll_union_agg`),
+    and the estimate of the union is bound-checked against the exact
+    count.  Mergeability is the 100 TB point: per-partition/per-day
+    sketches persist as bytes and any rollup (day→month→year,
+    shard→global) is a cheap union over kilobytes — the corpus is
+    scanned once, ever.  (The exact count here is the oracle anchor;
+    production reads only the sketch.)"""
+    o = load(spark, sf_dir, "orders")
+    shard = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+    )
+    merged = shard.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx")
+    )
+    exact = o.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    return exact.crossJoin(merged).select(
+        "exact_distinct",
+        (
+            F.abs(F.col("approx") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            <= 0.05
+        ).alias("within_bound"),
+    )

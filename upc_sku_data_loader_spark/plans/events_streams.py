@@ -392,3 +392,44 @@ def i8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("purchase_id", "user_id").agg(
         F.count("c_id").alias("n_recent_clicks")
     )
+
+
+# --- I13: TRUE streaming sliding window (1 h window, 15 min slide) ------------
+
+
+@query(
+    "i13_stream_sliding_window",
+    # Same semantics as the batch twin i2: each event lands in 4
+    # overlapping hour windows; the streaming run must converge to the
+    # identical final state.
+    oracle="""
+    SELECT make_timestamp(((epoch_us(ts) // 900000000) - k.k) * 900 * 1000000)
+             AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
+    GROUP BY 1, 2
+    """,
+)
+def i13_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True streaming sliding-window aggregation: watermarked event
+    time, `window(ts, '1 hour', '15 minutes')` (each event fans out to
+    4 open windows — state is 4× tumbling, the capacity planning
+    consequence of sliding windows), availableNow trigger, complete
+    mode so every window reaches the sink regardless of the final
+    watermark.  Hash-checked against the batch/SQL formulation — the
+    streaming and batch planners must agree exactly."""
+    stream = read_events_stream(spark, sf_dir).withColumn(
+        "ts_event", F.col("ts").cast("timestamp")
+    )
+    agg = (
+        stream.withWatermark("ts_event", "10 minutes")
+        .groupBy(
+            F.window("ts_event", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    out = run_available_now(agg, "i13_sliding_sink")
+    return out.withColumn("window_start", F.col("window_start").cast("timestamp_ntz"))

@@ -409,3 +409,58 @@ def b12_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (col_name, n_nulls, n_distinct, min_repr, max_repr)"
         )
     )
+
+
+# --- B13: GTIN family conversion (UPC-A → EAN-13 → GTIN-14 case code) ---------
+
+
+@query(
+    "b13_gtin_convert",
+    oracle=f"""
+    WITH base AS (
+      SELECT p_partkey,
+             substring({upc_normalize_sql(synth_raw_upc_sql('p_partkey'), 12)},
+                       1, 11) AS body11
+      FROM part
+    ),
+    built AS (
+      SELECT p_partkey, body11,
+             body11 || CAST({gtin_check_digit_sql('body11', 11)} AS VARCHAR)
+               AS upc_a
+      FROM base
+    ),
+    cased AS (
+      SELECT p_partkey, upc_a,
+             '0' || upc_a AS ean13,
+             '1' || '0' || body11 AS body13
+      FROM built
+    )
+    SELECT p_partkey, upc_a, ean13,
+           body13 || CAST({gtin_check_digit_sql('body13', 13)} AS VARCHAR)
+             AS gtin14_case
+    FROM cased
+    """,
+)
+def b13_gtin_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GTIN family conversion, the namesake domain op: rebuild a valid
+    UPC-A from the 11-digit body (recomputed mod-10 check digit),
+    extend to EAN-13 by leading zero (check digit provably unchanged —
+    GS1 weights count from the RIGHT, so a leading 0 adds 0×weight),
+    and derive the GTIN-14 case code with packaging-indicator digit 1,
+    whose check digit MUST be recomputed (the indicator shifts every
+    weight).  Pure codegen'd column arithmetic — no UDF, map-only."""
+    body11 = F.substring(upc_normalize(synth_raw_upc("p_partkey"), 12), 1, 11)
+    p = load(spark, sf_dir, "part").select("p_partkey", body11.alias("body11"))
+    upc_a = F.concat(
+        F.col("body11"), gtin_check_digit("body11", 11).cast("string")
+    )
+    built = p.select("p_partkey", "body11", upc_a.alias("upc_a"))
+    body13 = F.concat(F.lit("10"), F.col("body11"))
+    return built.select(
+        "p_partkey",
+        "upc_a",
+        F.concat(F.lit("0"), F.col("upc_a")).alias("ean13"),
+        F.concat(
+            body13, gtin_check_digit(body13, 13).cast("string")
+        ).alias("gtin14_case"),
+    )

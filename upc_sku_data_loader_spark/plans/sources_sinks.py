@@ -735,3 +735,54 @@ def etl3_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# --- A15: clustered (sorted) write → file-stat data skipping ------------------
+
+
+@query(
+    "a15_clustered_write",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1995-07-01'
+    GROUP BY month
+    """,
+)
+def a15_clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-on-write: `repartitionByRange(o_orderdate)` +
+    `sortWithinPartitions` lays orders out so each parquet file covers
+    a narrow, disjoint o_orderdate range — parquet footer min/max stats
+    then let ANY later range scan skip whole files/row-groups without
+    an index (the poor-man's Z-order for one dimension; the layout
+    invariant is pinned via pyarrow footer stats in tests).  The query
+    re-reads the clustered table with a 6-month predicate and
+    aggregates; the oracle runs the same query on the ORIGINAL table,
+    proving the rewrite is content-lossless.  At 100 TB this is the
+    nightly table-maintenance pass: range partitioner sampling picks
+    balanced file boundaries automatically."""
+    clustered = _scratch(sf_dir, "orders_clustered")
+    shutil.rmtree(clustered, ignore_errors=True)
+    (
+        load(spark, sf_dir, "orders")
+        .repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.parquet(clustered)
+    )
+    o = spark.read.parquet(clustered).filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-07-01")
+    )
+    return (
+        o.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
