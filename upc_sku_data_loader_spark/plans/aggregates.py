@@ -588,3 +588,43 @@ def d19_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("within_bound"),
     )
+
+
+# --- D20: unpivot / melt (wide metrics → long rows) ---------------------------
+
+
+@query(
+    "d20_unpivot",
+    # The oracle writes the melt longhand (UNION ALL) — the portable
+    # formulation of UNPIVOT.
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+             CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+    """,
+)
+def d20_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the inverse of D12's pivot — wide per-group
+    metric columns become (group, metric, value) long rows via
+    `df.unpivot`, which plans as one Expand node (each input row
+    multiplied per metric), not a self-union: the wide aggregate is
+    computed ONCE and fanned out, where the UNION ALL formulation the
+    oracle uses would re-scan it per metric."""
+    l = load(spark, sf_dir, "lineitem")
+    wide = l.groupBy("l_returnflag").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+        dsum("l_discount", "sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "metric", "value"
+    )

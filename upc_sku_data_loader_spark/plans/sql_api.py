@@ -73,3 +73,51 @@ def s2_sql_cte_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim into spark.sql."""
     register_views(spark, sf_dir)
     return spark.sql(_S2_SQL)
+
+_S3_SQL = """
+WITH RECURSIVE chain AS (
+  SELECT p_partkey AS root, p_partkey AS node, 0 AS depth
+  FROM part
+  WHERE p_partkey BETWEEN 1 AND 10
+  UNION ALL
+  SELECT c.root, p.p_partkey, c.depth + 1
+  FROM chain c
+  JOIN part p ON p.p_partkey = c.node * 2
+)
+SELECT root, node, depth
+FROM chain
+"""
+
+_S4_SQL = """
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n,
+     LATERAL (
+       SELECT c_custkey, c_acctbal
+       FROM customer
+       WHERE c_nationkey = n.n_nationkey
+       ORDER BY c_acctbal DESC, c_custkey
+       LIMIT 3
+     ) t
+"""
+
+
+@query("s3_sql_recursive_cte", oracle=_S3_SQL)
+def s3_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-text RECURSIVE CTE (Spark 4 WITH RECURSIVE): a doubling
+    hierarchy walk over part keys, recursion bounded by table content
+    (the recursive term joins back to `part`), never a literal.  Each
+    recursion level is one more join-union round — the fixed-point
+    pattern k37 implements by hand, here planned by the engine."""
+    register_views(spark, sf_dir)
+    return spark.sql(_S3_SQL)
+
+
+@query("s4_sql_lateral_topk", oracle=_S4_SQL)
+def s4_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-text LATERAL correlated subquery: top-3 customers per
+    nation, written as the per-row subquery users paste from other
+    warehouses.  Catalyst decorrelates it into a ranked window join —
+    the plan F4 builds explicitly — rather than re-running the inner
+    query per outer row."""
+    register_views(spark, sf_dir)
+    return spark.sql(_S4_SQL)
