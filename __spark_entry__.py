@@ -32,63 +32,53 @@ FLAGSHIP = "d1_agg_hash_grouped"  # TPC-H Q1-style pricing summary (SURVEY §7 P
 # the window stay regression-guarded by ``tools/parity.py`` (a strict
 # local replica of the same check, run over all entries).
 #
-# Round-2 window: the 45 operators the r1 driver never checked
-# (A/E/F/G/H/J families, i9, k8, k9, etl) plus the five entries whose
-# output representation was fixed this round (b2, d4, d8, k2, k5b) and
-# two first-class LLM ops (k15 multimodal, k10 lang-ID). Round-1-green
-# families (d*, i1-i8, b*, c*, k1/k3-k7) rotate to the back.
+# Round-3 window: 50 never-driver-checked hash-checkable entries,
+# risk-first (string-agg/array-serialization-heavy before plain
+# relational, newest code before old). Cumulative driver-green after
+# r2: 95/185; this window lifts it to ~145. Round-1/2-green families
+# rotate to the back, regression-guarded by tools/parity.py.
 _PRIORITY = [
-    # A: sources/sinks (7 entries / 9 SURVEY rows)
-    "a1_parquet_scan", "a2_csv_source", "a3_json_source", "a4_rest_api_source",
-    "a5_a7_db_upsert_roundtrip", "a8_parquet_sink", "a9_stream_source",
-    # E: window functions
-    "e1_win_row_number", "e2_win_rank_dense", "e3_win_ntile", "e4_win_lag_lead",
-    "e5_win_running_sum", "e6_win_moving_avg", "e7_win_range_frame",
-    "e8_win_first_last_over",
-    # F: sort/limit/top-k
-    "f1_sort_multi", "f2_limit", "f3_topk_global", "f4_topk_per_group",
-    # G: set operations
-    "g1_union_all", "g2_intersect", "g3_except", "g4_distinct",
-    # H: scalar function families
-    "h1_string_basics", "h2_string_regex", "h3_string_distance", "h4_datetime",
-    "h5_math", "h6_conditional", "h7_array_hof", "h8_map", "h9_json", "h10_hash",
-    # J: Python UDF surfaces
-    "j1_python_udf", "j2_pandas_udf_scalar", "j3_pandas_udaf", "j4_grouped_map",
-    "j5_map_in_pandas", "j6_python_udtf",
-    # streaming sink + end-to-end ETL
-    "i9_foreachbatch_upsert", "etl_load_upcs",
-    # LLM text ops never driver-checked in r1
-    "k8_text_stats_by_lang", "k9_doc_similarity_pairs",
-    # round-2 representation/oracle fixes needing driver re-verification
-    "b2_cast", "d4_agg_approx_count_distinct", "d8_agg_collect",
-    "k2_dedup_near_minhash", "k5b_vector_centroid",
-    # first-class LLM-pipeline ops (multimodal plumbing, language ID)
-    "k15_multimodal_features", "k10_lang_id",
+    # training-shard tier (newest, serialization-heavy)
+    "k32_sequence_packing", "k33_stratified_sample", "k34_gopher_rules",
+    "k35_unigram_logprob", "k36_chunk_dedup_global", "k37_dedup_clusters",
+    "k38_leakage_safe_split", "k39_source_temperature_sample",
+    "k40_shard_assign",
+    # sketch/skew/profile additions
+    "b12_column_profile", "c13_join_salted_skew", "d17_heavy_hitters",
+    "d18_histogram",
+    # curation tier
+    "k23_pii_redact", "k24_quality_repetition", "k25_doc_chunking",
+    "k26_embedding_quantize", "k27_inverted_index", "k28_weighted_sample",
+    "k29_decontaminate", "k30_dedup_spans", "k31_vocab_prune",
+    # composite A-half (TPC-H-shaped)
+    "q4_order_priority", "q5_local_supplier_volume", "q6_revenue_forecast",
+    "q7_volume_shipping", "q8_market_share", "q10_returned_items",
+    "q13_customer_distribution", "q14_promo_revenue", "q_event_funnel",
+    "q_cohort_retention",
+    # sources / table maintenance
+    "a10_orc_roundtrip", "a11_text_source", "a12_binaryfile_source",
+    "a13_compact_small_files", "a14_schema_evolution_read",
+    # relational / API surface
+    "c11_join_dpp", "c12_join_null_safe", "d15_agg_grouping_sets",
+    "h11_url_functions", "g5_union_by_name", "b11_validate_quarantine",
+    "etl_scd2_history", "i12_stream_parquet_sink", "j7_map_in_arrow",
+    "s1_sql_passthrough", "a6_jdbc_sink_append",
+    # round-2-era set-similarity ops never windowed
+    "k18_ngram_jaccard", "k20_dedup_clusters",
 ]
 
-# ROUND-3 ROTATION PLAN (apply at the start of round 3, after
-# CORRECTNESS_r02 lands).  The never-yet-windowed hash-checkable pool
-# now EXCEEDS one 50-entry window; rotate over it across rounds 3-4,
-# risk-first (string-agg/array-serialization-heavy entries before
-# plain relational ones, newest code before old):
-#   round-3 pick (50):
-#     training tier (newest, serialization-heavy): k32 k33 k34 k35 k36
-#       k37 k38 k39 k40 (9)
-#     sketch/skew/profile additions: b12 c13 d17 d18 (4)
-#     curation: k23 k24 k25 k26 k27 k28 k29 k30 k31 (9)
-#     composite A-half: q4 q5 q6 q7 q8 q10 q13 q14 q_event_funnel
-#       q_cohort_retention (10)
-#     sources/maintenance: a10 a11 a12 a13 a14 (5)
-#     relational/API: c11 c12 d15 h11 g5 b11 etl_scd2_history
-#       i12_stream_parquet_sink j7_map_in_arrow s1 s2 (11)
-#     round-2-era never-windowed: k18 k20 (2)
-#   round-4 remainder: composite B-half (q17 q18 q19 q22 q2 q9 q11 q12
-#     q15 q16 q20 q21), t1-t5, k11 k12 k13 k19 k21 k22 d14
-#     e9_win_percent_cume, plus re-verification of k3/k4/k17/k4b/k17b
-#     (impl changed in r2).
+# ROUND-4 ROTATION PLAN (apply after CORRECTNESS_r03 lands): the
+# remaining 37 never-windowed hash-checkable entries —
+#   composite B-half: q2 q9 q11 q12 q15 q16 q17 q18 q19 q20 q21 q22 (12)
+#   time-series: t1 t2 t3 t4 t5 (5)
+#   text/curation stragglers: k11 k12 k13 k19 k21 k22 (6)
+#   misc: d14 d19 d20 e9 a15 b13 s2 s3 s4 i13 k15b etl3 (12)
+#   blocked-similarity: k17 k4b k17b (3)
+# plus re-verification of entries whose implementation changed after
+# their last driver check: k3 k4 (r2 refactor), c8 (r2 asof fix).
+# Total 37 + 3 = 40-50 slots; pad with flagship d1/c1/i1 re-checks.
 # Rows-only entries (k14/k16/i10) stay OUTSIDE the window per the
-# contract test; cross-check the final list against CORRECTNESS_r02
-# before applying.
+# contract test.
 
 
 def _ordered() -> list[str]:

@@ -66,7 +66,7 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     n_bands: int = 8,
     rows_per_band: int = 4,
-    max_bucket_size: int | None = 10_000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Distinct (a, b) candidate pairs colliding in ≥1 LSH band.
 
@@ -77,8 +77,10 @@ def lsh_candidate_pairs(
     not near-duplicates; a missed pair costs recall in one band only —
     the other n_bands-1 bands still catch genuine pairs).  The bucket
     count is a window over the same (band, key) the join shuffles on, so
-    the guard adds no extra shuffle key.  ``None`` disables the cap.
-    """
+    the guard adds no extra shuffle key.  The default is ``None`` (no
+    cap) so the contract-checked exact-recall behavior is what callers
+    get unless they opt in to the scale knob — at 100 TB, pass an
+    explicit cap (~10k) to bound the worst bucket."""
     bands = signatures.select(
         "doc_id",
         F.explode(

@@ -351,7 +351,8 @@ def b11_validate_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
            COUNT(DISTINCT o_totalprice),
-           printf('%.2f', MIN(o_totalprice)), printf('%.2f', MAX(o_totalprice))
+           printf('%.2f', ROUND(MIN(o_totalprice), 2)),
+           printf('%.2f', ROUND(MAX(o_totalprice), 2))
     FROM orders
     UNION ALL
     SELECT 'o_orderdate', COUNT(*) - COUNT(o_orderdate),
@@ -372,9 +373,11 @@ def b12_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted as one row per column.  The whole profile is ONE aggregate
     over ONE scan — Spark plans the multiple COUNT(DISTINCT)s as a
     single Expand + two-level hash aggregate, so adding columns widens
-    the row, it does not add passes.  min/max go through printf-style
-    formatting (`format_string`) so the profile row is type-uniform and
-    engine-canonical."""
+    the row, it does not add passes.  Doubles are ROUND-ed to 2 dp
+    BEFORE printf-style formatting: Java's Formatter is HALF_UP while
+    DuckDB printf is round-half-even on the exact binary value, so
+    formatting a raw midpoint (0.125) would diverge — formatting an
+    already-rounded value cannot."""
     o = load(spark, sf_dir, "orders")
     prof = o.agg(
         (F.count(F.lit(1)) - F.count("o_orderkey")).alias("nn_key"),
@@ -387,8 +390,8 @@ def b12_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_custkey").cast("string").alias("mx_cust"),
         (F.count(F.lit(1)) - F.count("o_totalprice")).alias("nn_price"),
         F.countDistinct("o_totalprice").alias("nd_price"),
-        F.format_string("%.2f", F.min("o_totalprice")).alias("mn_price"),
-        F.format_string("%.2f", F.max("o_totalprice")).alias("mx_price"),
+        F.format_string("%.2f", F.round(F.min("o_totalprice"), 2)).alias("mn_price"),
+        F.format_string("%.2f", F.round(F.max("o_totalprice"), 2)).alias("mx_price"),
         (F.count(F.lit(1)) - F.count("o_orderdate")).alias("nn_date"),
         F.countDistinct("o_orderdate").alias("nd_date"),
         F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("mn_date"),

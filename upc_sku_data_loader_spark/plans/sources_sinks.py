@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import query
-from ..sources.db import db_sink_upsert, db_source
+from ..sources.db import db_sink_upsert, db_source, jdbc_sink_append
 from ..sources.files import csv_source, json_source, parquet_sink
 from ..sources.rest_api import fetch_products
 from ..streaming.sources import read_events_stream, run_available_now
@@ -197,6 +197,55 @@ def a5_a7_db_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         conn_factory,
         "SELECT c_custkey, c_name, c_acctbal FROM cust",
         "c_custkey bigint, c_name string, c_acctbal double",
+    )
+
+
+# --- A6: Spark-native JDBC sink append (embedded Derby) -----------------------
+
+
+@query(
+    "a6_jdbc_sink_append",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal FROM supplier
+    UNION ALL
+    SELECT s_suppkey, s_name, s_acctbal FROM supplier
+    """,
+)
+def a6_jdbc_sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 `df.write.jdbc` exercised for real: Spark ships Apache Derby
+    on its classpath (the Hive-metastore default), so the embedded
+    Derby driver gives a genuine JDBC URL with zero extra jars.  First
+    write is mode("overwrite") (drops + recreates the table — makes the
+    query idempotent per run), second is mode("append") — the sink
+    under test — so the read-back table holds exactly 2× the source and
+    proves the append accumulated rather than replaced.  Read-back goes
+    through ``spark.read.jdbc`` (A5's Spark-native path).  On a real
+    cluster the same code targets MySQL/Postgres by swapping URL +
+    driver; parallelism = DataFrame partitions (one JDBC connection
+    each), batched inserts under the hood.
+    """
+    db = _scratch(sf_dir, "derby_a6_db")
+    url = f"jdbc:derby:{db};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    src = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    # Derby embedded = single JVM writer; coalesce keeps connection
+    # fan-in tiny here (cluster targets raise it for parallel load).
+    src = src.coalesce(2)
+    src.write.mode("overwrite").format("jdbc").option("url", url).option(
+        "dbtable", "SUPP_LOAD"
+    ).options(**props).save()
+    jdbc_sink_append(src, url, "SUPP_LOAD", props)
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "SUPP_LOAD")
+        .options(**props)
+        .load()
+    )
+    return back.select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        "s_name",
+        F.col("s_acctbal").cast("double").alias("s_acctbal"),
     )
 
 

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..functions.exprs import dsum, dsum_sql
+from ..operators.dedup import dedup_clusters
 from ..registry import query
 
 PACK_LEN = 256  # tokens per packed context window (k32)
@@ -48,7 +49,7 @@ _SHINGLE_EXPR = (
     " i -> concat_ws(' ', slice(t, i, 3)))"
 )
 _SHINGLE_SQL = """
-    SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+    SELECT DISTINCT doc_id, lang, array_to_string(t[i:i+2], ' ') AS s
     FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
          UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(i)
 """
@@ -417,32 +418,22 @@ def k37_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("na") + F.col("nb") - F.col("common")) >= 0.5)
         .select("da", "db")
     )
-    sym = edges.union(edges.select(F.col("db"), F.col("da"))).toDF("a", "b")
-    sym = sym.localCheckpoint(eager=True)  # edges reused every round
-
-    labels = docs.select("doc_id", F.col("doc_id").alias("component"))
-    for _ in range(20):  # diameter bound; converges in O(log n) typically
-        nbr_min = (
-            sym.join(labels, F.col("b") == F.col("doc_id"))
-            .groupBy(F.col("a").alias("doc_id"))
-            .agg(F.min("component").alias("nbr_comp"))
+    # Component resolution via the shared pointer-doubling propagation
+    # (operators/dedup.py:dedup_clusters): O(log diameter) rounds and a
+    # loud RuntimeError on non-convergence — a silently non-minimal
+    # fixpoint would emit wrong components.  dedup_clusters only labels
+    # docs that appear in an edge; singletons rejoin as their own
+    # component via the left join + coalesce.
+    clustered = dedup_clusters(edges.select(F.col("da").alias("a"),
+                                            F.col("db").alias("b")))
+    labels = (
+        docs.select("doc_id")
+        .join(clustered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_keeper", F.col("doc_id")).alias("component"),
         )
-        new = (
-            labels.join(nbr_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
-                ).alias("component"),
-                (F.coalesce(F.col("nbr_comp"), F.col("component"))
-                 < F.col("component")).alias("changed"),
-            )
-        )
-        new = new.localCheckpoint(eager=True)
-        if new.filter(F.col("changed")).limit(1).count() == 0:
-            labels = new.drop("changed")
-            break
-        labels = new.drop("changed")
+    )
     csize = labels.groupBy(F.col("component").alias("cc")).agg(
         F.count(F.lit(1)).alias("cluster_size")
     )

@@ -127,8 +127,10 @@ def jdbc_source(
     upper_bound: int | None = None,
     num_partitions: int = 8,
 ) -> DataFrame:
-    """A5: partitioned parallel JDBC read (requires a driver jar —
-    unavailable in this container; code path ships for cluster use)."""
+    """A5: partitioned parallel JDBC read.  Locally exercised against
+    the embedded Derby driver on Spark's own classpath (see
+    plans/sources_sinks.py:a6_jdbc_sink_append); on a cluster, point
+    the URL + driver at MySQL/Postgres."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     for k, v in properties.items():
         reader = reader.option(k, v)
@@ -145,8 +147,10 @@ def jdbc_source(
 def jdbc_sink_append(
     df: DataFrame, url: str, table: str, properties: dict[str, str]
 ) -> None:
-    """A6: bulk append via Spark's JDBC writer (requires a driver jar —
-    unavailable in this container; code path ships for cluster use)."""
+    """A6: bulk append via Spark's JDBC writer.  Exercised for real
+    against embedded Derby (driver ships on Spark's classpath) by the
+    a6_jdbc_sink_append registry entry; one connection per DataFrame
+    partition, batched inserts."""
     df.write.mode("append").format("jdbc").option("url", url).option(
         "dbtable", table
     ).options(**properties).save()
