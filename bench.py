@@ -7,12 +7,19 @@ One warm SparkSession serves the whole suite (BASELINE.md measures the
 same way); per-query time is action-to-completion wall clock of a
 count-style consume (we avoid toPandas so the measurement is engine
 time, not Arrow transfer).
+
+Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and reports
+the per-query MEDIAN; the machine shows ±70% wall-clock variance under
+co-tenant load, so a single sample is noise (round-2 lesson).  The
+spread is published alongside ("spread" = max-min per query) so a noisy
+run is visible in the JSON rather than silently inflating a median.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -48,15 +55,26 @@ def main() -> int:
     for t in TABLES:
         load(spark, sf_dir, t).count()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for label, qname in HEADLINE.items():
         if qname not in QUERIES:
             continue
-        t0 = time.time()
-        df = QUERIES[qname](spark, sf_dir)
-        n = df.count()
-        timings[label] = round(time.time() - t0, 3)
-        print(f"# {label} ({qname}): {timings[label]}s rows={n}", file=sys.stderr)
+        samples: list[float] = []
+        n = 0
+        for _ in range(reps):
+            t0 = time.time()
+            df = QUERIES[qname](spark, sf_dir)
+            n = df.count()
+            samples.append(time.time() - t0)
+        timings[label] = round(statistics.median(samples), 3)
+        spread[label] = round(max(samples) - min(samples), 3)
+        print(
+            f"# {label} ({qname}): median={timings[label]}s "
+            f"spread={spread[label]}s rows={n} n={reps}",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -66,6 +84,8 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

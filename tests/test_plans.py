@@ -147,6 +147,49 @@ def test_q17_decorrelated_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q5_dims_broadcast_no_nested_loop(spark, sf_dir):
+    """Q5's bounded dims (region, nation) must ride broadcast hash
+    joins; the SF-scaling joins must never degrade to a nested-loop or
+    cartesian plan."""
+    plan = _executed_plan(spark, "q5_local_supplier_volume", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q8_both_nation_sides_broadcast(spark, sf_dir):
+    """Q8 joins nation twice (customer side and supplier side); both are
+    25-row dims and must broadcast — at 100 TB a shuffled nation join
+    would repartition the whole fact table for nothing."""
+    plan = _executed_plan(spark, "q8_market_share", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q18_semi_join_and_take_ordered(spark, sf_dir):
+    """Q18's IN-subquery must stay a left-semi join (qualifying-order
+    set, no row duplication) and the ORDER BY + LIMIT 100 must compile
+    to TakeOrderedAndProject, never a global sort."""
+    plan = _executed_plan(spark, "q18_large_volume_customers", sf_dir)
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_rewrite_avoids_self_join_blowup(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS pair is rewritten as one per-order
+    aggregation joined back — the plan must show the top-k short-circuit
+    and no cartesian/nested-loop fallback, and at most the rewrite's
+    keyed shuffles (a regression to three lineitem self-joins adds
+    exchanges)."""
+    plan = _executed_plan(spark, "q21_waiting_suppliers", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 5, plan[:2000]
+
+
 def test_c11_scan_has_dynamic_partition_pruning(spark, sf_dir):
     """The fact scan must carry a dynamicpruning partition filter — the
     runtime subquery injected from the dim side — so only matching

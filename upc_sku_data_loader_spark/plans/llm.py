@@ -658,8 +658,8 @@ def k17b_dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
       SELECT doc_id, n_chars,
              list_distinct(list_transform(
-               generate_series(1, greatest(length(text) - 4, 1)),
-               i -> substring(text, i, 5)
+               generate_series(1, greatest(length(text) - 9, 1)),
+               i -> substring(text, i, 10)
              )) AS grams
       FROM documents
     )
@@ -677,20 +677,51 @@ def k17b_dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def k18_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-10-gram set-similarity self-join (threshold 0.7) via the
+    prefix-filter + positional-filter family (PPJoin, Xiao et al. 2008
+    — public algorithm), exact-verified on the survivors.
+
+    Scale design, in candidate-shrink order:
+    1. prefix filter — only the |X|-⌈t·|X|⌉+1 globally-rarest grams of
+       each doc can open a candidate pair, so the self-join runs on a
+       sliver of the inverted index, keyed by gram hash;
+    2. length filter INSIDE the join — |B| outside [t·|A|, |A|/t] can
+       never reach t, pruned before the shuffle materializes the pair;
+    3. positional filter — for a shared prefix gram at ranks (px, py)
+       of docs sorted by one global gram order, overlap is provably
+       ≤ min(px,py)-1 + 1 + min(|A|-px, |B|-py); pairs whose tightest
+       such bound misses the required overlap t·(|A|+|B|)/(1+t) drop
+       before the expensive verify (no false negatives — every bound
+       is a true upper bound on |A∩B|).
+    Shingle width 10 keeps the gram space selective; at width 5 this
+    corpus has ~2k distinct grams and EVERY prefix collides — the
+    filters degrade to all-pairs (measured: 9.6M candidates at sf0.1
+    vs 12.5M possible).  Near-dup pairs share long runs, so the pair
+    set at t=0.7 is shingle-width-stable (25 pairs at sf0.01 for both
+    5 and 10).
+    """
     d = load(spark, sf_dir, "documents")
-    n, t = 5, 0.7
+    n, t = 10, 0.7
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length("text") - (n - 1), F.lit(1))),
             lambda i: F.col("text").substr(i, F.lit(n)),
         )
     )
-    g = d.select("doc_id", "n_chars", grams.alias("grams"))
-    # hashed grams: 8-byte shuffle keys instead of 5-char strings (64-bit
-    # collisions are negligible vs the 6-dp jaccard contract)
+    # hashed grams EVERYWHERE past extraction: 8-byte keys/arrays instead
+    # of 10-char strings, for both the shuffle and the verify intersect
+    # (64-bit collisions are negligible vs the 6-dp jaccard contract)
+    g = d.select(
+        "doc_id",
+        "n_chars",
+        F.transform(grams, lambda s: F.xxhash64(s)).alias("grams"),
+    )
     ex = g.select(
-        "doc_id", F.size("grams").alias("sz"), F.explode("grams").alias("gr_s")
-    ).select("doc_id", "sz", F.xxhash64("gr_s").alias("gr"))
+        "doc_id",
+        "n_chars",
+        F.size("grams").alias("sz"),
+        F.explode("grams").alias("gr"),
+    )
     # global order = (document frequency ASC, gram) → rarest first
     dfreq = ex.groupBy("gr").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "gr")
@@ -698,38 +729,55 @@ def k18_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prefix theorem: J(A,B) ≥ t ⇒ prefixes of length |X|-ceil(t·|X|)+1 overlap
     prefix = ranked.filter(
         F.col("pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
-    ).select("doc_id", "gr")
+    ).select("doc_id", "n_chars", "sz", "df", "gr", "pos")
+    x, y = prefix.alias("x"), prefix.alias("y")
+    # length filter inside the join: truncation must match the oracle's
+    # TRUNC (DuckDB CAST rounds-to-nearest, Spark cast truncates — b2 rule).
+    matches = x.join(
+        y,
+        (F.col("x.gr") == F.col("y.gr"))
+        & (F.col("x.doc_id") < F.col("y.doc_id"))
+        & F.col("y.n_chars").between(
+            (F.col("x.n_chars") * t).cast("bigint"),
+            (F.col("x.n_chars") / t).cast("bigint"),
+        ),
+    ).select(
+        F.col("x.doc_id").alias("a"),
+        F.col("y.doc_id").alias("b"),
+        F.col("x.sz").alias("sza"),
+        F.col("y.sz").alias("szb"),
+        # positional upper bound on |A∩B| witnessed by this shared gram
+        (
+            F.least(F.col("x.pos"), F.col("y.pos"))
+            - 1
+            + 1
+            + F.least(
+                F.col("x.sz") - F.col("x.pos"), F.col("y.sz") - F.col("y.pos")
+            )
+        ).alias("ubound"),
+    )
     cands = (
-        prefix.alias("x")
-        .join(
-            prefix.alias("y"),
-            (F.col("x.gr") == F.col("y.gr"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        matches.groupBy("a", "b")
+        .agg(
+            F.first("sza").alias("sza"),
+            F.first("szb").alias("szb"),
+            F.min("ubound").alias("ubound"),
         )
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .distinct()
+        .filter(
+            F.col("ubound")
+            >= F.lit(t) * (F.col("sza") + F.col("szb")) / F.lit(1 + t)
+        )
+        .select("a", "b")
     )
-    # exact verify on the (few) candidates.  NB: the length-prune bounds
-    # must TRUNCATE identically on both sides — DuckDB CAST(double AS
-    # BIGINT) rounds-to-nearest while Spark .cast('bigint') truncates,
-    # so the oracle wraps its bounds in TRUNC (same rule as b2_cast).
-    ga = g.select(
-        F.col("doc_id").alias("a"), F.col("grams").alias("gra"), F.col("n_chars").alias("na")
-    )
-    gb = g.select(
-        F.col("doc_id").alias("b"), F.col("grams").alias("grb"), F.col("n_chars").alias("nb")
-    )
+    # exact verify on the (few) surviving candidates
+    ga = g.select(F.col("doc_id").alias("a"), F.col("grams").alias("gra"))
+    gb = g.select(F.col("doc_id").alias("b"), F.col("grams").alias("grb"))
     inter = F.size(F.array_intersect("gra", "grb")).cast("double")
     union = (F.size("gra") + F.size("grb")).cast("double") - inter
     jac = inter / union
     return (
         cands.join(ga, "a")
         .join(gb, "b")
-        .filter(
-            F.col("nb").between(
-                (F.col("na") * 0.7).cast("bigint"), (F.col("na") / 0.7).cast("bigint")
-            )
-        )
         .filter(jac >= t)
         .select("a", "b", F.round(jac, 6).alias("jaccard"))
     )
