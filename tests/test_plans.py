@@ -277,3 +277,26 @@ def test_b13_check_digits_valid(spark, sf_dir):
         assert r["ean13"] == "0" + r["upc_a"]
         assert len(r["gtin14_case"]) == 14 and ok(r["gtin14_case"])
         assert r["gtin14_case"][0] == "1"
+
+
+def test_c14_bloom_runtime_filter(spark, sf_dir):
+    """With the size thresholds lowered to toy scale, the selective-dim
+    join must inject a bloom_filter_agg subquery and a might_contain
+    pre-filter on the fact scan — Spark's row-level runtime filter."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        plan = _executed_plan(spark, "c14_join_bloom_filtered", sf_dir)
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+    assert "might_contain" in plan, plan[:2000]
+    assert "bloom_filter_agg" in plan

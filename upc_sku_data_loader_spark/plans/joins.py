@@ -502,3 +502,53 @@ def c13_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
         )
     )
+
+
+# --- C14: runtime bloom-filter join (row-level runtime pruning) ---------------
+
+
+@query(
+    "c14_join_bloom_filtered",
+    # The oracle is the PLAIN join+agg: the bloom filter is a runtime
+    # physical rewrite (row-level pre-filter on the fact scan) and must
+    # be invisible in the result.
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS gross
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+)
+def c14_join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective-dim fact join, the shape Spark's runtime bloom filter
+    accelerates: the filtered orders side builds a bloom_filter_agg
+    subquery that injects `might_contain(xxhash64(l_orderkey))` into
+    the lineitem scan, discarding non-joining fact rows BEFORE the
+    shuffle (row-level cousin of C11's partition-level DPP).  At 100 TB
+    this is the difference between shuffling the whole fact table and
+    shuffling the ~1/5 that can join.  Injection is governed by
+    spark.sql.optimizer.runtime.bloomFilter.* thresholds sized for real
+    clusters (application side > 10 GB), so the toy-scale plan here
+    runs it as a plain join; tests/test_plans.py::
+    test_c14_bloom_runtime_filter pins the injection itself with the
+    thresholds lowered.  Semantics are threshold-independent — the
+    oracle is the plain join."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice"), "gross"),
+        )
+    )

@@ -326,3 +326,120 @@ def t5_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").cast("bigint").alias("n_events"),
         F.max("n_events").alias("longest_session"),
     )
+
+
+# --- T6: linear interpolation of gap days -------------------------------------
+
+
+@query(
+    "t6_interpolate",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS day_value
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY user_id, day
+    ),
+    spans AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM p GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM spans
+    ),
+    g AS (
+      SELECT grid.user_id, grid.day, p.day_value,
+             p.day_value IS NOT NULL AS observed
+      FROM grid LEFT JOIN p ON p.user_id = grid.user_id AND p.day = grid.day
+    ),
+    ctx AS (
+      SELECT user_id, day, day_value, observed,
+             LAST_VALUE(day_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS pv,
+             LAST_VALUE(CASE WHEN observed THEN day END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS pd,
+             FIRST_VALUE(day_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN observed THEN day END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM g
+    )
+    SELECT user_id, day,
+           CASE WHEN observed THEN ROUND(day_value, 6)
+                ELSE ROUND(pv + (nv - pv) * (day - pd) * 1.0 / (nd - pd), 6)
+           END AS value_interp,
+           CAST(NOT observed AS INT) AS was_gap
+    FROM ctx
+    """,
+)
+def t6_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of silent days on the per-user daily grid:
+    where t1 zero-fills, t6 draws the line between the previous and
+    next OBSERVED day (pandas `interpolate(method='time')` semantics,
+    distributed).  Forward/backward context comes from two running
+    windows (`last ignorenulls` ascending, `first ignorenulls` over the
+    following frame) — one shuffle on user_id, each user's timeline
+    sorted once within its partition; no self-join against observed
+    rows.  Grid edges are always observed (the span runs first→last
+    purchase), so the divisor (nd - pd) is never NULL on gap rows.
+    Interpolated doubles round to 6 dp on both engines (division order
+    differs across libms)."""
+    from pyspark.sql import Window
+
+    p = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("day_value")
+        )
+    )
+    grid = (
+        p.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    g = grid.join(p, ["user_id", "day"], "left").withColumn(
+        "observed", F.col("day_value").isNotNull()
+    )
+    wb = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wf = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    obs_day = F.when(F.col("observed"), F.col("day"))
+    ctx = g.select(
+        "user_id",
+        "day",
+        "day_value",
+        "observed",
+        F.last("day_value", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(wb).alias("pd"),
+        F.first("day_value", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(wf).alias("nd"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * F.datediff(
+        F.col("day"), F.col("pd")
+    ) / F.datediff(F.col("nd"), F.col("pd"))
+    return ctx.select(
+        "user_id",
+        "day",
+        F.when(F.col("observed"), F.round(F.col("day_value"), 6))
+        .otherwise(F.round(interp, 6))
+        .alias("value_interp"),
+        (~F.col("observed")).cast("int").alias("was_gap"),
+    )

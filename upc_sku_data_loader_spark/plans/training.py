@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions import vectors as V
 from ..functions.exprs import dsum, dsum_sql
 from ..operators.dedup import dedup_clusters
 from ..registry import query
@@ -578,4 +579,109 @@ def k40_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents")
         .select("doc_id", F.size(F.split("text", " ")).alias("ntok"))
         .withColumn("shard_id", ((F.row_number().over(w) - 1) % _SHARDS).cast("long"))
+    )
+
+
+# --- K41: semantic dedup (SemDeDup: cluster, then dedup within cluster) -------
+
+_SEMD_C = 8  # centroids (SemDeDup uses 50k at 100M-doc scale; C ∝ corpus)
+_SEMD_TAU = 0.35  # cosine threshold, chosen for this corpus's cosine range
+
+
+@query(
+    "k41_semdedup",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
+      FROM embeddings ORDER BY vec_id LIMIT {_SEMD_C}
+    ),
+    assign AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT e.vec_id, s.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(
+                            CAST(e.embedding AS DOUBLE[]), s.cemb), 6) DESC,
+                          s.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT y.vec_id
+      FROM assign x
+      JOIN assign y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      JOIN embeddings ex ON ex.vec_id = x.vec_id
+      JOIN embeddings ey ON ey.vec_id = y.vec_id
+      WHERE ROUND(list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
+                                         CAST(ey.embedding AS DOUBLE[])), 6)
+            >= {_SEMD_TAU}
+    )
+    SELECT a.vec_id, a.cluster,
+           CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+    FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+    """,
+)
+def k41_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
+    semantic dedup that only ever compares embeddings INSIDE a cluster.
+    Cluster assignment is nearest-centroid cosine; within each cluster,
+    a vector is dropped when a lower-id member sits within cosine ≥ τ —
+    greedy keep-first, the paper's rule made deterministic.
+
+    Scale design: the pairwise stage is quadratic ONLY within a
+    cluster — the whole point of SemDeDup; C grows with the corpus
+    (50k clusters at 100M docs) so cluster populations stay bounded
+    and the self-join shuffles on the cluster key.  Centroids are a
+    deterministic bounded collect (C rows, like k16's IVF seeding);
+    assignment is a broadcast of C rows against the full table —
+    map-side, no shuffle.  At real scale the zip_with cosine kernel
+    swaps for the mapInPandas numpy block-matmul (operators/
+    similarity.py) with identical semantics; the higher-order-function
+    form here is the oracle-exact tier (functions/vectors.py note).
+    Cosines round to 6 dp on both engines before every comparison, so
+    argmax ties and threshold edges cannot diverge across libms."""
+    e = load(spark, sf_dir, "embeddings")
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(_SEMD_C)
+        .select(
+            F.col("vec_id").alias("cid"), V.as_double(F.col("embedding")).alias("cemb")
+        )
+    )
+    scored = e.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "cid",
+        F.round(V.cosine(V.as_double(F.col("embedding")), F.col("cemb")), 6).alias(
+            "sim"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cluster"))
+    )
+    emb = e.select("vec_id", V.as_double(F.col("embedding")).alias("emb"))
+    mem = assign.join(emb, "vec_id")
+    x = mem.select(
+        F.col("vec_id").alias("xa"), F.col("cluster").alias("ca"), F.col("emb").alias("ea")
+    )
+    y = mem.select(
+        F.col("vec_id").alias("yb"), F.col("cluster").alias("cb"), F.col("emb").alias("eb")
+    )
+    dropped = (
+        x.join(y, (F.col("ca") == F.col("cb")) & (F.col("xa") < F.col("yb")))
+        .filter(F.round(V.cosine(F.col("ea"), F.col("eb")), 6) >= _SEMD_TAU)
+        .select(F.col("yb").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        assign.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.when(F.col("is_dropped").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
+        )
     )
