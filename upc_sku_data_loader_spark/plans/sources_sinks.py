@@ -835,3 +835,64 @@ def a15_clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
         )
     )
+
+
+# --- ETL4: dynamic partition overwrite (incremental partition reload) ---------
+
+
+@query(
+    "etl4_partition_overwrite",
+    # Final table state: untouched partitions keep batch-1 rows; the
+    # partitions present in the delta hold ONLY batch-2 rows.
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice, 1 AS batch_id
+    FROM orders
+    WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority, o_totalprice * 2.0, 2 AS batch_id
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_orderkey % 3 = 0
+    """,
+)
+def etl4_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the incremental-reload idiom for
+    partitioned 100 TB tables: a delta batch replaces ONLY the
+    partitions it contains rows for (`partitionOverwriteMode=dynamic`),
+    leaving every other partition's files untouched.  Static mode would
+    truncate the whole table; per-partition delete-then-insert races
+    readers.  Here batch 1 loads all priorities partitioned by
+    o_orderpriority; batch 2 overwrites just URGENT/HIGH with a
+    restated subset (every third order, doubled price).  The read-back
+    proves partition isolation: NOT-overwritten partitions still serve
+    batch-1 rows byte-for-byte.  The conf is set per-write and restored
+    (session default stays static)."""
+    path = _scratch(sf_dir, "orders_by_priority")
+    shutil.rmtree(path, ignore_errors=True)
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = o.withColumn("batch_id", F.lit(1))
+    base.write.partitionBy("o_orderpriority").mode("overwrite").parquet(path)
+    delta = (
+        o.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & (F.col("o_orderkey") % 3 == 0)
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+        .withColumn("batch_id", F.lit(2))
+    )
+    conf = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(conf)
+    spark.conf.set(conf, "dynamic")
+    try:
+        delta.write.partitionBy("o_orderpriority").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set(conf, old)
+    back = spark.read.parquet(path)
+    return back.select(
+        "o_orderkey",
+        F.col("o_orderpriority").cast("string").alias("o_orderpriority"),
+        "o_totalprice",
+        F.col("batch_id").cast("int").alias("batch_id"),
+    )
