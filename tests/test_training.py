@@ -223,3 +223,55 @@ def test_b12_values_match_recomputation(spark, sf_dir):
     assert r["n_nulls"] == 0
     assert r["n_distinct"] == exact["nd"]
     assert r["min_repr"] == str(exact["mn"]) and r["max_repr"] == str(exact["mx"])
+
+
+# --- k41 semantic dedup (SemDeDup) --------------------------------------------
+
+
+def test_k41_semdedup_invariants(spark, sf_dir):
+    """Every vector appears exactly once; the lowest vec_id of every
+    cluster is always kept (it has no lower-id neighbor to defer to);
+    kept flags are exactly {0,1}."""
+    from upc_sku_data_loader_spark.plans.training import _SEMD_C
+
+    rows = QUERIES["k41_semdedup"](spark, sf_dir).collect()
+    ids = [r.vec_id for r in rows]
+    assert len(ids) == len(set(ids))
+    assert {r.kept for r in rows} <= {0, 1}
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r.cluster].append(r)
+    assert len(by_cluster) <= _SEMD_C
+    for members in by_cluster.values():
+        lowest = min(members, key=lambda r: r.vec_id)
+        assert lowest.kept == 1, f"cluster min {lowest.vec_id} was dropped"
+
+
+# --- t6 linear interpolation ---------------------------------------------------
+
+
+def test_t6_interpolation_bounds_and_edges(spark, sf_dir):
+    """Interpolated values are never NULL, gap rows only appear strictly
+    inside each user's span (edges are observed by construction), and
+    observed rows agree with the t1 gap-fill day values."""
+    t6 = QUERIES["t6_interpolate"](spark, sf_dir)
+    assert t6.filter(F.col("value_interp").isNull()).count() == 0
+    w_edges = (
+        t6.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    )
+    edge_gaps = (
+        t6.join(w_edges, "user_id")
+        .filter((F.col("day").isin(F.col("d0"), F.col("d1"))) & (F.col("was_gap") == 1))
+        .count()
+    )
+    assert edge_gaps == 0
+    t1 = QUERIES["t1_resample_gapfill"](spark, sf_dir).select(
+        "user_id", "day", F.round("day_value", 6).alias("expect"), "is_gap"
+    )
+    joined = (
+        t6.filter(F.col("was_gap") == 0)
+        .join(t1.filter(~F.col("is_gap")), ["user_id", "day"])
+        .filter(F.abs(F.col("value_interp") - F.col("expect")) > 1e-9)
+    )
+    assert joined.count() == 0
