@@ -433,3 +433,46 @@ def i13_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_available_now(agg, "i13_sliding_sink")
     return out.withColumn("window_start", F.col("window_start").cast("timestamp_ntz"))
+
+
+# --- I15: true streaming dedup bounded by watermark ---------------------------
+
+
+@query(
+    "i15_stream_dedup_watermarked",
+    oracle="""
+    SELECT event_id, event_type, user_id
+    FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+    GROUP BY event_id, event_type, user_id
+    """,
+)
+def i15_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True streaming dedup with BOUNDED state:
+    `dropDuplicatesWithinWatermark` (Spark 3.5+) keeps a key's dedup
+    state only until the watermark passes its event time, then evicts —
+    the production form of i5's unbounded `dropDuplicates`, whose state
+    grows forever on an infinite stream.  The duplicate source is the
+    stream unioned with itself (same micro-batch replay, duplicates
+    land within any watermark delay); append mode emits each surviving
+    row once.  At 100 TB/day the eviction bound is what makes exactly-
+    once dedup feasible: state ∝ keys-per-watermark-window, not
+    keys-ever-seen."""
+    stream = read_events_stream(spark, sf_dir).withColumn(
+        "ts_event", F.col("ts").cast("timestamp")
+    )
+    doubled = stream.unionByName(stream).select(
+        "event_id", "event_type", "user_id", "ts_event"
+    )
+    deduped = doubled.withWatermark("ts_event", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id", "event_type", "user_id"]
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(f"i15_dedup_{tag}")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(f"i15_dedup_{tag}").select("event_id", "event_type", "user_id")
