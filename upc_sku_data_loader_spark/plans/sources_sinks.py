@@ -896,3 +896,65 @@ def etl4_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.col("batch_id").cast("int").alias("batch_id"),
     )
+
+
+# --- ETL5: single-pass load audit via the Observation API ---------------------
+
+
+@query(
+    "etl5_observed_load",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_totalprice) AS n_null_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS total_price,
+           COUNT(CASE WHEN o_totalprice < 0 THEN 1 END) AS n_negative
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    """,
+)
+def etl5_observed_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load-audit metrics captured in the SAME pass as the load
+    (`df.observe` / Observation API): row count, null count, exact
+    total, and a data-quality violation count ride the load job as
+    accumulator-style aggregates — no second scan over the input.
+    This is the pattern that replaces the reference-style 'load then
+    run COUNT(*) sanity queries' double read: at 100 TB the audit scan
+    IS the expensive part, so it must piggyback on the write pass.
+    The observed metrics are returned as the (1-row) result and
+    hash-checked; the observation itself is driver-visible only after
+    an action, which the foreachBatch-style sink in real pipelines
+    provides."""
+    from pyspark.sql import Observation
+
+    obs = Observation("load_audit")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("o_totalprice")).alias("n_null_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_price"),
+            F.count(F.when(F.col("o_totalprice") < 0, 1)).alias("n_negative"),
+        )
+    )
+    # The "load": write the pass-through to scratch parquet (the action
+    # that materializes the observation).
+    path = _scratch(sf_dir, "etl5_loaded_orders")
+    shutil.rmtree(path, ignore_errors=True)
+    o.write.mode("overwrite").parquet(path)
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_null_price"],
+                m["total_price"],
+                m["n_negative"],
+            )
+        ],
+        "n_rows bigint, n_null_price bigint, total_price double, n_negative bigint",
+    )
