@@ -73,7 +73,7 @@ _PRIORITY = [
 #   time-series: t1 t2 t3 t4 t5 (5)
 #   text/curation stragglers: k11 k12 k13 k19 k21 k22 (6)
 #   misc: d14 d19 d20 e9 a15 b13 s2 s3 s4 i13 k15b etl3 (12)
-#   round-3 additions: c14 k41 t6 etl4 i15 etl5 (6)
+#   round-3 additions: c14 k41 t6 etl4 i15 etl5 h13 a16 (8)
 #   blocked-similarity: k17 k4b k17b (3)
 # plus re-verification of entries whose implementation changed after
 # their last driver check: k3 k4 (r2 refactor), c8 (r2 asof fix).

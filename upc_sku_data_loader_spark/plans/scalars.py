@@ -421,3 +421,57 @@ def h11_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "path_encoded"
         ),
     )
+
+
+# --- H13: VARIANT semi-structured type (Spark 4 shredding path) ---------------
+
+
+@query(
+    "h13_variant_extract",
+    # The oracle recomputes the extracted values straight from the
+    # source columns: the JSON text is built deterministically from
+    # those columns, so parse_json → variant_get must round-trip them.
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey AS v_id,
+           o_totalprice AS v_price,
+           o_orderpriority AS v_tag0,
+           o_orderstatus AS v_tag1,
+           o_orderkey % 5 = 0 AS v_flag
+    FROM orders
+    """,
+)
+def h13_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's VARIANT type: ingest semi-structured JSON once with
+    `parse_json` (binary variant encoding — parsed ONCE, not per
+    extraction) and pull typed paths out with `variant_get`, including
+    a nested object, an array index, and a boolean.  This is the
+    OLAP-native way to carry API payloads through a pipeline: the
+    variant column shreds to columnar storage and path extraction is
+    codegen'd, where repeated `get_json_object` re-parses text per
+    call.  The oracle proves round-trip fidelity by recomputing every
+    extracted value from the columns the JSON was built from —
+    including the double, whose shortest-round-trip text form must
+    parse back to the identical bits."""
+    o = load(spark, sf_dir, "orders")
+    j = o.select(
+        "o_orderkey",
+        F.concat(
+            F.lit('{"id":'), F.col("o_orderkey").cast("string"),
+            F.lit(',"price":'), F.col("o_totalprice").cast("string"),
+            F.lit(',"meta":{"flag":'),
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit("true")).otherwise(
+                F.lit("false")
+            ),
+            F.lit('},"tags":["'), F.col("o_orderpriority"),
+            F.lit('","'), F.col("o_orderstatus"), F.lit('"]}'),
+        ).alias("payload"),
+    ).select("o_orderkey", F.parse_json("payload").alias("v"))
+    return j.select(
+        "o_orderkey",
+        F.expr("variant_get(v, '$.id', 'bigint')").alias("v_id"),
+        F.expr("variant_get(v, '$.price', 'double')").alias("v_price"),
+        F.expr("variant_get(v, '$.tags[0]', 'string')").alias("v_tag0"),
+        F.expr("variant_get(v, '$.tags[1]', 'string')").alias("v_tag1"),
+        F.expr("variant_get(v, '$.meta.flag', 'boolean')").alias("v_flag"),
+    )

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.upc import gtin_check_digit_sql
 from ..registry import query
 from ..sources.db import db_sink_upsert, db_source, jdbc_sink_append
 from ..sources.files import csv_source, json_source, parquet_sink
@@ -957,4 +958,43 @@ def etl5_observed_load(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
         "n_rows bigint, n_null_price bigint, total_price double, n_negative bigint",
+    )
+
+
+# --- A16: custom source via the Python Data Source API ------------------------
+
+
+@query(
+    "a16_python_datasource",
+    oracle=f"""
+    SELECT seq,
+           body || CAST({gtin_check_digit_sql("body", 11)} AS VARCHAR) AS upc
+    FROM (
+      SELECT g AS seq, lpad(CAST(g AS VARCHAR), 11, '0') AS body
+      FROM generate_series(0, 1999) AS t(g)
+    )
+    """,
+)
+def a16_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python Data Source API: the UPC worklist as a NATIVE
+    source (`spark.read.format("upc_worklist")`) rather than a
+    driver-built DataFrame.  The reader plans range-shard
+    InputPartitions on the driver (O(#partitions) metadata) and every
+    executor generates only its shard — the pattern for wrapping any
+    Python-reachable system (REST cursors, queue checkpoints, custom
+    binary formats) as a first-class parallel source with pushdown-free
+    but partition-parallel scan semantics.  Registration is idempotent
+    per session; rows are deterministic so the SQL twin regenerates the
+    identical relation (body + GS1 mod-10 check digit)."""
+    from ..sources.python_ds import UpcWorklistDataSource
+
+    try:
+        spark.dataSource.register(UpcWorklistDataSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    return (
+        spark.read.format("upc_worklist")
+        .option("n", 2000)
+        .option("numPartitions", 8)
+        .load()
     )
