@@ -998,3 +998,51 @@ def a16_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("numPartitions", 8)
         .load()
     )
+
+# --- A17: XML source (Spark 4 native reader/writer) ---------------------------
+
+
+@query(
+    "a17_xml_source",
+    oracle="""
+    SELECT p_partkey, p_name, p_size, p_retailprice
+    FROM part
+    """,
+)
+def a17_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17: XML ingestion via Spark 4's NATIVE xml format (no external
+    package — the spark-xml connector was donated into core).  The
+    round-trip exercises XML's defining trait, hierarchy: each part row
+    is written as a ``<part>`` element whose dimensions live in a
+    nested ``<dims>`` child element, and the reader declares the nested
+    shape in the schema and flattens it back out.  Content is lossless
+    (doubles round-trip via shortest-decimal text; names survive entity
+    escaping), so the oracle is a plain SELECT on the original table.
+    Reads parallelize per file split like any other file source, and
+    the explicit schema skips the infer pass (a full extra scan at
+    100 TB)."""
+    path = _scratch(sf_dir, "part_xml")
+    (
+        load(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            "p_name",
+            F.struct("p_size", "p_retailprice").alias("dims"),
+        )
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "part")
+        .save(path)
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "part")
+        .schema(
+            "p_partkey bigint, p_name string, "
+            "dims struct<p_size:int, p_retailprice:double>"
+        )
+        .load(path)
+        .select(
+            "p_partkey", "p_name", "dims.p_size", "dims.p_retailprice"
+        )
+    )
