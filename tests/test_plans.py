@@ -300,3 +300,33 @@ def test_c14_bloom_runtime_filter(spark, sf_dir):
                 spark.conf.set(k, v)
     assert "might_contain" in plan, plan[:2000]
     assert "bloom_filter_agg" in plan
+
+
+def test_a16_python_datasource_partition_parallel(spark, sf_dir):
+    """The Python Data Source must plan one InputPartition per range
+    shard (executor-side generation), not one driver-side blob."""
+    df = QUERIES["a16_python_datasource"](spark, sf_dir)
+    assert df.rdd.getNumPartitions() == 8
+    rows = df.count()
+    assert rows == 2000
+    # every shard generated its contiguous range — no overlap, no gap
+    from pyspark.sql import functions as F
+
+    agg = df.agg(
+        F.countDistinct("seq").alias("d"), F.min("seq").alias("mn"), F.max("seq").alias("mx")
+    ).first()
+    assert (agg["d"], agg["mn"], agg["mx"]) == (2000, 0, 1999)
+
+
+def test_h13_variant_column_is_variant_type(spark, sf_dir):
+    """parse_json must land a true VariantType column (binary variant
+    encoding), not a string re-parsed per extraction."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import VariantType
+
+    df = spark.range(3).select(
+        F.parse_json(F.concat(F.lit('{"k":'), F.col("id").cast("string"), F.lit("}"))).alias("v")
+    )
+    assert isinstance(df.schema["v"].dataType, VariantType)
+    out = df.select(F.expr("variant_get(v, '$.k', 'bigint')").alias("k")).collect()
+    assert sorted(r["k"] for r in out) == [0, 1, 2]
