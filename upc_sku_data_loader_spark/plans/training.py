@@ -685,3 +685,226 @@ def k41_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("is_dropped").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
         )
     )
+
+
+# --- K42: distributed k-means (Lloyd iterations over embeddings) --------------
+
+_KM_K = 8  # clusters; grows with corpus like SemDeDup's C
+_KM_ITERS = 2  # fixed unrolled iterations so the SQL twin can mirror them
+
+
+def _km_sqdist(v: F.Column, c: F.Column) -> F.Column:
+    """Squared L2 between two double arrays, rounded to 6 dp so argmin
+    ties cannot diverge across engines' reduction order."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def _km_assign(e: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Map-side nearest-centroid assignment: centroids enter the plan as
+    LITERAL arrays (k×d doubles — bytes, not data), so assignment is a
+    pure projection: transform → struct(d2, cid) → array_min picks min
+    distance with ties to the smallest cid.  Zero shuffle, zero Python."""
+    carr = F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cemb"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, vec in cents
+        ]
+    )
+    best = F.array_min(
+        F.transform(
+            carr,
+            lambda s: F.struct(
+                _km_sqdist(F.col("v"), s["cemb"]).alias("d2"), s["cid"].alias("cid")
+            ),
+        )
+    )
+    return e.select("vec_id", "v", best["cid"].alias("cluster"))
+
+
+_KM_ASSIGN_SQL = """
+  SELECT vec_id, v, cid AS cluster FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND(list_sum(list_transform(
+                        list_zip(e.v, c.cemb), p -> (p[1]-p[2])*(p[1]-p[2]))), 6),
+                      c.cid
+           ) AS rn
+    FROM {E} e CROSS JOIN {C} c
+  ) WHERE rn = 1
+"""
+
+_KM_UPDATE_SQL = """
+  SELECT cid, list(ROUND(m, 6) ORDER BY pos) AS cemb FROM (
+    SELECT a.cluster AS cid, i AS pos, AVG(a.v[i]) AS m
+    FROM {A} a, UNNEST(generate_series(1, 64)) AS u(i)
+    GROUP BY a.cluster, i
+  ) GROUP BY cid
+"""
+
+
+@query(
+    "k42_kmeans",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
+      FROM embeddings ORDER BY vec_id LIMIT {_KM_K}
+    ),
+    a1 AS ({_KM_ASSIGN_SQL.format(E="e", C="c0")}),
+    c1 AS ({_KM_UPDATE_SQL.format(A="a1")}),
+    a2 AS ({_KM_ASSIGN_SQL.format(E="e", C="c1")})
+    SELECT vec_id, cluster FROM a2
+    """,
+)
+def k42_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd): the clustering backbone behind
+    SemDeDup-style curation and IVF index builds, run for a FIXED
+    two iterations so a DuckDB twin can unroll the identical
+    steps CTE-by-CTE — an iterative ML algorithm that is still
+    value-hash-checked, assignment for assignment.
+
+    Scale design: per iteration the only shuffle is the centroid
+    update — posexplode to (cluster, pos, x) then groupBy avg, which
+    partial-aggregates map-side down to k×d rows per partition before
+    the exchange.  Assignment never shuffles: centroids travel into
+    the plan as k×d literal doubles (k16's bounded-collect pattern —
+    the collect is k×d numbers, independent of corpus size) and the
+    argmin is transform → array_min over struct(d2, cid), whole-stage
+    codegen with ties to the smallest cid.  Distances and updated
+    centroid means round to 6 dp on both engines so reduction-order
+    ulps cannot flip an argmin or a mean.  Init is the deterministic
+    first-k rows by vec_id (seeding strategy is orthogonal — k-means++
+    would slot in as one extra bounded pass)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["v"]])
+        for r in e.orderBy("vec_id").limit(_KM_K).collect()
+    ]
+    assigned = _km_assign(e, cents)
+    for _ in range(_KM_ITERS - 1):
+        cent_df = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cluster",
+                F.transform("pm", lambda s: F.round(s["m"], 6)).alias("cemb"),
+            )
+        )
+        cents = [  # bounded: k rows × d doubles
+            (int(r["cluster"]), [float(x) for x in r["cemb"]])
+            for r in cent_df.collect()
+        ]
+        assigned = _km_assign(e, cents)
+    return assigned.select("vec_id", "cluster")
+
+
+# --- K43: PageRank as a corpus-quality prior (unrolled power iteration) -------
+
+_PR_ITERS = 3  # fixed unrolled iterations, mirrored CTE-for-CTE in the oracle
+_PR_OFF = 1_000_000  # supplier node-id offset keeps the bipartite ids disjoint
+
+_PR_STEP_SQL = """
+  SELECT nodes.node,
+         ROUND(CAST(0.15 AS DOUBLE) / n.n + 0.85 * COALESCE(m.mass, 0), 10) AS pr
+  FROM nodes CROSS JOIN n
+  LEFT JOIN (
+    SELECT e.dst, SUM(r.pr / d.deg) AS mass
+    FROM edges e
+    JOIN {R} r ON r.node = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) m ON m.dst = nodes.node
+"""
+
+
+@query(
+    "k43_graph_pagerank",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + {_PR_OFF} AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n.n AS pr FROM nodes CROSS JOIN n),
+    it1 AS ({_PR_STEP_SQL.format(R="r0")}),
+    it2 AS ({_PR_STEP_SQL.format(R="it1")}),
+    it3 AS ({_PR_STEP_SQL.format(R="it2")})
+    SELECT node, ROUND(pr, 8) AS pr FROM it3
+    """,
+)
+def k43_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer–supplier interaction graph — the
+    link-graph quality prior a web-corpus pipeline computes over the
+    crawl's host graph (Common Crawl publishes exactly this ranking)
+    to weight or filter documents by source importance.  Power
+    iteration with damping 0.85, run for a FIXED 3 iterations and
+    mirrored CTE-for-CTE by the DuckDB twin, so an iterative graph
+    algorithm is value-hash-checked rank for rank.
+
+    Scale design: each iteration is one fact-sized join (edges ⋈
+    ranks on src — both sides hash-partitioned on the same key, so
+    consecutive iterations reuse the partitioning) and one groupBy(dst)
+    sum that partial-aggregates map-side before its exchange.  The
+    degree relation is computed once and reused.  No driver collect of
+    anything data-sized: the only scalars crossing to the driver are
+    the node count (one distributed count) — same class as k16's
+    bounded seeds.  Edges are symmetrized, so no dangling-mass term is
+    needed: every node has out-degree ≥ 1 by construction.
+    Per-iteration ranks round to 10 dp on both engines (reduction-order
+    ulps ~1e-13 cannot move a half-ulp of 5e-11), final to 8 dp."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + F.lit(_PR_OFF)).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()  # bounded: one scalar
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("mass"))
+        )
+        ranks = nodes.join(
+            contrib, nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            F.round(
+                F.lit(0.15 / n) + F.lit(0.85) * F.coalesce("mass", F.lit(0.0)), 10
+            ).alias("pr"),
+        )
+    return ranks.select("node", F.round("pr", 8).alias("pr"))
