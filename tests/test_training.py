@@ -275,3 +275,50 @@ def test_t6_interpolation_bounds_and_edges(spark, sf_dir):
         .filter(F.abs(F.col("value_interp") - F.col("expect")) > 1e-9)
     )
     assert joined.count() == 0
+
+
+def test_k42_assignment_is_shuffle_free(spark, sf_dir):
+    """The nearest-centroid assignment must be a pure projection over
+    literal centroids — no Exchange anywhere in its plan."""
+    from upc_sku_data_loader_spark.catalog import load
+    from upc_sku_data_loader_spark.functions import vectors as V
+    from upc_sku_data_loader_spark.plans.training import _KM_K, _km_assign
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["v"]])
+        for r in e.orderBy("vec_id").limit(_KM_K).collect()
+    ]
+    plan = _km_assign(e, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_k42_every_cluster_is_a_seed_and_nonempty(spark, sf_dir):
+    from upc_sku_data_loader_spark.plans.training import _KM_K
+
+    out = QUERIES["k42_kmeans"](spark, sf_dir)
+    clusters = {r["cluster"] for r in out.select("cluster").distinct().collect()}
+    seeds = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .limit(_KM_K)
+        .collect()
+    }
+    assert clusters <= seeds
+    assert len(clusters) >= 2  # degenerate one-cluster fixture would hide bugs
+
+
+def test_k43_pagerank_conserves_mass(spark, sf_dir):
+    """Damped PageRank over a graph with no dangling nodes keeps total
+    mass at 1 (up to the per-iteration rounding), and every rank holds
+    at least the teleport floor."""
+    out = QUERIES["k43_graph_pagerank"](spark, sf_dir)
+    rows = out.collect()
+    n = len(rows)
+    total = sum(r["pr"] for r in rows)
+    assert abs(total - 1.0) < 1e-4
+    floor = 0.15 / n
+    assert all(r["pr"] >= floor * 0.999 for r in rows)
