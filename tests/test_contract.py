@@ -58,8 +58,8 @@ def test_parity_slice(spark, sf_dir, name):
 
 def test_driver_window_composition():
     """The driver verifies only the first ~50 queries() entries (r1
-    finding); pin the round-3 window so a refactor can't silently push a
-    must-verify entry out of it."""
+    finding); pin the current round's window so a refactor can't silently
+    push a must-verify entry out of it."""
     window = list(entrymod.queries())[:50]
     assert window == entrymod._PRIORITY
     assert len(entrymod._PRIORITY) == 50

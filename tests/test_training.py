@@ -120,20 +120,46 @@ def test_k35_logprob_nonpositive_and_counts(spark, sf_dir):
 def test_k36_kept_chunks_globally_unique(spark, sf_dir):
     out = QUERIES["k36_chunk_dedup_global"](spark, sf_dir)
     assert out.filter(F.col("n_kept") > F.col("n_chunks")).count() == 0
-    # Re-chunk every doc's dedup_text: the multiset of kept chunks must
-    # contain no duplicate chunk text anywhere in the corpus.
-    kept = out.filter(F.col("dedup_text") != "").select(
-        F.explode(
+    # Independent reconstruction (groupBy-min instead of the query's window):
+    # first global occurrence of each chunk is (min(doc_id), min idx there);
+    # the per-doc count of such keepers must equal n_kept exactly.
+    ch = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .withColumn("nch", F.expr(f"(size(t) + {CHUNK} - 1) div {CHUNK}"))
+        .select(
+            "doc_id",
+            F.explode(F.expr("sequence(0, nch - 1)")).alias("idx"),
             F.expr(
-                f"transform(sequence(0, (size(split(dedup_text, ' ')) + {CHUNK} - 1)"
-                f" div {CHUNK} - 1),"
-                f" i -> concat_ws(' ', slice(split(dedup_text, ' '), i * {CHUNK} + 1,"
-                f" {CHUNK})))"
-            )
-        ).alias("chunk")
+                f"concat_ws(' ', slice(t, idx * {CHUNK} + 1, {CHUNK}))"
+            ).alias("chunk"),
+        )
     )
-    dupes = kept.groupBy("chunk").count().filter(F.col("count") > 1)
-    assert dupes.count() == 0
+    keepers = (
+        ch.groupBy("chunk")
+        .agg(F.min(F.struct("doc_id", "idx")).alias("first"))
+        .select(F.col("first.doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_kept_expected"))
+    )
+    mismatches = (
+        out.join(keepers, "doc_id", "left")
+        .filter(
+            F.coalesce(F.col("n_kept_expected"), F.lit(0)) != F.col("n_kept")
+        )
+        .count()
+    )
+    assert mismatches == 0
+    # dedup_text_md5 is a well-formed md5; n_kept == 0 docs hash the empty
+    # string (engine-independent canonical value).
+    assert out.filter(~F.col("dedup_text_md5").rlike("^[0-9a-f]{32}$")).count() == 0
+    empty = out.filter(F.col("n_kept") == 0)
+    assert (
+        empty.filter(
+            F.col("dedup_text_md5") != "d41d8cd98f00b204e9800998ecf8427e"
+        ).count()
+        == 0
+    )
 
 
 # --- k37 dedup clusters -------------------------------------------------------

@@ -122,6 +122,28 @@ def compare_one(name: str, spark, con, sf_dir: str) -> dict:
     return out
 
 
+def preflight(sf_dir: str) -> None:
+    """Named fixture-schema preflight (round-3 lesson: a driver-side fixture
+    regeneration flipped events.ts from timestamp[ns] to timestamp[µs] and
+    surfaced as 33 cryptic mid-sweep AnalysisExceptions).  Probe every
+    table's parquet footer up front so an encoding change fails HERE with
+    a labeled line instead."""
+    import pyarrow.parquet as pq
+
+    for t in TABLES:
+        schema = pq.read_schema(f"{sf_dir}/{t}.parquet")
+        if t == "events":
+            ts = str(schema.field("ts").type)
+            supported = ts in ("timestamp[ns]", "timestamp[us]", "int64")
+            print(f"PREFLIGHT     events.ts stored as {ts} "
+                  f"({'supported' if supported else 'UNSUPPORTED'})", flush=True)
+            if not supported:
+                raise SystemExit(
+                    f"preflight: events.ts encoding {ts} is not handled by "
+                    "catalog.normalize_events_ts — fix that before sweeping"
+                )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*", default=None)
@@ -129,6 +151,7 @@ def main() -> int:
     args = ap.parse_args()
 
     names = args.names or list(QUERIES)
+    preflight(args.sf)
     spark = get_spark()
     con = duck_connect(args.sf)
     n_pass = n_fail = n_rows_only = 0

@@ -4,13 +4,24 @@ Tables (TESTDATA.md / FIXTURES.md): region nation customer supplier part
 orders lineitem events documents embeddings — one parquet per table per
 scale factor under ``/root/testdata/sf{0.001,0.01,0.1}``.
 
-The one non-trivial load is ``events``: its ``ts`` column is stored as
-parquet timestamp[ns], which Spark 4 cannot read natively.  With
-``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as a raw int64
-of nanoseconds; we reconstruct a µs-precision ``timestamp_ntz`` with
-integer arithmetic (``ts div 1000`` — NOT float division, which loses
-precision above 2^53) so values match DuckDB's own ns→µs truncation
-bit-for-bit (verified on min/max round-trip, SURVEY §1.3).
+The one non-trivial load is ``events``: its ``ts`` column has shipped in
+two physical encodings across fixture generations — parquet
+timestamp[ns] (survey-era) and timestamp[µs] (current fixtures, measured
+2026-08-13 via ``pyarrow.parquet.read_schema``).  The load dispatches on
+the *landed* Spark type, so both encodings produce the same canonical
+schema:
+
+* timestamp[ns] + ``spark.sql.legacy.parquet.nanosAsLong=true`` lands as
+  int64 nanoseconds → reconstruct µs ``timestamp_ntz`` with integer
+  arithmetic (``ts div 1000`` — NOT float division, which loses
+  precision above 2^53), matching DuckDB's own ns→µs truncation.
+* timestamp[µs] lands as a timestamp already → keep it (cast to
+  ``timestamp_ntz``; session tz is UTC so the instant is unchanged) and
+  derive ``ts_ns = unix_micros(ts) * 1000``.
+
+Either way the engine-facing schema is ``ts timestamp_ntz`` +
+``ts_ns bigint``.  ``nanosAsLong`` stays set for backward compat — it is
+a no-op on µs files.
 
 Scale note: loads are plain ``spark.read.parquet`` — columnar scan,
 predicate pushdown and column pruning all apply; at 100 TB the same call
@@ -23,6 +34,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .session import ensure_runtime_configs
 
@@ -42,21 +54,37 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Canonicalize the events ``ts`` column regardless of how it landed.
+
+    Dispatches on the landed Spark type (see module docstring): int64
+    nanoseconds (ns parquet + nanosAsLong) vs a real timestamp (µs
+    parquet).  Output schema is identical in both cases:
+    ``ts timestamp_ntz`` (µs precision) + ``ts_ns bigint`` appended.
+    """
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        return df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return df.withColumn(
+        "ts_ns",
+        F.expr("unix_micros(cast(ts as timestamp)) * CAST(1000 AS BIGINT)"),
+    ).withColumn("ts", F.expr("cast(ts as timestamp_ntz)"))
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; canonical engine-facing schema.
 
     ``events.ts`` is exposed as µs ``timestamp_ntz`` (matching the DuckDB
-    oracle view's TIMESTAMP); the raw nanosecond value is kept as
-    ``ts_ns`` for operators that want integer time math.
+    oracle view's TIMESTAMP); an integer-nanosecond ``ts_ns`` is kept for
+    operators that want integer time math.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     ensure_runtime_configs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-        )
+        df = normalize_events_ts(df)
     return df
 
 

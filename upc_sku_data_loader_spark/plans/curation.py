@@ -134,10 +134,14 @@ def k23_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     bt AS (SELECT doc_id, MAX(cnt) AS top_bigram_cnt FROM bc GROUP BY doc_id)
     SELECT wt.doc_id,
            wt.n_words,
-           ROUND(1.0 - wt.n_distinct / wt.n_words, 6) AS dup_word_frac,
-           ROUND(wt.top_cnt / wt.n_words, 6) AS top_word_frac,
-           ROUND(COALESCE(bt.top_bigram_cnt / (wt.n_words - 1), 0.0), 6)
-             AS top_bigram_frac
+           CAST(((wt.n_words - wt.n_distinct) * 2000000 + wt.n_words)
+                // (2 * wt.n_words) AS BIGINT) AS dup_word_frac_micro,
+           CAST((wt.top_cnt * 2000000 + wt.n_words)
+                // (2 * wt.n_words) AS BIGINT) AS top_word_frac_micro,
+           CAST(CASE WHEN wt.n_words > 1
+                THEN (COALESCE(bt.top_bigram_cnt, 0) * 2000000 + (wt.n_words - 1))
+                     // (2 * (wt.n_words - 1))
+                ELSE 0 END AS BIGINT) AS top_bigram_frac_micro
     FROM wt LEFT JOIN bt ON bt.doc_id = wt.doc_id
     """,
 )
@@ -179,21 +183,28 @@ def k24_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("cnt").alias("top_bigram_cnt"))
     )
+    # Fractions are emitted as integer micro-units (half-up, pure integer
+    # arithmetic: (a*2e6 + b) div (2b)) so the value hash is engine- and
+    # version-independent — no ROUND(DOUBLE) canonicalization to disagree on.
     return (
         wt.join(bt, "doc_id", "left")
         .select(
             "doc_id",
             "n_words",
-            F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 6).alias(
-                "dup_word_frac"
-            ),
-            F.round(F.col("top_cnt") / F.col("n_words"), 6).alias("top_word_frac"),
-            F.round(
-                F.coalesce(
-                    F.col("top_bigram_cnt") / (F.col("n_words") - 1), F.lit(0.0)
-                ),
-                6,
-            ).alias("top_bigram_frac"),
+            F.expr(
+                "((n_words - n_distinct) * CAST(2000000 AS BIGINT) + n_words)"
+                " div (2 * n_words)"
+            ).alias("dup_word_frac_micro"),
+            F.expr(
+                "(top_cnt * CAST(2000000 AS BIGINT) + n_words) div (2 * n_words)"
+            ).alias("top_word_frac_micro"),
+            F.expr(
+                "CASE WHEN n_words > 1 THEN"
+                " (COALESCE(top_bigram_cnt, CAST(0 AS BIGINT))"
+                "  * CAST(2000000 AS BIGINT) + (n_words - 1))"
+                " div (2 * (n_words - 1))"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("top_bigram_frac_micro"),
         )
     )
 

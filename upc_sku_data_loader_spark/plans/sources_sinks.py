@@ -447,18 +447,31 @@ def i10_output_modes_triggers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     src = _scratch(sf_dir, "events_multi")
     shutil.rmtree(src, ignore_errors=True)
-    # 4 files ⇒ 4 micro-batches; watermark advances between them.
-    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(4).write.parquet(src)
+    # 4 files ⇒ 4 micro-batches; watermark advances between them.  The scratch
+    # copy is written in the CANONICAL form (ts as µs timestamp_ntz, via
+    # catalog.normalize_events_ts) so the streaming schema below is
+    # independent of which physical encoding (ns vs µs) the fixture shipped.
+    load(spark, sf_dir, "events").drop("ts_ns").repartition(4).write.parquet(src)
 
-    from ..streaming.sources import EVENTS_RAW_SCHEMA
+    from pyspark.sql import types as T
 
+    canon_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(canon_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
         # watermark needs TIMESTAMP (LTZ); session tz is pinned UTC so the
         # values equal the ntz reading used everywhere else
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts", F.expr("cast(ts as timestamp)"))
     )
     windowed = (
         raw.withWatermark("ts", "10 minutes")

@@ -303,8 +303,8 @@ def k35_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, COUNT(*) AS n_chunks,
            SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
-           COALESCE(string_agg(chunk, ' ' ORDER BY idx)
-                    FILTER (WHERE kept), '') AS dedup_text
+           md5(COALESCE(string_agg(chunk, ' ' ORDER BY idx)
+                        FILTER (WHERE kept), '')) AS dedup_text_md5
     FROM marked GROUP BY doc_id
     """,
 )
@@ -334,16 +334,21 @@ def k36_chunk_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return marked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
-        F.coalesce(
-            F.concat_ws(
-                " ",
-                F.expr(
-                    "transform(array_sort(collect_list(CASE WHEN kept THEN"
-                    " struct(idx, chunk) END)), x -> x.chunk)"
+        # md5 of the reassembled text (both sides) — the HASH of the string
+        # is engine-canonical where raw long-string rendering is not; the
+        # driver's value-hash then compares 32-char hex on both sides.
+        F.md5(
+            F.coalesce(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(array_sort(collect_list(CASE WHEN kept THEN"
+                        " struct(idx, chunk) END)), x -> x.chunk)"
+                    ),
                 ),
-            ),
-            F.lit(""),
-        ).alias("dedup_text"),
+                F.lit(""),
+            )
+        ).alias("dedup_text_md5"),
     )
 
 

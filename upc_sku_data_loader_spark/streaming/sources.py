@@ -2,9 +2,14 @@
 
 ``events`` as an unbounded stream: ``spark.readStream.schema(...)
 .parquet(dir)`` — file-based micro-batches, the standard pattern for
-replayable ingestion.  The nanosecond ``ts`` arrives as raw int64
-(nanosAsLong, same as batch) and is reconstructed identically, so
-streaming and batch twins agree bit-for-bit.
+replayable ingestion.  Unlike the batch reader, ``readStream`` *imposes*
+the declared schema rather than inferring one, so the ``ts`` field type
+must match the physical encoding; the fixtures have shipped as both
+timestamp[ns] (lands as int64 under nanosAsLong) and timestamp[µs]
+(lands as a timestamp).  We probe the parquet footer with pyarrow once
+per source construction (driver-side, O(1)) and declare the matching
+schema, then normalize identically to the batch catalog so streaming and
+batch twins agree bit-for-bit.
 
 Scale note: at production scale the same code points at an object-store
 prefix; ``maxFilesPerTrigger`` bounds micro-batch size, and the
@@ -17,31 +22,47 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..catalog import normalize_events_ts
 from ..session import ensure_runtime_configs
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanoseconds (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+
+def _events_ts_field(sf_dir: str) -> T.DataType:
+    """Probe the parquet footer to pick the declared ``ts`` field type.
+
+    timestamp[ns] files land as int64 under nanosAsLong → LongType;
+    timestamp[µs] files land as a timestamp → TimestampNTZType.  Footer
+    read is driver-side and O(1) — no data scan.
+    """
+    import pyarrow.parquet as pq
+
+    arrow_type = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    if str(arrow_type) in ("timestamp[ns]", "int64"):
+        return T.LongType()
+    return T.TimestampNTZType()
+
+
+def events_raw_schema(sf_dir: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", _events_ts_field(sf_dir)),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     ensure_runtime_configs(spark)
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    reader = spark.readStream.schema(events_raw_schema(sf_dir))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-    return df.withColumn("ts_ns", F.col("ts")).withColumn(
-        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-    )
+    return normalize_events_ts(df)
 
 
 def run_available_now(stream_df: DataFrame, view_name: str) -> DataFrame:
