@@ -121,3 +121,128 @@ def test_pii_redact_leaves_no_matches(spark, sf_dir):
         | F.col("redacted").rlike(_IP_RE)
     ).count()
     assert residual == 0
+
+
+# --- k44 duplicate-n-gram coverage --------------------------------------------
+
+
+def test_k44_coverage_bounds_and_known_doc(spark, sf_dir):
+    out = QUERIES["k44_dup_ngram_coverage"](spark, sf_dir)
+    # micro-unit fractions live in [0, 1e6]
+    assert out.filter(
+        (F.col("dup2_cov_micro") < 0) | (F.col("dup2_cov_micro") > 1_000_000)
+    ).count() == 0
+    assert out.filter(
+        (F.col("dup5_cov_micro") < 0) | (F.col("dup5_cov_micro") > 1_000_000)
+    ).count() == 0
+    # Hand-checked doc: "a b a b c" → dup 2-grams {"a b"(×2)} cover
+    # positions {1,2,3,4} → 4/5; no dup 5-gram → 0.
+    d = spark.createDataFrame(
+        [(1, "a b a b c")], "doc_id long, text string"
+    )
+    probe = _run_k44_on(spark, d)
+    row = probe.collect()[0]
+    assert row["n_tokens"] == 5
+    assert row["dup2_cov_micro"] == 800_000
+    assert row["dup5_cov_micro"] == 0
+
+
+def _run_k44_on(spark, docs_df):
+    """Apply k44's construction to an arbitrary (doc_id, text) frame."""
+    from pyspark.sql.window import Window
+
+    d = docs_df.select("doc_id", F.split("text", " ").alias("t")).withColumn(
+        "n", F.size("t")
+    )
+
+    def coverage(ngram, out):
+        g = (
+            d.filter(F.col("n") >= ngram)
+            .select(
+                "doc_id",
+                "t",
+                F.explode(F.expr(f"sequence(1, n - {ngram - 1})")).alias("i"),
+            )
+            .select(
+                "doc_id",
+                "i",
+                F.expr(f"concat_ws(' ', slice(t, i, {ngram}))").alias("gram"),
+            )
+        )
+        w = Window.partitionBy("doc_id", "gram")
+        dup = g.withColumn("cnt", F.count(F.lit(1)).over(w)).filter(
+            F.col("cnt") >= 2
+        )
+        return (
+            dup.select(
+                "doc_id",
+                F.explode(F.expr(f"sequence(i, i + {ngram - 1})")).alias("j"),
+            )
+            .distinct()
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    return (
+        d.join(coverage(2, "covered2"), "doc_id", "left")
+        .join(coverage(5, "covered5"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            F.expr(
+                "(COALESCE(covered2, CAST(0 AS BIGINT)) * CAST(2000000 AS BIGINT)"
+                " + n) div (2 * n)"
+            ).alias("dup2_cov_micro"),
+            F.expr(
+                "(COALESCE(covered5, CAST(0 AS BIGINT)) * CAST(2000000 AS BIGINT)"
+                " + n) div (2 * n)"
+            ).alias("dup5_cov_micro"),
+        )
+    )
+
+
+# --- k45 contamination scoring ------------------------------------------------
+
+
+def test_k45_excludes_eval_docs_and_bounds(spark, sf_dir):
+    out = QUERIES["k45_contamination_score"](spark, sf_dir)
+    rows = out.collect()
+    # eval docs (md5 first hex digit '0') are excluded from the output
+    import hashlib
+
+    for r in rows:
+        assert hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[0] != "0"
+    assert all(0 <= r["contaminated_micro"] <= 1_000_000 for r in rows)
+    # total = all docs minus eval docs
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_eval = sum(
+        1
+        for (doc_id,) in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+        if hashlib.md5(str(doc_id).encode()).hexdigest()[0] == "0"
+    )
+    assert len(rows) == n_docs - n_eval
+
+
+# --- k46 source token budget --------------------------------------------------
+
+
+def test_k46_shares_sum_and_cumulative_monotone(spark, sf_dir):
+    rows = QUERIES["k46_source_token_budget"](spark, sf_dir).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    # shares are micro-units of the true total (half-up each, so the sum
+    # is within ±len(rows)/2 of 1e6)
+    share_sum = sum(r["share_micro"] for r in rows)
+    assert abs(share_sum - 1_000_000) <= len(rows)
+    ordered = sorted(rows, key=lambda r: (-r["n_tokens"], r["source"]))
+    cums = [r["cum_share_micro"] for r in ordered]
+    assert cums == sorted(cums)
+    assert cums[-1] == 1_000_000
+    # corpus token total matches an independent count
+    indep = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split("text", " ")))
+        .count()
+    )
+    assert total == indep

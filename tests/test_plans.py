@@ -10,6 +10,8 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from upc_sku_data_loader_spark import plans  # noqa: F401,E402
 from upc_sku_data_loader_spark.registry import QUERIES  # noqa: E402
 
@@ -330,3 +332,38 @@ def test_h13_variant_column_is_variant_type(spark, sf_dir):
     assert isinstance(df.schema["v"].dataType, VariantType)
     out = df.select(F.expr("variant_get(v, '$.k', 'bigint')").alias("k")).collect()
     assert sorted(r["k"] for r in out) == [0, 1, 2]
+
+
+# --- g6 multiset set ops ------------------------------------------------------
+
+
+def test_g6_multiset_identity(spark, sf_dir):
+    """|A ∩all B| + |A \\all B| == |A| — the bag-algebra identity
+    intersectAll/exceptAll must satisfy."""
+    out = QUERIES["g6_setop_all"](spark, sf_dir)
+    by_op = {r["op"]: r["n"] for r in
+             out.groupBy("op").agg(F.count(F.lit(1)).alias("n")).collect()}
+    a_count = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_quantity") < 10)
+        .count()
+    )
+    assert by_op.get("intersect_all", 0) + by_op.get("except_all", 0) == a_count
+
+
+# --- d21 bitmap distinct ------------------------------------------------------
+
+
+def test_d21_bitmap_equals_count_distinct(spark, sf_dir):
+    out = {
+        r["o_orderpriority"]: r["n_cust"]
+        for r in QUERIES["d21_bitmap_distinct"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert out == exact

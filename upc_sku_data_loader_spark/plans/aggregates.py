@@ -628,3 +628,42 @@ def d20_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "metric", "value"
     )
+
+
+# --- D21: bitmap-sketch exact distinct count ----------------------------------
+
+
+@query(
+    "d21_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def d21_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via Spark's bitmap aggregate family
+    (`bitmap_bucket_number` / `bitmap_bit_position` /
+    `bitmap_construct_agg` / `bitmap_count`) — the partial-aggregatable
+    alternative to `COUNT(DISTINCT)`'s expand-and-reshuffle plan.  Each
+    (group, bucket) builds a fixed 4 KB bitmap map-side; the shuffle
+    carries one bitmap per (group, bucket) instead of every distinct
+    value, then per-group counts sum bucket cardinalities.  At 100 TB
+    over a dense integer key space this is the plan of choice: shuffle
+    volume is bounded by key-range/32768 bitmaps, not by row count.
+    The oracle is plain COUNT(DISTINCT) — the bitmap path must be
+    value-exact, unlike d4/d19's approximate HLL tier."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("d21_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(SUM(bucket_cnt) AS BIGINT) AS n_cust
+        FROM (
+          SELECT o_orderpriority,
+                 bitmap_bucket_number(o_custkey) AS bucket,
+                 bitmap_count(bitmap_construct_agg(
+                     bitmap_bit_position(o_custkey))) AS bucket_cnt
+          FROM d21_orders
+          GROUP BY o_orderpriority, bitmap_bucket_number(o_custkey)
+        )
+        GROUP BY o_orderpriority
+        """
+    )

@@ -669,3 +669,285 @@ def k31_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("pruned_text"),
     )
+
+
+# --- K44: duplicate-n-gram COVERAGE (Gopher §A1.1 second family) --------------
+
+
+@query(
+    "k44_dup_ngram_coverage",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id, i,
+             array_to_string(list_slice(t, i, i + 1), ' ') AS gram
+      FROM d, UNNEST(generate_series(1, n - 1)) AS s(i)
+      WHERE n >= 2
+    ),
+    dup2 AS (
+      SELECT doc_id, i FROM (
+        SELECT doc_id, i, COUNT(*) OVER (PARTITION BY doc_id, gram) AS cnt
+        FROM g2) WHERE cnt >= 2
+    ),
+    cov2 AS (
+      SELECT doc_id, COUNT(DISTINCT j) AS covered
+      FROM dup2, UNNEST(generate_series(i, i + 1)) AS s(j)
+      GROUP BY doc_id
+    ),
+    g5 AS (
+      SELECT doc_id, i,
+             array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+      FROM d, UNNEST(generate_series(1, n - 4)) AS s(i)
+      WHERE n >= 5
+    ),
+    dup5 AS (
+      SELECT doc_id, i FROM (
+        SELECT doc_id, i, COUNT(*) OVER (PARTITION BY doc_id, gram) AS cnt
+        FROM g5) WHERE cnt >= 2
+    ),
+    cov5 AS (
+      SELECT doc_id, COUNT(DISTINCT j) AS covered
+      FROM dup5, UNNEST(generate_series(i, i + 4)) AS s(j)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.n AS n_tokens,
+           CAST((COALESCE(c2.covered, 0) * 2000000 + d.n) // (2 * d.n)
+                AS BIGINT) AS dup2_cov_micro,
+           CAST((COALESCE(c5.covered, 0) * 2000000 + d.n) // (2 * d.n)
+                AS BIGINT) AS dup5_cov_micro
+    FROM d
+    LEFT JOIN cov2 c2 USING (doc_id)
+    LEFT JOIN cov5 c5 USING (doc_id)
+    """,
+)
+def k44_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's *coverage*-style repetition filters (arXiv:2112.11446
+    §A1.1): the fraction of a document's tokens covered by n-grams that
+    occur ≥2 times within the document (n=2 and n=5) — complements k24,
+    which measures top-gram concentration, not positional coverage.
+
+    Shape per n: explode offsets (map-only), one shuffle on the
+    (doc, gram) window key to mark duplicated grams, then a
+    position-union DISTINCT and per-doc count — all keyed by doc_id, so
+    at 100 TB every stage partitions by document and the explode fan-out
+    is absorbed map-side.  Fractions are emitted as pure-integer half-up
+    micro-units ((a*2e6 + b) div 2b), immune to float canonicalization.
+    """
+    from pyspark.sql.window import Window
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .withColumn("n", F.size("t"))
+    )
+
+    def coverage(ngram: int, out: str) -> DataFrame:
+        g = (
+            d.filter(F.col("n") >= ngram)
+            .select(
+                "doc_id",
+                "t",
+                F.explode(F.expr(f"sequence(1, n - {ngram - 1})")).alias("i"),
+            )
+            .select(
+                "doc_id",
+                "i",
+                F.expr(f"concat_ws(' ', slice(t, i, {ngram}))").alias("gram"),
+            )
+        )
+        w = Window.partitionBy("doc_id", "gram")
+        dup = g.withColumn("cnt", F.count(F.lit(1)).over(w)).filter(
+            F.col("cnt") >= 2
+        )
+        return (
+            dup.select(
+                "doc_id",
+                F.explode(F.expr(f"sequence(i, i + {ngram - 1})")).alias("j"),
+            )
+            .distinct()
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    cov2 = coverage(2, "covered2")
+    cov5 = coverage(5, "covered5")
+    return (
+        d.join(cov2, "doc_id", "left")
+        .join(cov5, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            F.expr(
+                "(COALESCE(covered2, CAST(0 AS BIGINT)) * CAST(2000000 AS BIGINT)"
+                " + n) div (2 * n)"
+            ).alias("dup2_cov_micro"),
+            F.expr(
+                "(COALESCE(covered5, CAST(0 AS BIGINT)) * CAST(2000000 AS BIGINT)"
+                " + n) div (2 * n)"
+            ).alias("dup5_cov_micro"),
+        )
+    )
+
+
+# --- K45: contamination overlap scoring (decontaminate's scoring twin) --------
+
+
+@query(
+    "k45_contamination_score",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_eval
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, is_eval, i,
+             array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+      FROM d, UNNEST(generate_series(1, n - 4)) AS s(i)
+      WHERE n >= 5
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE is_eval),
+    m AS (
+      SELECT g.doc_id, COUNT(*) AS matched
+      FROM g JOIN ev USING (gram)
+      WHERE NOT g.is_eval
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           GREATEST(d.n - 4, 0) AS n_grams,
+           CAST(CASE WHEN d.n >= 5
+                THEN (COALESCE(m.matched, 0) * 2000000 + (d.n - 4))
+                     // (2 * (d.n - 4))
+                ELSE 0 END AS BIGINT) AS contaminated_micro
+    FROM d LEFT JOIN m USING (doc_id)
+    WHERE NOT d.is_eval
+    """,
+)
+def k45_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination SCORING (the measurement twin of k29's
+    removal): per training document, the fraction of its 5-gram
+    instances that also occur anywhere in the held-out eval slice
+    (deterministic md5 split — first hex digit '0', ≈1/16 of docs, so
+    both engines pick the identical eval set with no RNG).
+
+    Scale shape: the eval n-gram index is benchmark-sized (small by
+    construction at any corpus scale), so it is DISTINCT-ed and
+    broadcast; the training side then needs only a map-side semi-join —
+    no shuffle of the 100 TB corpus at all.  Fractions are integer
+    micro-units as in k44.
+    """
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .withColumn("n", F.size("t"))
+        .withColumn(
+            "is_eval",
+            F.expr("substr(md5(CAST(doc_id AS STRING)), 1, 1) = '0'"),
+        )
+    )
+    g = (
+        d.filter(F.col("n") >= 5)
+        .select(
+            "doc_id",
+            "is_eval",
+            "t",
+            F.explode(F.expr("sequence(1, n - 4)")).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "is_eval",
+            F.expr("concat_ws(' ', slice(t, i, 5))").alias("gram"),
+        )
+    )
+    ev = g.filter("is_eval").select("gram").distinct()
+    matched = (
+        g.filter(~F.col("is_eval"))
+        .join(F.broadcast(ev), "gram", "semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("matched"))
+    )
+    return (
+        d.filter(~F.col("is_eval"))
+        .join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.greatest(F.col("n") - 4, F.lit(0)).cast("bigint").alias("n_grams"),
+            F.expr(
+                "CAST(CASE WHEN n >= 5 THEN"
+                " (COALESCE(matched, CAST(0 AS BIGINT))"
+                "  * CAST(2000000 AS BIGINT) + (n - 4)) div (2 * (n - 4))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("contaminated_micro"),
+        )
+    )
+
+
+# --- K46: per-source token budget (mixture planning) --------------------------
+
+
+@query(
+    "k46_source_token_budget",
+    oracle="""
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM s),
+    r AS (
+      SELECT s.*, tot.total,
+             CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, source)
+                  AS BIGINT) AS cum_tokens
+      FROM s, tot
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST((n_tokens * 2000000 + total) // (2 * total) AS BIGINT)
+             AS share_micro,
+           CAST((cum_tokens * 2000000 + total) // (2 * total) AS BIGINT)
+             AS cum_share_micro
+    FROM r
+    """,
+)
+def k46_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-planning table: per-source document/token counts, token
+    share, and cumulative share in size order — the input a data-mixture
+    designer (temperature sampling, k39) reads before setting weights.
+
+    Scale shape: per-source token counting is a map-side-partial
+    groupBy on the source key (the 100 TB work); everything after — the
+    total, the ordered cumulative window — runs over #sources rows,
+    which is metadata-scale (tens to thousands), so the single-partition
+    window is deliberate and safe.  Shares are integer micro-units.
+    """
+    from pyspark.sql.window import Window
+
+    s = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = s.agg(F.sum("n_tokens").cast("bigint").alias("total"))
+    w = Window.orderBy(F.desc("n_tokens"), F.asc("source"))
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr(
+                "(n_tokens * CAST(2000000 AS BIGINT) + total) div (2 * total)"
+            ).alias("share_micro"),
+            F.expr(
+                "(cum_tokens * CAST(2000000 AS BIGINT) + total) div (2 * total)"
+            ).alias("cum_share_micro"),
+        )
+    )

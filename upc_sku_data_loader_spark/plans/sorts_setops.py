@@ -243,3 +243,38 @@ def g5_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return o.unionByName(li, allowMissingColumns=True)
+
+
+# --- G6: multiset set operations (INTERSECT ALL / EXCEPT ALL) -----------------
+
+
+@query(
+    "g6_setop_all",
+    oracle="""
+    SELECT 'intersect_all' AS op, v FROM (
+      SELECT l_suppkey AS v FROM lineitem WHERE l_quantity < 10
+      INTERSECT ALL
+      SELECT l_suppkey AS v FROM lineitem WHERE l_discount > 0.05
+    )
+    UNION ALL
+    SELECT 'except_all' AS op, v FROM (
+      SELECT l_suppkey AS v FROM lineitem WHERE l_quantity < 10
+      EXCEPT ALL
+      SELECT l_suppkey AS v FROM lineitem WHERE l_discount > 0.05
+    )
+    """,
+)
+def g6_setop_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) semantics set ops — `intersectAll` / `exceptAll`
+    keep duplicate multiplicity, unlike g2/g3's DISTINCT forms.  Spark
+    plans both as a hash aggregation counting per-value multiplicity on
+    each side followed by a replicate — one shuffle on the value key,
+    partial counts map-side, so duplicates never cross the wire
+    individually.  The duplicate-preserving output is exactly what the
+    driver's multiset row hash verifies."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") < 10).select(F.col("l_suppkey").alias("v"))
+    b = li.filter(F.col("l_discount") > 0.05).select(F.col("l_suppkey").alias("v"))
+    inter = a.intersectAll(b).select(F.lit("intersect_all").alias("op"), "v")
+    diff = a.exceptAll(b).select(F.lit("except_all").alias("op"), "v")
+    return inter.unionAll(diff)
