@@ -348,3 +348,43 @@ def test_k43_pagerank_conserves_mass(spark, sf_dir):
     assert abs(total - 1.0) < 1e-4
     floor = 0.15 / n
     assert all(r["pr"] >= floor * 0.999 for r in rows)
+
+
+# --- k47 farthest-point coreset -----------------------------------------------
+
+
+def test_k47_fps_invariants(spark, sf_dir):
+    rows = QUERIES["k47_coreset_fps"](spark, sf_dir).collect()
+    centers = {r["center_id"] for r in rows}
+    assert len(centers) == 4
+    # every vector assigned to one of the 4 centers; centers assign to
+    # themselves at distance 0
+    for r in rows:
+        assert r["center_id"] in centers
+        if r["is_center"]:
+            assert r["center_id"] == r["vec_id"]
+            assert r["dist_r"] == 0.0
+        assert r["dist_r"] >= 0.0
+    # seed center is the min vec_id (deterministic greedy start)
+    assert min(r["vec_id"] for r in rows) in centers
+    # total function: one row per embedding
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(rows) == n
+
+
+# --- k48 length buckets -------------------------------------------------------
+
+
+def test_k48_bucket_accounting(spark, sf_dir):
+    rows = QUERIES["k48_length_buckets"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    n_tokens = docs.select(F.explode(F.split("text", " "))).count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["total_tokens"] for r in rows) == n_tokens
+    for r in rows:
+        # bucket holds only docs that fit: padded >= total, and the
+        # next-smaller bucket would not fit at least one doc
+        assert r["padded_tokens"] == r["n_docs"] * r["bucket_len"]
+        assert r["padded_tokens"] >= r["total_tokens"]
+        assert 0 <= r["waste_micro"] <= 1_000_000

@@ -913,3 +913,187 @@ def k43_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pr"),
         )
     return ranks.select("node", F.round("pr", 8).alias("pr"))
+
+
+# --- K47: farthest-point coreset selection (k-center greedy) ------------------
+
+_FPS_SQL_DIST = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+)
+
+
+@query(
+    "k47_coreset_fps",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    p0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+    d1 AS (
+      SELECT e.vec_id, e.v,
+             ROUND({_FPS_SQL_DIST.format(a="e.v", b="p0.v")}, 6) AS dmin
+      FROM e, p0 WHERE e.vec_id != p0.vec_id
+    ),
+    p1 AS (SELECT vec_id, v FROM d1 ORDER BY dmin DESC, vec_id LIMIT 1),
+    d2 AS (
+      SELECT d1.vec_id, d1.v,
+             LEAST(d1.dmin,
+                   ROUND({_FPS_SQL_DIST.format(a="d1.v", b="p1.v")}, 6)) AS dmin
+      FROM d1, p1 WHERE d1.vec_id != p1.vec_id
+    ),
+    p2 AS (SELECT vec_id, v FROM d2 ORDER BY dmin DESC, vec_id LIMIT 1),
+    d3 AS (
+      SELECT d2.vec_id, d2.v,
+             LEAST(d2.dmin,
+                   ROUND({_FPS_SQL_DIST.format(a="d2.v", b="p2.v")}, 6)) AS dmin
+      FROM d2, p2 WHERE d2.vec_id != p2.vec_id
+    ),
+    p3 AS (SELECT vec_id, v FROM d3 ORDER BY dmin DESC, vec_id LIMIT 1),
+    centers AS (
+      SELECT 0 AS cid, vec_id, v FROM p0
+      UNION ALL SELECT 1, vec_id, v FROM p1
+      UNION ALL SELECT 2, vec_id, v FROM p2
+      UNION ALL SELECT 3, vec_id, v FROM p3
+    ),
+    assign AS (
+      SELECT vec_id, center_id, dist_r FROM (
+        SELECT e.vec_id, c.vec_id AS center_id,
+               ROUND({_FPS_SQL_DIST.format(a="e.v", b="c.v")}, 6) AS dist_r,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND({_FPS_SQL_DIST.format(a="e.v", b="c.v")}, 6),
+                          c.vec_id) AS rn
+        FROM e, centers c
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id, a.center_id, a.dist_r,
+           a.vec_id IN (SELECT vec_id FROM centers) AS is_center
+    FROM assign a
+    """,
+)
+def k47_coreset_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy (farthest-point / Gonzalez) coreset selection
+    over the embedding table — the diversity-sampling backbone used for
+    coreset-based data pruning: pick 4 centers (seed = min vec_id, then
+    thrice the point farthest from its nearest selected center), then
+    assign every vector to its nearest center.
+
+    Scale shape: each greedy round is one distributed argmax
+    (TakeOrdered of 1 row — a bounded collect, as k42's centroids) plus
+    a MAP-ONLY running-min update against the single new literal
+    center; k rounds → k scans, zero shuffles beyond the argmax
+    reduction.  Final assignment is the k42 literal-centroid argmin —
+    map-only.  All distances are rounded to 6 dp before every argmax /
+    argmin / LEAST so greedy choices cannot diverge across engines."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    )
+    first = e.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(0, first["vec_id"], first["v"])]
+    cur = e.filter(F.col("vec_id") != first["vec_id"]).withColumn(
+        "dmin",
+        _km_sqdist(F.col("v"), F.array([F.lit(x) for x in first["v"]])),
+    )
+    for cid in (1, 2, 3):
+        top = cur.orderBy(F.desc("dmin"), F.asc("vec_id")).limit(1).collect()[0]
+        centers.append((cid, top["vec_id"], top["v"]))
+        cur = cur.filter(F.col("vec_id") != top["vec_id"]).withColumn(
+            "dmin",
+            F.least(
+                F.col("dmin"),
+                _km_sqdist(F.col("v"), F.array([F.lit(x) for x in top["v"]])),
+            ),
+        )
+    center_ids = {vid for _, vid, _ in centers}
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _km_sqdist(F.col("v"), F.array([F.lit(x) for x in cv])).alias(
+                        "d"
+                    ),
+                    F.lit(vid).alias("center_id"),
+                )
+                for _, vid, cv in centers
+            ]
+        )
+    )
+    return e.select(
+        "vec_id",
+        best["center_id"].alias("center_id"),
+        best["d"].alias("dist_r"),
+        F.col("vec_id").isin(list(center_ids)).alias("is_center"),
+    )
+
+
+# --- K48: sequence-length bucketing / padding-waste audit ---------------------
+
+_LEN_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def _bucket_case_sql(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} <= {b} THEN {b}" for b in _LEN_BUCKETS[:-1]
+    )
+    return f"CASE {whens} ELSE {_LEN_BUCKETS[-1]} END"
+
+
+@query(
+    "k48_length_buckets",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS ntok FROM documents
+    ),
+    b AS (
+      SELECT CAST({_bucket_case_sql("ntok")} AS BIGINT) AS bucket_len,
+             ntok
+      FROM d
+    ),
+    agg AS (
+      SELECT bucket_len, COUNT(*) AS n_docs,
+             CAST(SUM(ntok) AS BIGINT) AS total_tokens
+      FROM b GROUP BY bucket_len
+    )
+    SELECT bucket_len, n_docs, total_tokens,
+           CAST(n_docs * bucket_len AS BIGINT) AS padded_tokens,
+           CAST(((n_docs * bucket_len - total_tokens) * 2000000
+                 + n_docs * bucket_len) // (2 * n_docs * bucket_len)
+                AS BIGINT) AS waste_micro
+    FROM agg
+    """,
+)
+def k48_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing audit: assign each document to the
+    smallest power-of-two context bucket that fits it and report the
+    padding waste per bucket — the measurement that decides between
+    padded batching and k32's sequence packing (waste ≈ 0 for packing;
+    this table quantifies what padding would burn instead).
+
+    Map-only bucket assignment (integer CASE ladder, no log/float) +
+    one tiny keyed agg with map-side partials; output cardinality =
+    #buckets.  Waste fractions are integer half-up micro-units."""
+    buckets = F.expr(_bucket_case_sql("ntok")).cast("bigint")
+    d = load(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).alias("ntok")
+    )
+    return (
+        d.select(buckets.alias("bucket_len"), "ntok")
+        .groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            "bucket_len",
+            "n_docs",
+            "total_tokens",
+            (F.col("n_docs") * F.col("bucket_len"))
+            .cast("bigint")
+            .alias("padded_tokens"),
+            F.expr(
+                "((n_docs * bucket_len - total_tokens) * CAST(2000000 AS BIGINT)"
+                " + n_docs * bucket_len) div (2 * n_docs * bucket_len)"
+            ).alias("waste_micro"),
+        )
+    )
