@@ -130,8 +130,35 @@ def preflight(sf_dir: str) -> None:
     a labeled line instead."""
     import pyarrow.parquet as pq
 
+    # Measured fixture column sets (2026-08-13, all three SFs identical).
+    expected_cols = {
+        "region": {"r_regionkey", "r_name"},
+        "nation": {"n_nationkey", "n_name", "n_regionkey"},
+        "customer": {"c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                     "c_mktsegment"},
+        "supplier": {"s_suppkey", "s_name", "s_nationkey", "s_acctbal"},
+        "part": {"p_partkey", "p_name", "p_brand", "p_type", "p_size",
+                 "p_retailprice"},
+        "orders": {"o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                   "o_orderdate", "o_orderpriority"},
+        "lineitem": {"l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                     "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                     "l_returnflag", "l_linestatus", "l_shipdate"},
+        "events": {"event_id", "ts", "user_id", "event_type", "value",
+                   "props"},
+        "documents": {"doc_id", "text", "lang", "source", "n_chars"},
+        "embeddings": {"vec_id", "embedding", "label"},
+    }
     for t in TABLES:
         schema = pq.read_schema(f"{sf_dir}/{t}.parquet")
+        got = set(schema.names)
+        want = expected_cols[t]
+        if got != want:
+            raise SystemExit(
+                f"preflight: {t} columns changed — missing {sorted(want - got)},"
+                f" unexpected {sorted(got - want)}. A driver-side fixture"
+                " regeneration altered the schema; update catalog/plans first."
+            )
         if t == "events":
             ts = str(schema.field("ts").type)
             supported = ts in ("timestamp[ns]", "timestamp[us]", "int64")

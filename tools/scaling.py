@@ -32,6 +32,9 @@ DEFAULT = [
     "k37_dedup_clusters",
     "k4_knn_join",
     "k4b_knn_join_blocked",
+    "k44_dup_ngram_coverage",
+    "k45_contamination_score",
+    "k47_coreset_fps",
 ]
 
 
