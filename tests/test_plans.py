@@ -367,3 +367,20 @@ def test_d21_bitmap_equals_count_distinct(spark, sf_dir):
         .collect()
     }
     assert out == exact
+
+
+def test_new_ops_plan_shapes(spark, sf_dir):
+    """Scale-shape claims of the round-4 additions, pinned in the
+    executed plan: k45's eval index is broadcast (no corpus shuffle for
+    the probe side), k48 is map-only + one aggregation shuffle, k44
+    never degenerates to a cartesian/nested-loop join."""
+    p45 = _executed_plan(spark, "k45_contamination_score", sf_dir)
+    assert "BroadcastExchange" in p45
+    assert "CartesianProduct" not in p45
+
+    p48 = _executed_plan(spark, "k48_length_buckets", sf_dir)
+    assert p48.count("Exchange hashpartitioning") == 1
+
+    p44 = _executed_plan(spark, "k44_dup_ngram_coverage", sf_dir)
+    assert "CartesianProduct" not in p44
+    assert "BroadcastNestedLoopJoin" not in p44
