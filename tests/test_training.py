@@ -388,3 +388,38 @@ def test_k48_bucket_accounting(spark, sf_dir):
         assert r["padded_tokens"] == r["n_docs"] * r["bucket_len"]
         assert r["padded_tokens"] >= r["total_tokens"]
         assert 0 <= r["waste_micro"] <= 1_000_000
+
+
+# --- t7 interpolated as-of join -----------------------------------------------
+
+
+def test_t7_interp_between_neighbor_quotes(spark, sf_dir):
+    """The interpolated quote always lies between the two neighboring
+    quote values (inclusive, ±rounding), and no output row exists for a
+    user with fewer than one quote on each side."""
+    out = QUERIES["t7_asof_interpolated"](spark, sf_dir)
+    eps = 5e-7
+    bad = out.filter(
+        (
+            F.col("quote_interp")
+            < F.least("prev_q", "next_q") - eps
+        )
+        | (
+            F.col("quote_interp")
+            > F.greatest("prev_q", "next_q") + eps
+        )
+    ).count()
+    assert bad == 0
+    # every output user has at least one purchase (quote) in events
+    users_out = {r["user_id"] for r in out.select("user_id").distinct().collect()}
+    from upc_sku_data_loader_spark.catalog import load as _load
+
+    quote_users = {
+        r["user_id"]
+        for r in _load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    assert users_out <= quote_users

@@ -443,3 +443,132 @@ def t6_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_interp"),
         (~F.col("observed")).cast("int").alias("was_gap"),
     )
+
+
+# --- T7: interpolated as-of join (ticks × quotes, union-merge) ----------------
+
+
+@query(
+    "t7_asof_interpolated",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, value, epoch_us(ts) AS tus FROM events
+    ),
+    quotes AS (
+      SELECT user_id, tus,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS qv
+      FROM ev WHERE event_type = 'purchase'
+      GROUP BY user_id, tus
+    ),
+    u AS (
+      SELECT user_id, tus, 0 AS side, qv FROM quotes
+      UNION ALL
+      SELECT user_id, tus, 1 AS side, NULL AS qv
+      FROM ev WHERE event_type = 'click'
+    ),
+    ctx AS (
+      SELECT user_id, tus, side,
+             LAST_VALUE(qv IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY tus, side
+               ROWS UNBOUNDED PRECEDING) AS pv,
+             LAST_VALUE(CASE WHEN side = 0 THEN tus END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY tus, side
+               ROWS UNBOUNDED PRECEDING) AS pt,
+             FIRST_VALUE(qv IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY tus, side
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN side = 0 THEN tus END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY tus, side
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM u
+    )
+    SELECT user_id,
+           make_timestamp(tus) AS ts,
+           pv AS prev_q,
+           nv AS next_q,
+           ROUND(pv + (nv - pv) * (tus - pt) * 1.0 / (nt - pt), 6)
+             AS quote_interp
+    FROM ctx
+    WHERE side = 1 AND pv IS NOT NULL AND nv IS NOT NULL
+    """,
+)
+def t7_asof_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated as-of join — the kdb/QuestDB `aj` + linear-fill
+    composite: for every click ("tick") take the purchase stream
+    ("quotes") of the same user and evaluate the quote value AT the
+    tick's timestamp by interpolating between the previous
+    (at-or-before) and next (strictly-after) quote.
+
+    Same union-merge shape as c8's as-of join (operators/asof.py): tag
+    both sides, ONE shuffle on user_id, one in-partition sort, then
+    last/first ignore-nulls running windows carry both quote contexts —
+    no self-join, no per-key explode, no Python.  Quotes are
+    pre-aggregated per (user, ts) with an exact decimal sum so the
+    window order (ts, side) is total and both engines see identical
+    neighbor values.  Time arithmetic is integer microseconds
+    (`ts_ns div 1000` ≡ DuckDB `epoch_us`); only the final interpolated
+    double is rounded (6 dp)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("ts_ns div 1000").alias("tus"),
+    )
+    quotes = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "tus")
+        .agg(
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("qv")
+        )
+        .withColumn("side", F.lit(0))
+    )
+    ticks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "tus")
+        .withColumn("side", F.lit(1))
+        .withColumn("qv", F.lit(None).cast("double"))
+    )
+    u = quotes.select("user_id", "tus", "side", "qv").unionByName(
+        ticks.select("user_id", "tus", "side", "qv")
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    quote_tus = F.when(F.col("side") == 0, F.col("tus"))
+    ctx = u.select(
+        "user_id",
+        "tus",
+        "side",
+        F.last("qv", ignorenulls=True).over(wb).alias("pv"),
+        F.last(quote_tus, ignorenulls=True).over(wb).alias("pt"),
+        F.first("qv", ignorenulls=True).over(wf).alias("nv"),
+        F.first(quote_tus, ignorenulls=True).over(wf).alias("nt"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.col("tus") - F.col("pt")
+    ) / (F.col("nt") - F.col("pt"))
+    return (
+        ctx.filter(
+            (F.col("side") == 1)
+            & F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.expr("cast(timestamp_micros(tus) as timestamp_ntz)").alias("ts"),
+            F.col("pv").alias("prev_q"),
+            F.col("nv").alias("next_q"),
+            F.round(interp, 6).alias("quote_interp"),
+        )
+    )
