@@ -150,3 +150,16 @@ def test_dedup_clusters_matches_union_find_on_random_graphs(spark):
             ).collect()
         }
         assert got == expected
+
+
+# --- k14b md5-simhash ---------------------------------------------------------
+
+
+def test_k14b_signature_popcount_and_range(spark, sf_dir):
+    from upc_sku_data_loader_spark import plans  # noqa: F401  (registry)
+    from upc_sku_data_loader_spark.registry import QUERIES
+
+    rows = QUERIES["k14b_simhash_md5"](spark, sf_dir).collect()
+    for r in rows:
+        assert 0 <= r["simhash32"] < (1 << 32)
+        assert bin(r["simhash32"]).count("1") == r["n_set_bits"]

@@ -975,3 +975,97 @@ def k22_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
         .filter(F.col("sample_rank") <= 5)
     )
+
+
+# --- K14b: SimHash over md5 token hashes (fully oracle-checkable) -------------
+
+
+@query(
+    "k14b_simhash_md5",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, w, COUNT(*) AS cnt FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+      ) GROUP BY doc_id, w
+    ),
+    h AS (
+      SELECT doc_id, cnt,
+             CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS hv
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, i,
+             SUM(cnt * (2 * ((hv // (CAST(1 AS BIGINT) << i)) % 2) - 1))
+               AS vote
+      FROM h, UNNEST(generate_series(0, 31)) AS s(i)
+      GROUP BY doc_id, i
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0
+                         THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT)
+             AS simhash32,
+           CAST(SUM(CASE WHEN vote > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_set_bits
+    FROM votes GROUP BY doc_id
+    """,
+)
+def k14b_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures with an md5-derived 32-bit token hash — the
+    engine-independent twin of k14 (whose xxhash64 bit votes are Spark-
+    specific and therefore rows-only).  md5 hex is identical in Spark
+    and DuckDB, so the full signature is value-hash-checked here:
+    per-token hash = first 8 md5 hex digits as int, per-bit vote =
+    ±token_count, bit set iff the vote sum is positive.
+
+    Shape: one shuffle on (doc, token) for counts, a 32-way map-side
+    bit explode, one shuffle on (doc, bit), one on doc — every stage
+    doc-keyed with map-side partial aggregation, so the explode fan-out
+    (32× distinct tokens) never crosses the wire unaggregated."""
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "doc_id",
+            "cnt",
+            F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("hv"),
+        )
+    )
+    votes = (
+        tok.select(
+            "doc_id",
+            "cnt",
+            "hv",
+            F.explode(F.expr("sequence(0, 31)")).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            (
+                F.col("cnt")
+                * (
+                    2
+                    * F.expr("(hv div shiftleft(CAST(1 AS BIGINT), i)) % 2")
+                    - 1
+                )
+            ).alias("vote"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.sum("vote").alias("vote"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("vote") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), i)"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("simhash32"),
+        F.sum(F.when(F.col("vote") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_set_bits"),
+    )
