@@ -128,3 +128,23 @@ def test_ann_ivf_trains_without_full_collect(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(S, "embedding_matrix", boom)
     out = S.ann_ivf(spark, sf_dir, n_centroids=8, n_probe=2, k=3).collect()
     assert len(out) > 0
+
+
+def test_k16b_seeded_ivf_rank_contract(spark, sf_dir):
+    """Ranks are 1..3 per query, cosines are non-increasing within a
+    query, and no query returns itself."""
+    from upc_sku_data_loader_spark import plans  # noqa: F401
+    from upc_sku_data_loader_spark.registry import QUERIES
+
+    rows = QUERIES["k16b_ann_ivf_seeded"](spark, sf_dir).collect()
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for r in rows:
+        assert r["n_vec_id"] != r["q_vec_id"]
+        per_q[r["q_vec_id"]].append((r["rank"], r["cos_r"]))
+    for q, rs in per_q.items():
+        rs.sort()
+        assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
+        cosines = [x[1] for x in rs]
+        assert cosines == sorted(cosines, reverse=True)

@@ -1069,3 +1069,139 @@ def k14b_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_set_bits"),
     )
+
+
+# --- K16b: seeded IVF-flat ANN (deterministic, fully oracle-checkable) --------
+
+_IVF_K = 8  # coarse lists
+_IVF_NPROBE = 2
+_IVF_NQ = 10  # query vectors (first by vec_id)
+_IVF_TOPK = 3
+
+
+@query(
+    "k16b_ann_ivf_seeded",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, vec_id, v
+      FROM e ORDER BY vec_id LIMIT {_IVF_K}
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, s.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(e.v, s.v), 6) DESC,
+                          s.cid) AS rn
+        FROM e CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    qs AS (SELECT vec_id AS q_vec_id, v AS qv FROM e ORDER BY vec_id LIMIT {_IVF_NQ}),
+    qprobe AS (
+      SELECT q_vec_id, qv, cid, pr FROM (
+        SELECT q.q_vec_id, q.qv, s.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.q_vec_id
+                 ORDER BY ROUND(list_cosine_similarity(q.qv, s.v), 6) DESC,
+                          s.cid) AS pr
+        FROM qs q CROSS JOIN seeds s
+      ) WHERE pr <= {_IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT p.q_vec_id, p.qv, a.vec_id, e.v
+      FROM qprobe p
+      JOIN assign a ON a.cid = p.cid
+      JOIN e ON e.vec_id = a.vec_id
+      WHERE a.vec_id != p.q_vec_id
+    )
+    SELECT q_vec_id, rank, n_vec_id, cos_r FROM (
+      SELECT q_vec_id, vec_id AS n_vec_id,
+             ROUND(list_cosine_similarity(qv, v), 6) AS cos_r,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_vec_id
+               ORDER BY ROUND(list_cosine_similarity(qv, v), 6) DESC,
+                        vec_id) AS rank
+      FROM cand
+    ) WHERE rank <= {_IVF_TOPK}
+    """,
+)
+def k16b_ann_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN with DETERMINISTIC coarse lists — the hash-checkable
+    twin of k16 (whose trained centroids are engine-specific, hence
+    rows-only): the first 8 vectors by vec_id are the coarse seeds,
+    every vector joins the list of its max-cosine seed, each query
+    probes its 2 nearest lists, and candidates are exactly
+    reranked by cosine (rounded 6 dp before every ranking decision).
+
+    Scale shape: seed collect is bounded (k×d, as k42); list assignment
+    is a map-only literal-seed argmax; the probe→candidate join is one
+    shuffle on the LIST id (candidate lists are ~n/k of the corpus —
+    the IVF speedup); rerank is a per-query window over candidates
+    only.  Recall-vs-exact for the trained variant is pytest-pinned on
+    k16; this variant pins the VALUE semantics cross-engine."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    )
+    seed_rows = e.orderBy("vec_id").limit(_IVF_K).collect()
+    seeds = [(cid, r["vec_id"], r["v"]) for cid, r in enumerate(seed_rows)]
+
+    def lit_vec(vals):
+        return F.array([F.lit(x) for x in vals])
+
+    def best_cid(vcol, n):
+        # argmax over literal seeds: max by (rounded cosine desc, cid asc)
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        (-F.round(V.cosine(vcol, lit_vec(sv)), 6)).alias("negc"),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for cid, _, sv in seeds[:n]
+                ]
+            )
+        )
+
+    assign = e.select(
+        "vec_id", "v", best_cid(F.col("v"), _IVF_K)["cid"].alias("cid")
+    )
+    qs = e.orderBy("vec_id").limit(_IVF_NQ).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("v").alias("qv")
+    )
+    # per-query probe list: rank ALL seed cosines, keep nprobe
+    probe_structs = F.array(
+        *[
+            F.struct(
+                (-F.round(V.cosine(F.col("qv"), lit_vec(sv)), 6)).alias("negc"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, _, sv in seeds
+        ]
+    )
+    qprobe = qs.select(
+        "q_vec_id",
+        "qv",
+        F.explode(
+            F.slice(F.array_sort(probe_structs), 1, _IVF_NPROBE)
+        ).alias("p"),
+    ).select("q_vec_id", "qv", F.col("p.cid").alias("cid"))
+    cand = (
+        qprobe.join(assign, "cid")
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .select(
+            "q_vec_id",
+            F.col("vec_id").alias("n_vec_id"),
+            F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.desc("cos_r"), F.asc("n_vec_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _IVF_TOPK)
+        .select("q_vec_id", "rank", "n_vec_id", "cos_r")
+    )
