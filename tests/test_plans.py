@@ -384,3 +384,31 @@ def test_new_ops_plan_shapes(spark, sf_dir):
     p44 = _executed_plan(spark, "k44_dup_ngram_coverage", sf_dir)
     assert "CartesianProduct" not in p44
     assert "BroadcastNestedLoopJoin" not in p44
+
+
+def test_etl6_cdc_semantics(spark, sf_dir):
+    """Tombstoned keys are absent, inserted/updated keys carry the feed
+    payload, and untouched base keys survive unchanged."""
+    out = QUERIES["etl6_cdc_apply"](spark, sf_dir)
+    rows = {r["o_orderkey"]: r for r in out.collect()}
+    base_keys = {
+        r["o_orderkey"]
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey")
+        .collect()
+    }
+    feed_keys = {
+        r["o_orderkey"]
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey")
+        .collect()
+    }
+    for k in feed_keys:
+        if k % 7 == 0:
+            assert k not in rows  # tombstone wins
+        else:
+            assert rows[k]["o_orderstatus"] == "C"  # feed payload applied
+    for k in base_keys - feed_keys:
+        assert k in rows and rows[k]["o_orderstatus"] != "C"

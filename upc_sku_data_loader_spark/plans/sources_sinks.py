@@ -1059,3 +1059,80 @@ def a17_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey", "p_name", "dims.p_size", "dims.p_retailprice"
         )
     )
+
+
+# --- ETL6: CDC apply (ordered I/U/D changefeed → latest snapshot) -------------
+
+
+@query(
+    "etl6_cdc_apply",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    feed AS (
+      SELECT o_orderkey,
+             CASE o_orderkey % 7
+               WHEN 0 THEN 'D'
+               WHEN 1 THEN 'I'
+               ELSE 'U' END AS op,
+             'C' AS o_orderstatus,
+             o_totalprice,
+             o_orderkey % 5 + 1 AS seq
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    unioned AS (
+      SELECT o_orderkey, 'U' AS op, o_orderstatus, o_totalprice, 0 AS seq
+      FROM base
+      UNION ALL
+      SELECT o_orderkey, op, o_orderstatus, o_totalprice, seq FROM feed
+    ),
+    latest AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                   ORDER BY seq DESC) AS rn
+      FROM unioned
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM latest WHERE rn = 1 AND op != 'D'
+    """,
+)
+def etl6_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changefeed application — the Debezium/Delta `MERGE` shape:
+    a base snapshot plus an ordered insert/update/delete feed collapse
+    to the latest surviving row per key (max change-sequence wins;
+    a terminal D tombstone removes the key).  The feed is synthesized
+    deterministically from orders so both engines replay the identical
+    change stream.
+
+    Same single-shuffle union + per-key window as etl3 — the
+    table-format-free MERGE plan; deletes cost nothing extra (the
+    tombstone just wins the window and is filtered).  At 100 TB the
+    feed is ≪ base and AQE skew-handles hot keys."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(0).alias("seq"),
+    )
+    feed = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, "D")
+        .when(F.col("o_orderkey") % 7 == 1, "I")
+        .otherwise("U")
+        .alias("op"),
+        F.lit("C").alias("o_orderstatus"),
+        F.col("o_totalprice"),
+        (F.col("o_orderkey") % 5 + 1).alias("seq"),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("seq"))
+    return (
+        base.unionByName(feed)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
