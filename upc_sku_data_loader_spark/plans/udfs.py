@@ -248,3 +248,46 @@ def j7_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.mapInArrow(
         kernel, "o_orderkey bigint, price_cents double, price_band string"
     )
+
+
+# --- J8: pandas UDAF as a WINDOW function (bounded frame) ---------------------
+
+
+@query(
+    "j8_pandas_window_udaf",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(AVG(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll_avg
+    FROM orders
+    """,
+)
+def j8_pandas_window_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A pandas (grouped-agg) UDF evaluated as a WINDOW function over a
+    bounded rows frame — the third way Python aggregates run in Spark
+    (after groupBy agg j3 and applyInPandas j4): each frame's values
+    arrive as one Arrow batch per row position, so custom rolling
+    metrics get numpy vectorization without a self-join.
+
+    The frame must be bounded for pandas window UDFs (Spark requirement
+    — unbounded frames need the builtin path); total order inside each
+    partition pins the frame contents cross-engine, and the ≤5-element
+    mean is rounded 6 dp on both sides.  Oracle uses the builtin AVG
+    over the identical frame — the UDAF must reproduce it exactly."""
+    from pyspark.sql import Window
+
+    @pandas_udf("double")
+    def rolling_mean(v: pd.Series) -> float:
+        return float(np.round(v.to_numpy(dtype=np.float64).mean(), 6))
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        rolling_mean("o_totalprice").over(w).alias("roll_avg"),
+    )
