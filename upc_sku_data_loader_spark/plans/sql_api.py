@@ -121,3 +121,46 @@ def s4_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query per outer row."""
     register_views(spark, sf_dir)
     return spark.sql(_S4_SQL)
+
+
+# --- S5: parameterized SQL (named parameter markers, Spark 4) -----------------
+
+_S5_TEMPLATE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderdate >= CAST(:lo AS TIMESTAMP_NTZ)
+  AND o_orderdate <  CAST(:hi AS TIMESTAMP_NTZ)
+  AND o_totalprice > :floor
+GROUP BY o_orderpriority
+"""
+
+_S5_ARGS = {"lo": "1996-01-01", "hi": "1997-01-01", "floor": 1000.0}
+
+# Oracle: the same template with literals spliced (DuckDB's TIMESTAMP is
+# already timezone-naive, i.e. Spark's TIMESTAMP_NTZ).
+_S5_ORACLE = (
+    _S5_TEMPLATE.replace("CAST(:lo AS TIMESTAMP_NTZ)",
+                         f"CAST('{_S5_ARGS['lo']}' AS TIMESTAMP)")
+    .replace("CAST(:hi AS TIMESTAMP_NTZ)",
+             f"CAST('{_S5_ARGS['hi']}' AS TIMESTAMP)")
+    .replace(":floor", str(_S5_ARGS["floor"]))
+)
+
+
+@query(
+    "s5_sql_parameterized",
+    oracle=_S5_ORACLE,
+)
+def s5_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL — Spark 4's named parameter markers
+    (`spark.sql(text, args={...})`): the injection-safe SQL entry point
+    a reference user's application code would call with user-supplied
+    bounds.  Parameters bind as typed literals BEFORE Catalyst sees the
+    plan, so constant folding and parquet predicate pushdown work
+    exactly as with inline literals (same pushed-filter scan as s1).
+    The oracle is the same template with the literals spliced in — the
+    binding itself is what's under test."""
+    register_views(spark, sf_dir)
+    return spark.sql(_S5_TEMPLATE, args=_S5_ARGS)
