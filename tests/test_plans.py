@@ -412,3 +412,33 @@ def test_etl6_cdc_semantics(spark, sf_dir):
             assert rows[k]["o_orderstatus"] == "C"  # feed payload applied
     for k in base_keys - feed_keys:
         assert k in rows and rows[k]["o_orderstatus"] != "C"
+
+
+def test_round4_late_ops_plan_shapes(spark, sf_dir):
+    """t7 and k16b stay off the degenerate-join paths; etl6 is a single
+    hash-partitioned window like etl3."""
+    p_t7 = _executed_plan(spark, "t7_asof_interpolated", sf_dir)
+    assert "CartesianProduct" not in p_t7
+    assert "BroadcastNestedLoopJoin" not in p_t7
+
+    p_16b = _executed_plan(spark, "k16b_ann_ivf_seeded", sf_dir)
+    assert "CartesianProduct" not in p_16b
+
+    p_etl6 = _executed_plan(spark, "etl6_cdc_apply", sf_dir)
+    assert p_etl6.count("Exchange hashpartitioning") == 1
+    assert "Window" in p_etl6
+
+
+def test_a18_partition_pruning_reaches_scan(spark, sf_dir):
+    """The executed plan must show PartitionFilters on o_orderpriority
+    and the scan must touch only the 2 of 5 matching partitions."""
+    df = QUERIES["a18_partition_pruned_read"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "o_orderpriority" in pf
+    # partition pruning leaves exactly the 2 selected directories
+    n_parts = (
+        df.select("o_orderpriority").distinct().count()
+    )
+    assert n_parts == 2

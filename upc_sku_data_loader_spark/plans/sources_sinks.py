@@ -1136,3 +1136,35 @@ def etl6_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("op") != "D"))
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
     )
+
+
+# --- A18: hive-partitioned write → partition-pruned read ----------------------
+
+
+@query(
+    "a18_partition_pruned_read",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def a18_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition pruning — THE scan
+    optimization at 100 TB: the table is written
+    `partitionBy(o_orderpriority)` (one directory per value) and the
+    predicate is satisfied by reading ONLY the two matching directories;
+    the other partitions are never opened.  The pruning is
+    plan-asserted in pytest (PartitionFilters + partition count); the
+    oracle reads the ORIGINAL fixture, so the pass also proves the
+    partitioned round-trip is lossless."""
+    src = _scratch(sf_dir, "orders_by_priority")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(src)
+    return (
+        spark.read.parquet(src)
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
