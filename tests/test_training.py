@@ -423,3 +423,26 @@ def test_t7_interp_between_neighbor_quotes(spark, sf_dir):
         .collect()
     }
     assert users_out <= quote_users
+
+
+# --- k49 curriculum interleave ------------------------------------------------
+
+
+def test_k49_interleave_balance(spark, sf_dir):
+    """Positions are a permutation of 1..N and within any prefix of
+    complete rounds every language appears its full round count —
+    the no-front-loading property."""
+    rows = QUERIES["k49_curriculum_interleave"](spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r["position"] for r in rows) == list(range(1, n + 1))
+    from collections import Counter
+
+    langs = Counter(r["lang"] for r in rows)
+    n_langs = len(langs)
+    min_docs = min(langs.values())
+    # within the first k complete rounds (k <= min language size), each
+    # language contributes exactly k docs
+    k = min(5, min_docs)
+    head = sorted(rows, key=lambda r: r["position"])[: k * n_langs]
+    head_counts = Counter(r["lang"] for r in head)
+    assert all(c == k for c in head_counts.values()), head_counts

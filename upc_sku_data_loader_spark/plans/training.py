@@ -1097,3 +1097,47 @@ def k48_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("waste_micro"),
         )
     )
+
+
+# --- K49: language-balanced curriculum interleave -----------------------------
+
+
+@query(
+    "k49_curriculum_interleave",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, rk AS round,
+           ROW_NUMBER() OVER (ORDER BY rk, lang, doc_id) AS position
+    FROM ranked
+    """,
+)
+def k49_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order scheduling: a deterministic language-balanced
+    interleave — docs are md5-shuffled WITHIN each language, then
+    round-robin merged across languages (round k holds every language's
+    k-th doc), yielding a global curriculum position where no language
+    is front- or back-loaded.
+
+    Per-language rank is one keyed shuffle (stratum window, as k33);
+    the global position is a total-order window — at test scale a
+    single sort, at 100 TB replaced by `orderBy(round, lang, doc_id)`
+    + `zipWithIndex`-style range partitioning (Spark's sort is already
+    distributed range-partition + merge; only the POSITION NUMBERING
+    must ride the two-level prefix-count of k32, documented there).
+    The md5 order makes both engines emit the identical schedule —
+    no RNG."""
+    w_lang = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    w_all = Window.orderBy("round", "lang", "doc_id")
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.row_number().over(w_lang).alias("round"))
+        .withColumn("position", F.row_number().over(w_all))
+    )
