@@ -1124,20 +1124,40 @@ def k49_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-th doc), yielding a global curriculum position where no language
     is front- or back-loaded.
 
-    Per-language rank is one keyed shuffle (stratum window, as k33);
-    the global position is a total-order window — at test scale a
-    single sort, at 100 TB replaced by `orderBy(round, lang, doc_id)`
-    + `zipWithIndex`-style range partitioning (Spark's sort is already
-    distributed range-partition + merge; only the POSITION NUMBERING
-    must ride the two-level prefix-count of k32, documented there).
-    The md5 order makes both engines emit the identical schedule —
-    no RNG."""
+    Scale shape (NO global single-task window): per-language rank is
+    one keyed shuffle (stratum window, as k33); the global position is
+    then two-level, the k32 prefix-count pattern — (a) per-round doc
+    counts (≤ #langs rows per round, output cardinality = #rounds =
+    metadata-scale), (b) an exclusive prefix sum over that tiny rounds
+    relation, (c) broadcast the offsets back and rank within each
+    round's ≤ #langs rows.  Every data-scale stage is keyed; the only
+    ordered window runs over #rounds rows.  The md5 order makes both
+    engines emit the identical schedule — no RNG."""
     w_lang = Window.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
     )
-    w_all = Window.orderBy("round", "lang", "doc_id")
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.row_number().over(w_lang).alias("round")
+    )
+    # (a) tiny per-round counts; (b) exclusive prefix over rounds only
+    w_off = Window.orderBy("round").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        d.groupBy("round")
+        .agg(F.count(F.lit(1)).alias("n_in_round"))
+        .select(
+            F.col("round").alias("off_round"),
+            F.coalesce(F.sum("n_in_round").over(w_off), F.lit(0)).alias(
+                "offset"
+            ),
+        )
+    )
+    # (c) rank inside each round (≤ #langs rows per partition)
+    w_in_round = Window.partitionBy("round").orderBy("lang", "doc_id")
     return (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "lang", F.row_number().over(w_lang).alias("round"))
-        .withColumn("position", F.row_number().over(w_all))
+        d.join(F.broadcast(offsets), F.col("off_round") == F.col("round"))
+        .withColumn(
+            "position",
+            (F.col("offset") + F.row_number().over(w_in_round)).cast("long"),
+        )
+        .select("doc_id", "lang", "round", "position")
     )
