@@ -44,7 +44,8 @@ FLAGSHIP = "d1_agg_hash_grouped"  # TPC-H Q1-style pricing summary (SURVEY §7 P
 #   k44 k45 k46 k47 k48 k49 k14b k16b t7 g6 d21
 #   etl6 j8 s5 a18                              (round-4 additions)
 # = 20 hash-checkable entries; pad the 50-window with re-checks of the
-# highest-churn round-4 fixes (k24 k36 q_event_funnel etl_scd2) and
+# highest-churn round-4 fixes (k24 k36 q_event_funnel etl_scd2) plus
+# k40/k49 (rank numbering rewritten distributed after their last check) and
 # flagship families.  Rows-only k14/k16/i10 stay outside the window per
 # the contract test (each now has a hash-checked twin registered:
 # k14b_simhash_md5 / k16b_ann_ivf_seeded / i12-i15 batch-oracled kin).

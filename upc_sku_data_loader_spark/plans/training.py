@@ -574,16 +574,41 @@ def k40_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     within one max-doc of each other, so no training shard becomes a
     straggler.  Deterministic (ties broken by doc_id).
 
-    Scale note: the global size rank here is a single window at test
-    scale; the 100 TB formulation is `sort + two-level prefix COUNT`
-    exactly like k32's offset relation (range-partitioned sort gives
-    per-partition ranks; a #partitions-row cumulative count turns them
-    global) — same output, no single-task sort."""
-    w = Window.orderBy(F.col("ntok").desc(), "doc_id")
-    return (
+    Scale shape (NO single-task global sort): the global rank is built
+    distributed — `repartitionByRange` on the rank order gives a
+    range-partitioned sort (Spark's own distributed sort machinery);
+    per-partition ranks come from a window keyed by the physical
+    partition id; a #partitions-row exclusive prefix count (broadcast
+    back) turns them global.  The rank — hence the output — is
+    independent of where Spark's sampled range boundaries land."""
+    d = (
         load(spark, sf_dir, "documents")
         .select("doc_id", F.size(F.split("text", " ")).alias("ntok"))
-        .withColumn("shard_id", ((F.row_number().over(w) - 1) % _SHARDS).cast("long"))
+        .repartitionByRange(8, F.col("ntok").desc(), F.col("doc_id"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        d.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("pid").alias("off_pid"),
+            F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset"),
+        )
+    )
+    w_local = Window.partitionBy("pid").orderBy(
+        F.col("ntok").desc(), "doc_id"
+    )
+    return (
+        d.join(F.broadcast(offsets), F.col("off_pid") == F.col("pid"))
+        .withColumn(
+            "shard_id",
+            (
+                (F.col("offset") + F.row_number().over(w_local) - 1)
+                % _SHARDS
+            ).cast("long"),
+        )
+        .select("doc_id", "ntok", "shard_id")
     )
 
 
