@@ -1168,3 +1168,48 @@ def a18_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
     )
+
+
+# --- A16b: Python Data Source STREAMING reader --------------------------------
+
+
+@query(
+    "a16b_python_stream_source",
+    oracle="""
+    SELECT g % 10 AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(g) AS BIGINT) AS sum_seq
+    FROM generate_series(0, 1999) AS t(g)
+    GROUP BY g % 10
+    """,
+)
+def a16b_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING half of the Python Data Source API (Spark 4
+    `DataSourceStreamReader`): the same UPC worklist as an unbounded
+    source — offsets are row counts, each micro-batch covers a
+    contiguous seq range split into range-shard InputPartitions, so
+    replay from any committed offset regenerates identical rows
+    (exactly-once with idempotent sinks).  availableNow snapshots the
+    latest offset and drains [0, n) split into 4 range partitions; the
+    complete-mode aggregate must equal the batch generate_series twin
+    exactly — proving the offset ranges tile the stream with no gap or
+    overlap."""
+    from ..sources.python_ds import UpcWorklistDataSource
+    from ..streaming.sources import run_available_now
+
+    try:
+        spark.dataSource.register(UpcWorklistDataSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    stream = (
+        spark.readStream.format("upc_worklist")
+        .option("n", 2000)
+        .option("numPartitions", 4)
+        .load()
+    )
+    agg = stream.groupBy((F.col("seq") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("seq").cast("bigint").alias("sum_seq"),
+    )
+    tag = (Path(sf_dir).name or "sf").replace(".", "_")
+    return run_available_now(agg, f"a16b_stream_{tag}")

@@ -18,7 +18,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 
 def _check_digit(body: str) -> int:
@@ -44,6 +49,9 @@ class UpcWorklistDataSource(DataSource):
     def reader(self, schema) -> "UpcWorklistReader":  # noqa: ANN001
         return UpcWorklistReader(self.options)
 
+    def streamReader(self, schema) -> "UpcWorklistStreamReader":  # noqa: ANN001
+        return UpcWorklistStreamReader(self.options)
+
 
 class UpcWorklistReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
@@ -64,3 +72,53 @@ class UpcWorklistReader(DataSourceReader):
         for seq in range(start, end):
             body = str(seq).zfill(11)
             yield (seq, body + str(_check_digit(body)))
+
+
+# --- Streaming reader (Spark 4 Python Data Source streaming API) --------------
+
+
+class UpcWorklistStreamReader(DataSourceStreamReader):
+    """``readStream.format("upc_worklist")`` — offsets are plain row
+    counts; each micro-batch covers a contiguous ``seq`` range split
+    into range-shard partitions, so replay from any committed offset
+    regenerates identical rows (exactly-once with an idempotent sink).
+
+    Implements the DataSourceStreamReader contract (initialOffset /
+    latestOffset / partitions / read / commit).
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("n", 2000))
+        self.num_partitions = int(options.get("numpartitions", 4))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        # the available end of the stream; availableNow snapshots this
+        # once and drains [initial, latest) — a live trigger would poll
+        # it repeatedly as the upstream worklist grows
+        return {"pos": self.n}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = start["pos"], end["pos"]
+        if hi <= lo:
+            return [InputPartition((lo, lo))]
+        per = -(-(hi - lo) // self.num_partitions)
+        return [
+            InputPartition((lo + i * per, min(lo + (i + 1) * per, hi)))
+            for i in range(self.num_partitions)
+            if lo + i * per < hi
+        ]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        start, end = partition.value
+        for seq in range(start, end):
+            body = str(seq).zfill(11)
+            yield (seq, body + str(_check_digit(body)))
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
