@@ -146,3 +146,25 @@ def test_watermark_finalizes_windows_exactly_once(spark, tmp_path):
     # 08:00 window end 09:00 > final watermark 08:35 → withheld by append
     assert "08:00" not in rows
     assert rows == {"03:00": 1, "05:00": 1, "06:00": 1, "07:00": 1}
+
+
+def test_a16b_stream_source_is_streaming_and_tiles(spark, sf_dir):
+    """The Python data source stream reader is a true streaming relation
+    and its drained aggregate tiles the full range exactly."""
+    from upc_sku_data_loader_spark import plans  # noqa: F401
+    from upc_sku_data_loader_spark.registry import QUERIES
+    from upc_sku_data_loader_spark.sources.python_ds import (
+        UpcWorklistDataSource,
+    )
+
+    try:
+        spark.dataSource.register(UpcWorklistDataSource)
+    except Exception:
+        pass
+    stream = (
+        spark.readStream.format("upc_worklist").option("n", 100).load()
+    )
+    assert stream.isStreaming
+    out = QUERIES["a16b_python_stream_source"](spark, sf_dir).collect()
+    assert sum(r["n"] for r in out) == 2000
+    assert sum(r["sum_seq"] for r in out) == 2000 * 1999 // 2

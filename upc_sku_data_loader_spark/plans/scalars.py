@@ -475,3 +475,38 @@ def h13_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("variant_get(v, '$.tags[1]', 'string')").alias("v_tag1"),
         F.expr("variant_get(v, '$.meta.flag', 'boolean')").alias("v_flag"),
     )
+
+
+# --- H12: bitwise function family ---------------------------------------------
+
+
+@query(
+    "h12_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+           CAST(o_orderkey | 15 AS BIGINT) AS or_mask,
+           CAST(xor(o_orderkey, 21845) AS BIGINT) AS xored,
+           CAST(o_orderkey << 3 AS BIGINT) AS shifted_l,
+           CAST(o_orderkey >> 2 AS BIGINT) AS shifted_r,
+           CAST(bit_count(CAST(o_orderkey AS BIGINT)) AS INT) AS popcount
+    FROM orders
+    WHERE o_orderkey <= 1000
+    """,
+)
+def h12_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family — AND/OR/XOR masks, shifts, popcount: the
+    primitives under hash partitioning, bitmap sketches (d21), SimHash
+    (k14b), and bucket addressing.  Pure JVM column expressions,
+    map-only, whole-stage codegen; the predicate is pushed to the
+    parquet scan."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        F.expr("CAST(o_orderkey & 255 AS BIGINT)").alias("low_byte"),
+        F.expr("CAST(o_orderkey | 15 AS BIGINT)").alias("or_mask"),
+        F.expr("CAST(o_orderkey ^ 21845 AS BIGINT)").alias("xored"),
+        F.expr("CAST(shiftleft(o_orderkey, 3) AS BIGINT)").alias("shifted_l"),
+        F.expr("CAST(shiftright(o_orderkey, 2) AS BIGINT)").alias("shifted_r"),
+        F.bit_count(F.col("o_orderkey")).alias("popcount"),
+    )
