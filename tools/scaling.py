@@ -35,6 +35,8 @@ DEFAULT = [
     "k44_dup_ngram_coverage",
     "k45_contamination_score",
     "k47_coreset_fps",
+    "k40_shard_assign",
+    "k49_curriculum_interleave",
 ]
 
 
