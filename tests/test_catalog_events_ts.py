@@ -103,3 +103,50 @@ def test_stream_load_canonical_schema(spark, fixture_dirs, unit):
         "click": (1709640000000001000, 1),
         "buy": (1767225599999999000, 1),
     }
+
+
+# --- property: ns↔µs encodings are value-equivalent for ANY instant ----------
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    micros=st.lists(
+        st.integers(min_value=0, max_value=4102444799_999_999),  # ≤ 2099-12-31
+        min_size=1,
+        max_size=8,
+        unique=True,
+    )
+)
+def test_ns_and_us_encodings_always_agree(spark, tmp_path_factory, micros):
+    """For arbitrary µs-precision instants, loading the same data stored
+    as timestamp[ns] and as timestamp[µs] yields identical canonical
+    rows — the invariant the round-3 fixture flip violated."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from upc_sku_data_loader_spark.catalog import load
+
+    rows = [
+        (i, dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=us), i, "e", 0.0, "{}")
+        for i, us in enumerate(micros)
+    ]
+    frames = {}
+    for unit in ("ns", "us"):
+        d = str(tmp_path_factory.mktemp(f"prop_{unit}"))
+        table = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp(unit)),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(table, f"{d}/events.parquet")
+        frames[unit] = sorted(load(spark, d, "events").collect())
+    assert frames["ns"] == frames["us"]
