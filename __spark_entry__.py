@@ -42,8 +42,8 @@ FLAGSHIP = "d1_agg_hash_grouped"  # TPC-H Q1-style pricing summary (SURVEY §7 P
 # ROUND-5 ROTATION PLAN: the never-driver-checked remainder is exactly
 #   q16 q19 q20 q21 q22                         (deferred composite B-half)
 #   k44 k45 k46 k47 k48 k49 k14b k16b t7 g6 d21
-#   etl6 j8 s5 a18 a16b h12                     (round-4 additions)
-# = 22 hash-checkable entries; pad the 50-window with re-checks of the
+#   etl6 j8 s5 a18 a16b h12 k15c                (round-4 additions)
+# = 23 hash-checkable entries; pad the 50-window with re-checks of the
 # highest-churn round-4 fixes (k24 k36 q_event_funnel etl_scd2) plus
 # k40/k49 (rank numbering rewritten distributed after their last check) and
 # flagship families.  Rows-only k14/k16/i10 stay outside the window per

@@ -1205,3 +1205,100 @@ def k16b_ann_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _IVF_TOPK)
         .select("q_vec_id", "rank", "n_vec_id", "cos_r")
     )
+
+
+# --- K15c: multimodal resize (stubbed codec, real Arrow plumbing) -------------
+
+
+@query(
+    "k15c_multimodal_resize",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             64 + doc_id % 193 AS w,
+             64 + doc_id % 151 AS h,
+             sha256(text) AS digest
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, w, h,
+             CASE WHEN GREATEST(w, h) <= 224 THEN w
+                  ELSE (w * 224) // GREATEST(w, h) END AS new_w,
+             CASE WHEN GREATEST(w, h) <= 224 THEN h
+                  ELSE (h * 224) // GREATEST(w, h) END AS new_h,
+             digest
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(new_w AS INT) AS new_width,
+           CAST(new_h AS INT) AS new_height,
+           md5(digest || '-' || CAST(new_w AS VARCHAR) || 'x'
+               || CAST(new_h AS VARCHAR)) AS resized_fingerprint
+    FROM r
+    """,
+)
+def k15c_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize stage with the codec honestly stubbed (container has
+    no image library — functions/multimodal.py:decode_image) but the
+    Spark-side plumbing REAL: binary payloads + typed (width, height)
+    metadata flow through an Arrow-batched ``mapInPandas`` whose worker
+    computes the fit-within-224 target dimensions in pure integer
+    arithmetic and a deterministic content fingerprint standing in for
+    the resized bytes.  Swap the fingerprint lines for PIL decode +
+    resize and the plan, schema, and batch shape are unchanged.
+
+    Dimensions are synthesized from doc_id (identically in the SQL
+    twin); the fingerprint is md5(sha256(payload) ± dims), computable
+    on both engines because the fixture payload is the document's UTF-8
+    bytes.  Map-only — no shuffle anywhere."""
+    import hashlib
+
+    from ..functions.multimodal import with_binary_payload
+
+    media = with_binary_payload(
+        load(spark, sf_dir, "documents")
+    ).select("doc_id", "payload")
+
+    schema = (
+        "doc_id bigint, width int, height int, new_width int, "
+        "new_height int, resized_fingerprint string"
+    )
+
+    def compute(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "new_width": [],
+                "new_height": [],
+                "resized_fingerprint": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                doc_id = int(doc_id)
+                w = 64 + doc_id % 193
+                h = 64 + doc_id % 151
+                m = max(w, h)
+                if m <= 224:
+                    nw, nh = w, h
+                else:
+                    nw, nh = (w * 224) // m, (h * 224) // m
+                digest = hashlib.sha256(bytes(payload)).hexdigest()
+                fp = hashlib.md5(
+                    f"{digest}-{nw}x{nh}".encode()
+                ).hexdigest()
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["new_width"].append(nw)
+                out["new_height"].append(nh)
+                out["resized_fingerprint"].append(fp)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(compute, schema)
