@@ -744,40 +744,53 @@ def k44_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.split("text", " ").alias("t"))
         .withColumn("n", F.size("t"))
     )
-
-    def coverage(ngram: int, out: str) -> DataFrame:
-        g = (
-            d.filter(F.col("n") >= ngram)
-            .select(
-                "doc_id",
-                "t",
-                F.explode(F.expr(f"sequence(1, n - {ngram - 1})")).alias("i"),
-            )
-            .select(
-                "doc_id",
-                "i",
-                F.expr(f"concat_ws(' ', slice(t, i, {ngram}))").alias("gram"),
-            )
+    # BOTH gram families from ONE tokenized pass (scan count 2, not 3 —
+    # at 100 TB the tokenized intermediate would additionally be
+    # checkpointed so the source parquet is read once): lateral-explode
+    # the gram width, then offsets; one shuffle keyed (doc, width, gram).
+    g = (
+        d.select(
+            "doc_id",
+            "t",
+            "n",
+            F.explode(F.array(F.lit(2), F.lit(5))).alias("ng"),
         )
-        w = Window.partitionBy("doc_id", "gram")
-        dup = g.withColumn("cnt", F.count(F.lit(1)).over(w)).filter(
-            F.col("cnt") >= 2
+        .filter(F.col("n") >= F.col("ng"))
+        .select(
+            "doc_id",
+            "ng",
+            F.explode(F.expr("sequence(1, n - ng + 1)")).alias("i"),
+            "t",
         )
-        return (
-            dup.select(
-                "doc_id",
-                F.explode(F.expr(f"sequence(i, i + {ngram - 1})")).alias("j"),
-            )
-            .distinct()
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias(out))
+        .select(
+            "doc_id",
+            "ng",
+            "i",
+            F.expr("concat_ws(' ', slice(t, i, ng))").alias("gram"),
         )
-
-    cov2 = coverage(2, "covered2")
-    cov5 = coverage(5, "covered5")
+    )
+    w = Window.partitionBy("doc_id", "ng", "gram")
+    dup = g.withColumn("cnt", F.count(F.lit(1)).over(w)).filter(
+        F.col("cnt") >= 2
+    )
+    covered = (
+        dup.select(
+            "doc_id",
+            "ng",
+            F.explode(F.expr("sequence(i, i + ng - 1)")).alias("j"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .pivot("ng", [2, 5])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "doc_id",
+            F.col("2").alias("covered2"),
+            F.col("5").alias("covered5"),
+        )
+    )
     return (
-        d.join(cov2, "doc_id", "left")
-        .join(cov5, "doc_id", "left")
+        d.join(covered, "doc_id", "left")
         .select(
             "doc_id",
             F.col("n").alias("n_tokens"),
