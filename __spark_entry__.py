@@ -60,15 +60,16 @@ _PRIORITY = [
     "k24_quality_repetition", "k36_chunk_dedup_global",
     "q_event_funnel", "q_cohort_retention", "etl_scd2_history",
     "s1_sql_passthrough", "k40_shard_assign",
+    # round-5 additions (new code — highest driver-check priority)
+    "k50_bm25_topk", "k51_pmi_collocations", "k52_token_entropy",
+    "k53_random_projection", "t8_ewma", "h14_collation_group",
+    "etl7_dq_expectations",
     # hedge: riskiest round-4-window entries (if r4 verify never ran)
     "k41_semdedup", "k42_kmeans", "k43_graph_pagerank",
     "a16_python_datasource", "a17_xml_source", "h13_variant_extract",
     "t1_resample_gapfill", "t6_interpolate", "s3_sql_recursive_cte",
     "i13_stream_sliding_window", "i15_stream_dedup_watermarked",
     "k15b_multimodal_frames", "k4b_knn_join_blocked",
-    "k17b_dedup_embedding_blocked", "d19_hll_merge",
-    "c14_join_bloom_filtered", "etl5_observed_load", "b13_gtin_convert",
-    "d14_agg_approx_percentile", "e9_win_percent_cume",
 ]
 
 

@@ -1,0 +1,242 @@
+"""Round-5 operator properties: BM25 ranking, PMI collocations,
+token entropy, JL random projection, EWMA, collation grouping, and the
+DQ expectation suite (each also value-hash-checked in tools/parity.py;
+these tests pin engine-independent invariants the hash can't express)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from upc_sku_data_loader_spark import plans  # noqa: F401
+from upc_sku_data_loader_spark.registry import QUERIES
+
+
+# --- k50 BM25 -----------------------------------------------------------------
+
+
+def test_k50_bm25_ranked_and_positive(spark, sf_dir):
+    rows = QUERIES["k50_bm25_topk"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50
+    scores = [r["bm25"] for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+
+
+def test_k50_bm25_hits_contain_query_terms(spark, sf_dir):
+    from upc_sku_data_loader_spark.plans.curation import _BM25_QUERY
+
+    out = QUERIES["k50_bm25_topk"](spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    joined = out.join(docs, "doc_id").select("doc_id", "text").collect()
+    assert len(joined) == out.count()
+    for r in joined:
+        toks = set(r["text"].split(" "))
+        assert toks & set(_BM25_QUERY)
+
+
+# --- k51 PMI ------------------------------------------------------------------
+
+
+def test_k51_pmi_floor_and_order(spark, sf_dir):
+    from upc_sku_data_loader_spark.plans.llm import _PMI_MIN_COUNT
+
+    rows = QUERIES["k51_pmi_collocations"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 100
+    assert all(r["c_xy"] >= _PMI_MIN_COUNT for r in rows)
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+def test_k51_pmi_matches_manual_recompute(spark, sf_dir):
+    """Recompute PMI for the top pair from raw corpus counts."""
+    top = QUERIES["k51_pmi_collocations"](spark, sf_dir).limit(1).collect()[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select(F.split("text", " ").alias("t")).withColumn(
+        "n", F.size("t")
+    )
+    bg = (
+        t.filter(F.col("n") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, F.size("t") - 1),
+                    F.slice("t", 2, F.size("t") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    n_big = bg.count()
+    c_xy = bg.filter(
+        (F.col("w1") == top["w1"]) & (F.col("w2") == top["w2"])
+    ).count()
+    c_x = bg.filter(F.col("w1") == top["w1"]).count() + bg.filter(
+        F.col("w2") == top["w1"]
+    ).count()
+    c_y = bg.filter(F.col("w1") == top["w2"]).count() + bg.filter(
+        F.col("w2") == top["w2"]
+    ).count()
+    expect = math.log(c_xy * 2.0 * n_big / (c_x * c_y))
+    assert top["c_xy"] == c_xy
+    assert abs(top["pmi"] - expect) < 1e-5
+
+
+# --- k52 token entropy --------------------------------------------------------
+
+
+def test_k52_entropy_bounds(spark, sf_dir):
+    out = QUERIES["k52_token_entropy"](spark, sf_dir)
+    bad = out.filter(
+        (F.col("entropy") < 0)
+        | (F.col("entropy") > F.log(F.col("n_tokens").cast("double")) + 1e-6)
+        | (F.col("n_types") > F.col("n_tokens"))
+        | (F.col("ttr_micro") <= 0)
+        | (F.col("ttr_micro") > 1_000_000)
+    ).count()
+    assert bad == 0
+    assert out.count() == spark.read.parquet(
+        f"{sf_dir}/documents.parquet"
+    ).count()
+
+
+def test_k52_entropy_hand_checked():
+    """-(2/3·ln(2/3) + 1/3·ln(1/3)) for the distribution {a:2, b:1}."""
+    expect = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
+    assert round(expect, 6) == 0.636514
+
+
+# --- k53 JL random projection -------------------------------------------------
+
+
+def test_k53_projection_shape_and_determinism(spark, sf_dir):
+    from upc_sku_data_loader_spark.plans.training import _RP_DIMS
+
+    out = QUERIES["k53_random_projection"](spark, sf_dir)
+    n_vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert out.count() == n_vec * _RP_DIMS
+    assert out.select("j").distinct().count() == _RP_DIMS
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, QUERIES["k53_random_projection"](spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_k53_projection_preserves_norm_in_distribution(spark, sf_dir):
+    """JL guarantee (in distribution): E[||Px||²]/d_out = ||x||², so the
+    per-vector ratio concentrates around 1 — assert the median lands in
+    a generous [0.4, 2.5] band rather than any per-vector bound."""
+    out = QUERIES["k53_random_projection"](spark, sf_dir)
+    proj_norm = out.groupBy("vec_id").agg(
+        F.sum(F.col("comp") * F.col("comp")).alias("p2")
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        ).alias("x2"),
+    )
+    from upc_sku_data_loader_spark.plans.training import _RP_DIMS
+
+    ratios = sorted(
+        r["p2"] / (r["x2"] * _RP_DIMS)
+        for r in proj_norm.join(emb, "vec_id").collect()
+        if r["x2"] > 0
+    )
+    med = ratios[len(ratios) // 2]
+    assert 0.4 < med < 2.5
+
+
+# --- t8 EWMA ------------------------------------------------------------------
+
+
+def test_t8_ewma_is_convex_combination(spark, sf_dir):
+    """Normalized finite-kernel EWMA is a weighted mean of the trailing
+    10 values → bounded by the user's running min/max over that frame."""
+    from pyspark.sql.window import Window
+
+    out = QUERIES["t8_ewma"](spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    checked = out.select(
+        "*",
+        F.min("value").over(w).alias("lo"),
+        F.max("value").over(w).alias("hi"),
+    )
+    assert (
+        checked.filter(
+            (F.col("ewma10") < F.col("lo") - 1e-6)
+            | (F.col("ewma10") > F.col("hi") + 1e-6)
+        ).count()
+        == 0
+    )
+
+
+def test_t8_first_row_equals_value(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    out = QUERIES["t8_ewma"](spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = out.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    assert (
+        first.filter(
+            F.abs(F.col("ewma10") - F.round(F.col("value"), 6)) > 1e-6
+        ).count()
+        == 0
+    )
+
+
+# --- h14 collation ------------------------------------------------------------
+
+
+def test_h14_collation_collapses_case_variants(spark, sf_dir):
+    rows = QUERIES["h14_collation_group"](spark, sf_dir).collect()
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    assert sum(r["n_rows"] for r in rows) == cust.count()
+    assert len(rows) == cust.select("c_mktsegment").distinct().count()
+    for r in rows:
+        assert r["segment"] == r["segment"].lower()
+        assert 1 <= r["n_case_variants"] <= 3
+
+
+# --- etl7 DQ expectations -----------------------------------------------------
+
+
+def test_etl7_expectations_all_green_on_fixtures(spark, sf_dir):
+    rows = QUERIES["etl7_dq_expectations"](spark, sf_dir).collect()
+    assert len(rows) == 6
+    assert {r["expectation"] for r in rows} == {
+        "lineitem.quantity_in_range",
+        "lineitem.shipdate_not_null",
+        "lineitem.discount_domain",
+        "orders.custkey_ref_integrity",
+        "orders.orderkey_unique",
+        "part.retailprice_positive",
+    }
+    for r in rows:
+        assert r["n_checked"] > 0
+        assert r["n_violations"] == 0 and r["ok"] is True
+
+
+def test_etl7_catches_planted_violation(spark, sf_dir):
+    """The conditional-agg construction must actually count violations:
+    replay the lineitem expectations over a frame with planted bads."""
+    d = spark.createDataFrame(
+        [(0.05, 10), (0.5, 99), (0.02, 0)],
+        "l_discount double, l_quantity int",
+    )
+    agg = d.agg(
+        F.count(F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)).alias("vq"),
+        F.count(F.when((F.col("l_discount") < 0.0) | (F.col("l_discount") > 0.1), 1)).alias("vd"),
+    ).collect()[0]
+    assert agg["vq"] == 2 and agg["vd"] == 1

@@ -964,3 +964,101 @@ def k46_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share_micro"),
         )
     )
+
+
+# --- K50: BM25 top-k retrieval over the inverted-index stats ------------------
+
+_BM25_QUERY = ("vector", "hash", "merge")  # fixed query term set
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 50
+
+
+@query(
+    "k50_bm25_topk",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS dl
+      FROM documents
+    ),
+    corpus AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM d
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM d)
+      WHERE term IN {_BM25_QUERY!r}
+      GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               LN((c.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * ({_BM25_K1} + 1.0)
+               / (tf.tf + {_BM25_K1}
+                  * (1.0 - {_BM25_B} + {_BM25_B} * d.dl / c.avgdl))
+             ) AS score
+      FROM tf
+      JOIN df USING (term)
+      JOIN d ON d.doc_id = tf.doc_id
+      CROSS JOIN corpus c
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(score, 6) AS bm25
+    FROM scored
+    ORDER BY ROUND(score, 6) DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """,
+)
+def k50_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Robertson/Okapi, Lucene idf form) top-k retrieval for a
+    fixed query term set — the ranking half of the k27 inverted index.
+
+    Plan shape: tokenize once, filter to the query terms BEFORE any
+    shuffle (the |Q|-term IN-list prunes ~all of the exploded corpus
+    map-side), one keyed agg for tf, a broadcast-size df/corpus-stats
+    side, then a per-doc sum and a TakeOrderedAndProject top-k — no
+    global sort materializes.  At 100 TB the tf relation is the only
+    data-scale shuffle, keyed by (doc, term); df and corpus stats are
+    bytes.  idf and the length-normalized tf ratio are IEEE-identical
+    cross-engine (integer inputs); only the final score is rounded
+    (6 dp), and the top-k orders by the ROUNDED score with a doc_id
+    tie-break so the cut is engine-independent.
+    """
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .withColumn("dl", F.size("t"))
+    )
+    corpus = d.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        d.select("doc_id", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    norm = F.col("tf") * (_BM25_K1 + 1.0) / (
+        F.col("tf")
+        + _BM25_K1
+        * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(d.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * norm).alias("score"))
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )

@@ -1302,3 +1302,178 @@ def k15c_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(compute, schema)
+
+
+# --- K51: PMI collocation mining (pointwise mutual information) ---------------
+
+_PMI_MIN_COUNT = 20
+
+
+@query(
+    "k51_pmi_collocations",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    bg AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM d, UNNEST(generate_series(1, n - 1)) AS s(i)
+      WHERE n >= 2
+    ),
+    big AS (
+      SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY w1, w2
+    ),
+    tot AS (SELECT SUM(c_xy) AS n_big FROM big),
+    uni AS (
+      SELECT word, SUM(c) AS c_w FROM (
+        SELECT w1 AS word, COUNT(*) AS c FROM bg GROUP BY w1
+        UNION ALL
+        SELECT w2 AS word, COUNT(*) AS c FROM bg GROUP BY w2
+      ) GROUP BY word
+    )
+    SELECT b.w1, b.w2, b.c_xy,
+           ROUND(LN(b.c_xy * 2.0 * t.n_big / (u1.c_w * u2.c_w)), 6) AS pmi
+    FROM big b
+    JOIN uni u1 ON u1.word = b.w1
+    JOIN uni u2 ON u2.word = b.w2
+    CROSS JOIN tot t
+    WHERE b.c_xy >= {_PMI_MIN_COUNT}
+    ORDER BY pmi DESC, b.w1, b.w2
+    LIMIT 100
+    """,
+)
+def k51_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information
+    (Church & Hanks 1990): PMI(x,y) = ln(P(xy) / (P(x)P(y))) over
+    adjacent-token bigrams, with unigram marginals counted over bigram
+    slots (each word's occurrences as-left plus as-right, so the
+    marginals sum to 2·N_bigrams and PMI uses c_xy·2N/(c_x·c_y)).
+
+    Shape: one tokenize, one map-only adjacent-zip explode, keyed aggs
+    for bigram and marginal counts; marginals and the bigram total are
+    vocabulary-scale → broadcast joins.  The min-count floor prunes the
+    long tail before the join (Zipf skew guard), and the top-100 is
+    TakeOrderedAndProject on the ROUNDED pmi with a (w1, w2) tie-break.
+    At 100 TB the only data-scale shuffle is the bigram count, keyed by
+    the gram itself; salting d13-style would absorb stopword-pair skew.
+    """
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .withColumn("n", F.size("t"))
+    )
+    bg = (
+        d.filter(F.col("n") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("t"), 1, F.col("n") - 1),
+                    F.slice(F.col("t"), 2, F.col("n") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    tot = big.agg(F.sum("c_xy").alias("n_big"))
+    uni = (
+        big.select(F.col("w1").alias("word"), F.col("c_xy").alias("c"))
+        .unionByName(big.select(F.col("w2").alias("word"), F.col("c_xy").alias("c")))
+        .groupBy("word")
+        .agg(F.sum("c").alias("c_w"))
+    )
+    return (
+        big.filter(F.col("c_xy") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(uni.withColumnRenamed("word", "w1")
+                          .withColumnRenamed("c_w", "c1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("word", "w2")
+                          .withColumnRenamed("c_w", "c2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                F.log(
+                    F.col("c_xy") * 2.0 * F.col("n_big")
+                    / (F.col("c1") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(100)
+    )
+
+
+# --- K52: per-document token entropy + type-token ratio -----------------------
+
+
+@query(
+    "k52_token_entropy",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, term, COUNT(*) AS c, ANY_VALUE(n) AS n
+      FROM (SELECT doc_id, unnest(t) AS term, n FROM d)
+      GROUP BY doc_id, term
+    )
+    SELECT doc_id,
+           ANY_VALUE(n) AS n_tokens,
+           COUNT(*) AS n_types,
+           CAST((COUNT(*) * 2000000 + ANY_VALUE(n)) // (2 * ANY_VALUE(n))
+                AS BIGINT) AS ttr_micro,
+           ROUND(-SUM((c * 1.0 / n) * LN(c * 1.0 / n)), 6) AS entropy
+    FROM cnt
+    GROUP BY doc_id
+    """,
+)
+def k52_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signals: Shannon entropy of each
+    document's unigram distribution (nats) and type-token ratio —
+    low-entropy documents are the template/boilerplate tail that
+    quality-filter pipelines drop alongside k24/k44 repetition scores.
+
+    Shape: tokenize, one shuffle keyed (doc, term) with map-side
+    partial counts, then a per-doc agg — both stages partition by
+    doc_id at scale.  TTR is emitted as integer half-up micro-units
+    (float-canonicalization-immune); entropy sums (c/n)·ln(c/n) terms
+    whose inputs are integer ratios (IEEE-identical cross-engine) and
+    rounds once at the end (6 dp).
+    """
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .withColumn("n", F.size("t"))
+    )
+    cnt = (
+        d.select("doc_id", "n", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"), F.first("n").alias("n"))
+    )
+    p = F.col("c") * 1.0 / F.col("n")
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.first("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            F.expr(
+                "(n_types * CAST(2000000 AS BIGINT) + n_tokens)"
+                " div (2 * n_tokens)"
+            ).alias("ttr_micro"),
+            "entropy",
+        )
+    )

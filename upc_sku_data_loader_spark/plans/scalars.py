@@ -510,3 +510,75 @@ def h12_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(shiftright(o_orderkey, 2) AS BIGINT)").alias("shifted_r"),
         F.bit_count(F.col("o_orderkey")).alias("popcount"),
     )
+
+
+# --- H14: collation-aware grouping (Spark 4 COLLATE) --------------------------
+
+
+@query(
+    "h14_collation_group",
+    oracle="""
+    WITH m AS (
+      SELECT CASE c_custkey % 3
+               WHEN 0 THEN upper(c_mktsegment)
+               WHEN 1 THEN lower(c_mktsegment)
+               ELSE upper(substr(c_mktsegment, 1, 1))
+                    || lower(substr(c_mktsegment, 2))
+             END AS seg_mixed,
+             c_acctbal
+      FROM customer
+    )
+    SELECT lower(seg_mixed) AS segment,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT seg_mixed) AS n_case_variants,
+           MIN(seg_mixed) AS first_variant,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+             AS sum_acctbal
+    FROM m
+    GROUP BY lower(seg_mixed)
+    """,
+)
+def h14_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation support (`F.collate(col, 'UTF8_LCASE')`):
+    grouping under a case-insensitive collation collapses case variants
+    of the market segment WITHOUT rewriting the data — the engine-level
+    answer to the lower()-wrapping workaround (which the DuckDB oracle
+    uses, proving the two formulations partition identically).
+
+    The mixed-case column is derived deterministically (key mod 3 picks
+    upper/lower/initcap), so the case-variant census is stable.  The
+    collated grouping key is dropped from the output (collated strings
+    canonicalize differently); plain binary-collation columns
+    (lower/min/counts) carry the result.  One hash-agg shuffle; at
+    100 TB identical to any groupBy — collation compares in the JVM,
+    no Python.
+    """
+    m = load(spark, sf_dir, "customer").select(
+        F.when(F.col("c_custkey") % 3 == 0, F.upper("c_mktsegment"))
+        .when(F.col("c_custkey") % 3 == 1, F.lower("c_mktsegment"))
+        .otherwise(F.initcap(F.lower("c_mktsegment")))
+        .alias("seg_mixed"),
+        "c_acctbal",
+    )
+    return (
+        m.groupBy(F.collate("seg_mixed", "UTF8_LCASE").alias("seg_ci"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(F.collate("seg_mixed", "UTF8_BINARY")).alias(
+                "n_case_variants"
+            ),
+            F.min(F.collate("seg_mixed", "UTF8_BINARY")).alias(
+                "first_variant"
+            ),
+            F.sum(F.col("c_acctbal").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+        .select(
+            F.lower(F.collate("seg_ci", "UTF8_BINARY")).alias("segment"),
+            "n_rows",
+            "n_case_variants",
+            F.collate("first_variant", "UTF8_BINARY").alias("first_variant"),
+            "sum_acctbal",
+        )
+    )

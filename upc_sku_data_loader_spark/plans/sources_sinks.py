@@ -1213,3 +1213,130 @@ def a16b_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tag = (Path(sf_dir).name or "sf").replace(".", "_")
     return run_available_now(agg, f"a16b_stream_{tag}")
+
+
+# --- ETL7: data-quality expectation suite (single-pass audit report) ----------
+
+
+@query(
+    "etl7_dq_expectations",
+    oracle="""
+    WITH li AS (
+      SELECT 'lineitem.quantity_in_range' AS expectation,
+             COUNT(*) AS n_checked,
+             COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+               AS n_violations
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.shipdate_not_null',
+             COUNT(*),
+             COUNT(*) FILTER (WHERE l_shipdate IS NULL)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.discount_domain',
+             COUNT(*),
+             COUNT(*) FILTER (WHERE l_discount < 0.0 OR l_discount > 0.1)
+      FROM lineitem
+    ),
+    ord AS (
+      SELECT 'orders.custkey_ref_integrity' AS expectation,
+             COUNT(*) AS n_checked,
+             COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS n_violations
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'orders.orderkey_unique',
+             COUNT(*),
+             COUNT(*) - COUNT(DISTINCT o_orderkey)
+      FROM orders
+    ),
+    prt AS (
+      SELECT 'part.retailprice_positive' AS expectation,
+             COUNT(*) AS n_checked,
+             COUNT(*) FILTER (WHERE p_retailprice <= 0) AS n_violations
+      FROM part
+    )
+    SELECT expectation, n_checked, n_violations,
+           n_violations = 0 AS ok
+    FROM (SELECT * FROM li UNION ALL SELECT * FROM ord
+          UNION ALL SELECT * FROM prt)
+    """,
+)
+def etl7_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-Expectations-style data-quality audit: range, null,
+    domain, referential-integrity, and uniqueness expectations across
+    three tables, emitted as one (expectation, checked, violations, ok)
+    report — the validation gate an ETL pipeline runs before promoting
+    a load (pairs with b11's row-level quarantine, which ROUTES bad
+    rows; this op MEASURES table health).
+
+    Scale shape: each table contributes ONE scan with conditional
+    aggregates (all three lineitem expectations fold into a single
+    partial-agg pass — no per-expectation rescans), unpivoted to long
+    format via a metadata-size stack; referential integrity is a
+    broadcast-able LEFT JOIN + null count, and uniqueness is
+    count-minus-distinct on the key.  Report is O(#expectations) rows.
+    """
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(
+                F.when(
+                    (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+                )
+            ).alias("v_range"),
+            F.count(F.when(F.col("l_shipdate").isNull(), 1)).alias("v_null"),
+            F.count(
+                F.when(
+                    (F.col("l_discount") < 0.0) | (F.col("l_discount") > 0.1),
+                    1,
+                )
+            ).alias("v_disc"),
+        )
+        .select(
+            F.expr(
+                "stack(3,"
+                " 'lineitem.quantity_in_range', n, v_range,"
+                " 'lineitem.shipdate_not_null', n, v_null,"
+                " 'lineitem.discount_domain', n, v_disc)"
+            ).alias("expectation", "n_checked", "n_violations")
+        )
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    ref = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("v"),
+        )
+        .select(
+            F.lit("orders.custkey_ref_integrity").alias("expectation"),
+            F.col("n").alias("n_checked"),
+            F.col("v").alias("n_violations"),
+        )
+    )
+    uniq = o.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "n_violations"
+        ),
+    ).select(
+        F.lit("orders.orderkey_unique").alias("expectation"),
+        "n_checked",
+        "n_violations",
+    )
+    prt = load(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.count(F.when(F.col("p_retailprice") <= 0, 1)).alias("n_violations"),
+    ).select(
+        F.lit("part.retailprice_positive").alias("expectation"),
+        "n_checked",
+        "n_violations",
+    )
+    return (
+        li.unionByName(ref)
+        .unionByName(uniq)
+        .unionByName(prt)
+        .withColumn("ok", F.col("n_violations") == 0)
+    )

@@ -572,3 +572,82 @@ def t7_asof_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(interp, 6).alias("quote_interp"),
         )
     )
+
+
+# --- T8: exponentially weighted moving average (finite 10-lag kernel) ---------
+
+_EWMA_ALPHA = 0.8  # weight decay per step back
+_EWMA_LAGS = 10
+
+# Exact per-lag weights, embedded as identical double literals in BOTH
+# engines (repr round-trips exactly; no cross-engine pow()).
+_EWMA_W = [repr(_EWMA_ALPHA**j) for j in range(_EWMA_LAGS)]
+
+
+def _ewma_sql() -> str:
+    num = " + ".join(
+        f"COALESCE({_EWMA_W[j]} * lag(value, {j}) OVER w, 0.0)"
+        for j in range(_EWMA_LAGS)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(value, {j}) OVER w IS NOT NULL"
+        f" THEN {_EWMA_W[j]} ELSE 0.0 END"
+        for j in range(_EWMA_LAGS)
+    )
+    return f"""
+    WITH p AS (
+      SELECT user_id, ts, event_id, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, ts, event_id, value,
+           ROUND(({num}) / ({den}), 6) AS ewma10
+    FROM p
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@query("t8_ewma", oracle=_ewma_sql())
+def t8_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average over each user's purchase
+    stream — the kdb/QuestDB `ema` analytic, truncated to a finite
+    10-lag kernel so it is a pure window expression (the infinite-
+    history recurrence is not order-independently exact; a 10-term
+    kernel at α=0.8 keeps >89% of the mass and makes the result an
+    explicit weighted sum both engines evaluate identically, left to
+    right).
+
+    Shape: ONE shuffle on user_id, one in-partition sort, ten lag()
+    reads over the same window frame — Catalyst collapses them into a
+    single WindowExec pass.  At 100 TB this partitions by user exactly
+    like t2/t6; no state beyond the 10-row frame.  Weights are shared
+    double literals; the final ratio is rounded once (6 dp).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = sum(
+        (
+            F.coalesce(
+                F.lit(float(_EWMA_W[j])) * F.lag("value", j).over(w),
+                F.lit(0.0),
+            )
+            for j in range(_EWMA_LAGS)
+        ),
+        start=F.lit(0.0),
+    )
+    den = sum(
+        (
+            F.when(
+                F.lag("value", j).over(w).isNotNull(),
+                F.lit(float(_EWMA_W[j])),
+            ).otherwise(F.lit(0.0))
+            for j in range(_EWMA_LAGS)
+        ),
+        start=F.lit(0.0),
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("ewma10", F.round(num / den, 6))
+    )

@@ -1186,3 +1186,91 @@ def k49_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "round", "position")
     )
+
+
+# --- K53: Johnson-Lindenstrauss random projection (deterministic signs) -------
+
+_RP_DIMS = 16  # target dimensionality
+
+
+@query(
+    "k53_random_projection",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings,
+           UNNEST(generate_series(1, len(embedding))) AS s(i)
+    ),
+    proj AS (
+      SELECT x.vec_id, j,
+             CAST(SUM(CAST(
+               x.v * (CASE WHEN CAST(CONCAT('0x',
+                        substr(md5('rp:' || CAST(x.i - 1 AS VARCHAR)
+                                   || ':' || CAST(j AS VARCHAR)), 1, 1))
+                      AS INT) < 8 THEN 1.0 ELSE -1.0 END)
+             AS DECIMAL(30,12))) AS DOUBLE) AS comp
+      FROM x, UNNEST(generate_series(0, {_RP_DIMS - 1})) AS t(j)
+      GROUP BY x.vec_id, j
+    )
+    SELECT vec_id, j, ROUND(comp, 6) AS comp
+    FROM proj
+    """,
+)
+def k53_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection (Achlioptas 2003):
+    project each embedding to {_RP_DIMS} dimensions with a dense ±1
+    matrix derived from md5 — fully deterministic, no engine RNG, and
+    the same matrix on any engine/cluster, so projections computed in
+    different jobs are comparable (the property SimHash/LSH pipelines
+    rely on).
+
+    Shape: posexplode (map-only fan-out d×), broadcast the d×k sign
+    matrix (built from a `spark.range` lateral, bytes-sized), one
+    shuffle keyed (vec_id, j) with map-side partial decimal sums.  At
+    100 TB the projection partitions by vector — the sign matrix never
+    shuffles.  The per-component sum uses the decimal-cast trick
+    (order-independent, cross-engine exact); output is long-format
+    (vec_id, j, comp) to stay array-free, rounded once (6 dp).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("i", "vf")
+    ).withColumn("v", F.col("vf").cast("double"))
+    dims = e.select(F.size("embedding").alias("d")).limit(1)
+    signs = (
+        dims.crossJoin(spark.range(_RP_DIMS).withColumnRenamed("id", "j"))
+        .select("j", F.explode(F.sequence(F.lit(0), F.col("d") - 1)).alias("i"))
+        .withColumn(
+            "sgn",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("rp:"),
+                                F.col("i").cast("string"),
+                                F.lit(":"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        1,
+                    ),
+                    16,
+                    10,
+                ).cast("int")
+                < 8,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+    )
+    return (
+        x.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(
+            F.sum((F.col("v") * F.col("sgn")).cast("decimal(30,12)"))
+            .cast("double")
+            .alias("comp")
+        )
+        .select("vec_id", "j", F.round("comp", 6).alias("comp"))
+    )
