@@ -63,13 +63,12 @@ _PRIORITY = [
     # round-5 additions (new code — highest driver-check priority)
     "k50_bm25_topk", "k51_pmi_collocations", "k52_token_entropy",
     "k53_random_projection", "t8_ewma", "h14_collation_group",
-    "etl7_dq_expectations",
+    "etl7_dq_expectations", "e10_win_range_interval", "t9_mad_outliers",
+    "etl8_snapshot_diff", "k54_containment_pairs",
     # hedge: riskiest round-4-window entries (if r4 verify never ran)
     "k41_semdedup", "k42_kmeans", "k43_graph_pagerank",
     "a16_python_datasource", "a17_xml_source", "h13_variant_extract",
     "t1_resample_gapfill", "t6_interpolate", "s3_sql_recursive_cte",
-    "i13_stream_sliding_window", "i15_stream_dedup_watermarked",
-    "k15b_multimodal_frames", "k4b_knn_join_blocked",
 ]
 
 

@@ -240,3 +240,108 @@ def test_etl7_catches_planted_violation(spark, sf_dir):
         F.count(F.when((F.col("l_discount") < 0.0) | (F.col("l_discount") > 0.1), 1)).alias("vd"),
     ).collect()[0]
     assert agg["vq"] == 2 and agg["vd"] == 1
+
+
+# --- e10 interval range frame -------------------------------------------------
+
+
+def test_e10_frame_contains_current_row(spark, sf_dir):
+    out = QUERIES["e10_win_range_interval"](spark, sf_dir)
+    purchases = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert out.count() == purchases
+    assert out.filter(F.col("n_1h") < 1).count() == 0
+    # trailing sum always includes the current row's value
+    assert out.filter(F.col("sum_1h") + 1e-9 < F.col("value")).count() == 0
+
+
+# --- t9 MAD outliers ----------------------------------------------------------
+
+
+def test_t9_mad_flags_respect_threshold(spark, sf_dir):
+    out = QUERIES["t9_mad_outliers"](spark, sf_dir)
+    assert out.filter(F.col("mad") < 0).count() == 0
+    # flagged rows really exceed the modified-z cut (on rounded stats)
+    bad = out.filter(
+        F.col("is_outlier")
+        & (
+            F.abs(F.col("value") - F.col("med"))
+            <= 3.5 * 1.4826 * F.col("mad") - 1e-4
+        )
+    ).count()
+    assert bad == 0
+    n = out.count()
+    flagged = out.filter("is_outlier").count()
+    assert flagged < n * 0.2  # robust stats flag a minority
+
+
+# --- etl8 snapshot diff -------------------------------------------------------
+
+
+def test_etl8_change_types_are_consistent(spark, sf_dir):
+    out = QUERIES["etl8_snapshot_diff"](spark, sf_dir)
+    assert (
+        out.filter(
+            (F.col("change_type") == "added") & F.col("old_price").isNotNull()
+        ).count()
+        == 0
+    )
+    assert (
+        out.filter(
+            (F.col("change_type") == "removed")
+            & F.col("new_price").isNotNull()
+        ).count()
+        == 0
+    )
+    assert (
+        out.filter(
+            (F.col("change_type") == "changed")
+            & (
+                F.col("old_price").isNull()
+                | F.col("new_price").isNull()
+            )
+        ).count()
+        == 0
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    expect_added = o.filter(
+        (F.col("o_orderkey") % 97 == 3) & (F.col("o_orderkey") % 89 != 7)
+    ).count()
+    expect_removed = o.filter(
+        (F.col("o_orderkey") % 97 != 3) & (F.col("o_orderkey") % 89 == 7)
+    ).count()
+    by_type = {
+        r["change_type"]: r["n"]
+        for r in out.groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert by_type.get("added", 0) == expect_added
+    assert by_type.get("removed", 0) == expect_removed
+
+
+# --- k54 containment ----------------------------------------------------------
+
+
+def test_k54_containment_threshold_and_no_self_pairs(spark, sf_dir):
+    out = QUERIES["k54_containment_pairs"](spark, sf_dir)
+    assert (
+        out.filter(F.col("contained_id") == F.col("container_id")).count()
+        == 0
+    )
+    assert (
+        out.filter(
+            (F.col("containment_micro") <= 0)
+            | (F.col("containment_micro") > 1_000_000)
+        ).count()
+        == 0
+    )
+    assert (
+        out.filter(
+            F.col("shared") * 5 < 4 * F.col("n_contained")
+        ).count()
+        == 0
+    )

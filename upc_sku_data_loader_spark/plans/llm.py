@@ -1477,3 +1477,116 @@ def k52_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy",
         )
     )
+
+
+# --- K54: containment near-dup (asymmetric — quote/subset detection) ----------
+
+_CONT_N = 8  # word-gram width
+_CONT_NUM, _CONT_DEN = 4, 5  # containment threshold 4/5 (integer compare)
+_CONT_DF_CAP = 64  # drop boilerplate grams appearing in > this many docs
+
+
+@query(
+    "k54_containment_pairs",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(t, i, i + {_CONT_N - 1}), ' ') AS gram
+      FROM d, UNNEST(generate_series(1, n - {_CONT_N - 1})) AS s(i)
+      WHERE n >= {_CONT_N}
+    ),
+    keep AS (
+      SELECT gram FROM g GROUP BY gram
+      HAVING COUNT(*) <= {_CONT_DF_CAP}
+    ),
+    gk AS (SELECT g.* FROM g JOIN keep USING (gram)),
+    sz AS (SELECT doc_id, COUNT(*) AS n_grams FROM gk GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+             COUNT(*) AS shared
+      FROM gk a JOIN gk b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.contained_id, s.container_id, s.shared,
+           sa.n_grams AS n_contained,
+           CAST((s.shared * 2000000 + sa.n_grams) // (2 * sa.n_grams)
+                AS BIGINT) AS containment_micro
+    FROM shared s JOIN sz sa ON sa.doc_id = s.contained_id
+    WHERE s.shared * {_CONT_DEN} >= {_CONT_NUM} * sa.n_grams
+    """,
+)
+def k54_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup (Broder's containment coefficient
+    C(A,B) = |A∩B| / |A| over word 8-gram sets): finds documents whose
+    gram set is ≥ 80% inside ANOTHER document — quotes, excerpts, and
+    subset pages that symmetric-Jaccard dedup (k2/k18) misses because
+    the size mismatch caps the Jaccard score.
+
+    Shape: distinct (doc, gram) relation, a df-cap filter that drops
+    boilerplate grams BEFORE the index join (the documented skew guard —
+    same role as k18's rarest-gram prefix), then the inverted-index
+    equi-join on gram and a keyed pair count — never all-pairs; every
+    stage is keyed by gram or by the (contained, container) pair.  The
+    threshold compare is pure-integer (shared·den ≥ num·|A|) and the
+    reported fraction is half-up micro-units — no floats anywhere.
+    """
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .withColumn("n", F.size("t"))
+    )
+    g = (
+        d.filter(F.col("n") >= _CONT_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n") - _CONT_N),
+                    lambda i: F.array_join(
+                        F.slice(F.col("t"), i + 1, _CONT_N), " "
+                    ),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    keep = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _CONT_DF_CAP
+    )
+    gk = g.join(keep.select("gram"), "gram")
+    sz = gk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = gk.select(F.col("doc_id").alias("contained_id"), "gram")
+    b = gk.select(F.col("doc_id").alias("container_id"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .groupBy("contained_id", "container_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(
+            sz.select(
+                F.col("doc_id").alias("contained_id"),
+                F.col("n_grams").alias("n_contained"),
+            ),
+            "contained_id",
+        )
+        .filter(
+            F.col("shared") * _CONT_DEN >= _CONT_NUM * F.col("n_contained")
+        )
+        .select(
+            "contained_id",
+            "container_id",
+            "shared",
+            "n_contained",
+            F.expr(
+                "(shared * CAST(2000000 AS BIGINT) + n_contained)"
+                " div (2 * n_contained)"
+            ).alias("containment_micro"),
+        )
+    )

@@ -1340,3 +1340,88 @@ def etl7_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(prt)
         .withColumn("ok", F.col("n_violations") == 0)
     )
+
+
+# --- ETL8: snapshot diff / reconciliation report ------------------------------
+
+
+@query(
+    "etl8_snapshot_diff",
+    oracle="""
+    WITH snap_a AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 3
+    ),
+    snap_b AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 31 = 0
+                  THEN ROUND(o_totalprice * 1.1, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 89 <> 7
+    )
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           a.o_totalprice AS old_price,
+           b.o_totalprice AS new_price
+    FROM snap_a a FULL OUTER JOIN snap_b b USING (o_orderkey)
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_totalprice <> b.o_totalprice
+       OR a.o_orderstatus <> b.o_orderstatus
+    """,
+)
+def etl8_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff two versions of a table into an
+    added/removed/changed report — the audit primitive behind
+    Delta-style time travel diffs and migration cutover checks (pairs
+    with etl6, which APPLIES a changefeed; this op RECOVERS one from
+    two states).
+
+    Both snapshots are derived deterministically from the fixture
+    (modular drop/mutate rules), so either engine replays the same two
+    states.  Shape: ONE full-outer hash join on the key, change
+    classification map-side, unchanged rows filtered before output —
+    at 100 TB this is the canonical sort-merge/shuffle-hash join on the
+    primary key with AQE picking the strategy; no data-scale state
+    beyond the join.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snap_a = o.filter(F.col("o_orderkey") % 97 != 3)
+    snap_b = o.filter(F.col("o_orderkey") % 89 != 7).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 31 == 0,
+            F.round(F.col("o_totalprice") * 1.1, 2),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    a = snap_a.select(
+        F.col("o_orderkey").alias("ak"),
+        F.col("o_orderstatus").alias("a_status"),
+        F.col("o_totalprice").alias("old_price"),
+    )
+    b = snap_b.select(
+        F.col("o_orderkey").alias("bk"),
+        F.col("o_orderstatus").alias("b_status"),
+        F.col("o_totalprice").alias("new_price"),
+    )
+    j = a.join(b, a.ak == b.bk, "full_outer")
+    return (
+        j.filter(
+            F.col("ak").isNull()
+            | F.col("bk").isNull()
+            | (F.col("old_price") != F.col("new_price"))
+            | (F.col("a_status") != F.col("b_status"))
+        )
+        .select(
+            F.coalesce("ak", "bk").alias("o_orderkey"),
+            F.when(F.col("ak").isNull(), F.lit("added"))
+            .when(F.col("bk").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed"))
+            .alias("change_type"),
+            "old_price",
+            "new_price",
+        )
+    )

@@ -651,3 +651,86 @@ def t8_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "ts", "event_id", "value")
         .withColumn("ewma10", F.round(num / den, 6))
     )
+
+
+# --- T9: robust outlier flagging via median absolute deviation ----------------
+
+_MAD_K = 1.4826  # consistency constant: MAD×k estimates σ under normality
+_MAD_CUT = 3.5  # Iglewicz-Hoaglin modified-z-score threshold
+
+
+@query(
+    "t9_mad_outliers",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, ts, event_id, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    med AS (
+      SELECT user_id, quantile_cont(value, 0.5) AS med
+      FROM p GROUP BY user_id
+    ),
+    mad AS (
+      SELECT p.user_id, ANY_VALUE(med.med) AS med,
+             quantile_cont(ABS(p.value - med.med), 0.5) AS mad
+      FROM p JOIN med ON p.user_id = med.user_id
+      GROUP BY p.user_id
+    )
+    SELECT p.user_id, p.ts, p.event_id, p.value,
+           ROUND(mad.med, 6) AS med,
+           ROUND(mad.mad, 6) AS mad,
+           CASE WHEN mad.mad > 0
+                THEN ABS(p.value - mad.med) / ({_MAD_K} * mad.mad) > {_MAD_CUT}
+                ELSE FALSE END AS is_outlier
+    FROM p JOIN mad ON p.user_id = mad.user_id
+    """,
+)
+def t9_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outlier flagging: modified z-score against the
+    median absolute deviation (Iglewicz & Hoaglin 1993) — survives the
+    exact contamination that wrecks t2's mean/stddev z-score, the
+    standard robust cleaner for heavy-tailed purchase values.
+
+    Shape: two grouped EXACT percentile aggs (Spark `percentile` ≡
+    DuckDB `quantile_cont` linear interpolation, the t3 equivalence),
+    each one keyed shuffle on user_id; per-user stats join back
+    broadcast-style (user-cardinality relation).  The outlier BOOLEAN
+    compares |x−med| against (k·MAD·cut) — both sides computed from the
+    same rounded stats, and the flag itself is integer-robust (no float
+    in the output except the 6-dp-rounded stats).
+    """
+    p = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+    )
+    med = p.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        p.join(med, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.first("med").alias("med"),
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        )
+    )
+    return (
+        p.join(mad, "user_id")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            F.when(
+                F.col("mad") > 0,
+                F.abs(F.col("value") - F.col("med"))
+                / (_MAD_K * F.col("mad"))
+                > _MAD_CUT,
+            )
+            .otherwise(F.lit(False))
+            .alias("is_outlier"),
+        )
+    )

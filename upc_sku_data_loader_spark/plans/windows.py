@@ -272,3 +272,57 @@ def e9_win_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+# --- E10: time-interval RANGE frame (trailing 1-hour rolling aggregates) ------
+
+
+@query(
+    "e10_win_range_interval",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, ts, event_id,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)
+             AS sum_1h
+    FROM p
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def e10_win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE window frame: trailing 1-hour event count and
+    exact purchase total per user — the value-based frame (peers share
+    the frame; the bound is an INTERVAL against the ORDER BY timestamp,
+    not a row count), which rows-frames like e5/e6 cannot express when
+    events are irregularly spaced.
+
+    One shuffle on user_id, one in-partition sort, both aggregates in a
+    single WindowExec pass.  The sum is decimal-cast per row inside the
+    frame (order-independent, cross-engine exact); count is integral.
+    At 100 TB identical partitioning to t2/t8; frame state is bounded
+    by event density within the hour, not history.
+    """
+    p = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+    )
+    return p.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(
+            "COUNT(*) OVER (PARTITION BY user_id ORDER BY ts"
+            " RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+        ).alias("n_1h"),
+        F.expr(
+            "CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER"
+            " (PARTITION BY user_id ORDER BY ts"
+            " RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+            " AS DOUBLE)"
+        ).alias("sum_1h"),
+    )
