@@ -345,3 +345,92 @@ def test_k54_containment_threshold_and_no_self_pairs(spark, sf_dir):
         ).count()
         == 0
     )
+
+
+# --- s6 pipe syntax -----------------------------------------------------------
+
+
+def test_s6_pipe_equals_ansi_in_spark(spark, sf_dir):
+    """The pipe text and the ANSI oracle text must agree WITHIN Spark
+    too (the parity gate checks Spark-pipe vs DuckDB-ANSI; this closes
+    the triangle)."""
+    from upc_sku_data_loader_spark.catalog import register_views
+    from upc_sku_data_loader_spark.plans.sql_api import _S6_ORACLE, _S6_PIPE
+
+    register_views(spark, sf_dir)
+    a = {tuple(r) for r in spark.sql(_S6_PIPE).collect()}
+    b = {tuple(r) for r in spark.sql(_S6_ORACLE).collect()}
+    assert a == b and len(a) > 0
+
+
+# --- h15 try_* functions ------------------------------------------------------
+
+
+def test_h15_try_semantics_on_planted_frame(spark):
+    d = spark.createDataFrame(
+        [(1, 0), (2, 5)], "a long, b long"
+    ).selectExpr(
+        "try_divide(a, b) AS q",
+        "try_add(a, 9223372036854775807) AS o",
+        "try_cast('12' AS INT) AS c_ok",
+        "try_cast('xx' AS INT) AS c_bad",
+    )
+    rows = d.collect()
+    by_q = {r["o"] is None for r in rows}
+    assert by_q == {True}  # both a=1,2 overflow
+    assert rows[0]["c_ok"] == 12 and rows[0]["c_bad"] is None
+    qs = sorted((r["q"] is None) for r in rows)
+    assert qs == [False, True]  # b=0 → NULL, b=5 → value
+
+
+def test_h15_fixture_null_pattern(spark, sf_dir):
+    out = QUERIES["h15_try_functions"](spark, sf_dir)
+    # division by zero exactly where l_linenumber == 1
+    assert (
+        out.filter(
+            (F.col("l_linenumber") == 1)
+            & F.col("price_per_extra_line").isNotNull()
+        ).count()
+        == 0
+    )
+    # try_add overflows (→ NULL) exactly for positive orderkeys;
+    # orderkey 0 adds cleanly and keeps the value
+    assert (
+        out.filter(
+            (F.col("l_orderkey") > 0) & F.col("overflow_add").isNotNull()
+        ).count()
+        == 0
+    )
+    assert (
+        out.filter(
+            (F.col("l_orderkey") == 0) & F.col("overflow_add").isNull()
+        ).count()
+        == 0
+    )
+    # even line numbers parse, odd (returnflag letters) do not
+    assert (
+        out.filter(
+            (F.col("l_linenumber") % 2 == 0) & F.col("mixed_as_int").isNull()
+        ).count()
+        == 0
+    )
+
+
+# --- a19 malformed CSV --------------------------------------------------------
+
+
+def test_a19_corrupt_routing_salvages_fields(spark, sf_dir):
+    # Collect once (full parse — how the driver consumes results too):
+    # Spark's analyzer rejects projections it deems corrupt-column-only
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the row-level invariants
+    # are asserted in Python over the materialized rows.
+    rows = QUERIES["a19_csv_malformed"](spark, sf_dir).collect()
+    # every row keeps its parseable leading fields, corrupt or not
+    assert all(r["k"] is not None for r in rows)
+    assert all(r["status"] is not None for r in rows)
+    # corrupt ⟺ price missing (bad-type and short-arity shapes)
+    assert all(
+        r["is_corrupt"] == (r["price_cents"] is None) for r in rows
+    )
+    corrupt = sum(1 for r in rows if r["is_corrupt"])
+    assert 0 < corrupt < len(rows)

@@ -582,3 +582,63 @@ def h14_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_acctbal",
         )
     )
+
+
+# --- H15: try_* error-safe arithmetic (ANSI mode without the blast radius) ----
+
+
+@query(
+    "h15_try_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber - 1 = 0 THEN NULL
+                ELSE l_extendedprice / (l_linenumber - 1) END
+             AS price_per_extra_line,
+           TRY_CAST(CASE WHEN l_linenumber % 2 = 0
+                         THEN CAST(CAST(l_quantity AS INTEGER) AS VARCHAR)
+                         ELSE l_returnflag END AS INTEGER) AS mixed_as_int,
+           CASE WHEN l_orderkey > 0 THEN NULL
+                ELSE l_orderkey + 9223372036854775807 END AS overflow_add,
+           CASE WHEN l_quantity = 0 THEN NULL
+                ELSE CAST(l_quantity AS INTEGER) END AS qty_int
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    """,
+)
+def h15_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode-safe arithmetic: `try_divide` / `try_cast` / `try_add`
+    return NULL where strict ANSI evaluation would abort the whole job
+    (division by zero, unparsable cast, bigint overflow) — the
+    row-level error-tolerance contract ETL pipelines need under
+    `spark.sql.ansi.enabled=true` (Spark 4's default).  The DuckDB twin
+    spells each guard as an explicit CASE, proving the try_* forms
+    compute exactly the guarded semantics, not merely 'NULL sometimes'.
+
+    Map-only (no shuffle); the modular filter keeps oracle rows
+    deterministic and the overflow case uses l_orderkey's sign so the
+    NULL pattern is data-driven, not constant-folded away.
+    """
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 50 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.try_divide(
+                F.col("l_extendedprice"), F.col("l_linenumber") - 1
+            ).alias("price_per_extra_line"),
+            F.expr(
+                "try_cast(CASE WHEN l_linenumber % 2 = 0"
+                " THEN CAST(CAST(l_quantity AS INT) AS STRING)"
+                " ELSE l_returnflag END AS INT)"
+            ).alias("mixed_as_int"),
+            F.try_add(
+                F.col("l_orderkey"), F.lit(9223372036854775807)
+            ).alias("overflow_add"),
+            F.when(
+                F.col("l_quantity") == 0, F.lit(None).cast("int")
+            )
+            .otherwise(F.col("l_quantity").cast("int"))
+            .alias("qty_int"),
+        )
+    )

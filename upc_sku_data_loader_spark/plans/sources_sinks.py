@@ -1425,3 +1425,76 @@ def etl8_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_price",
         )
     )
+
+
+# --- A19: malformed-CSV handling (PERMISSIVE corrupt-record routing) ----------
+
+
+@query(
+    "a19_csv_malformed",
+    oracle="""
+    SELECT o_orderkey AS k,
+           o_orderstatus AS status,
+           CASE WHEN o_orderkey % 3 = 0
+                THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                ELSE NULL END AS price_cents,
+           o_orderkey % 3 <> 0 AS is_corrupt
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    """,
+)
+def a19_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input tolerance of the CSV source: PERMISSIVE mode
+    routes unparsable-type rows and arity-mismatch rows into the
+    `columnNameOfCorruptRecord` side channel WITHOUT failing the job
+    (the DROPMALFORMED/FAILFAST alternatives are a one-option change),
+    while still salvaging the fields that DO parse — measured: Spark
+    keeps parseable leading fields of a corrupt row.
+
+    The fixture CSV is synthesized with three deterministic row shapes
+    (clean / bad-type / short-arity, keyed on o_orderkey mod 3) and
+    integer-cents prices so no float round-trips through text.  Scale:
+    a text write + schema-pinned read, both map-only; corrupt routing
+    happens in the parser — no extra pass, no driver involvement.
+    """
+    path = _scratch(sf_dir, "orders_malformed_csv")
+    src = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    line = (
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.format_string(
+                "%d,%s,%d",
+                F.col("o_orderkey"),
+                F.col("o_orderstatus"),
+                F.round(F.col("o_totalprice") * 100).cast("bigint"),
+            ),
+        )
+        .when(
+            F.col("o_orderkey") % 3 == 1,
+            F.format_string(
+                "%d,%s,notanumber",
+                F.col("o_orderkey"),
+                F.col("o_orderstatus"),
+            ),
+        )
+        .otherwise(
+            F.format_string(
+                "%d,%s", F.col("o_orderkey"), F.col("o_orderstatus")
+            )
+        )
+    )
+    src.select(line.alias("value")).write.mode("overwrite").text(path)
+    parsed = (
+        spark.read.schema(
+            "k bigint, status string, price_cents bigint, _corrupt string"
+        )
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+    return parsed.select(
+        "k",
+        "status",
+        "price_cents",
+        F.col("_corrupt").isNotNull().alias("is_corrupt"),
+    )

@@ -164,3 +164,48 @@ def s5_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     binding itself is what's under test."""
     register_views(spark, sf_dir)
     return spark.sql(_S5_TEMPLATE, args=_S5_ARGS)
+
+
+# --- S6: SQL pipe syntax (Spark 4 |> operator chains) -------------------------
+
+# The pipe-syntax text Spark runs; the oracle below is the standard-SQL
+# equivalent (DuckDB's parser has no |> yet — the POINT of this entry is
+# that Spark's pipe dialect computes exactly what the ANSI form does).
+_S6_PIPE = """
+FROM lineitem
+|> WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+|> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+|> AGGREGATE COUNT(*) AS n_rows,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+               AS sum_qty,
+             CAST(SUM(CAST(disc_price AS DECIMAL(30,6))) AS DOUBLE)
+               AS sum_disc_price
+   GROUP BY l_returnflag, l_linestatus
+|> WHERE n_rows > 0
+"""
+
+_S6_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+HAVING COUNT(*) > 0
+"""
+
+
+@query("s6_sql_pipe_syntax", oracle=_S6_ORACLE)
+def s6_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 / GoogleSQL `|>` chains, SPARK-49555):
+    the linear FROM → WHERE → EXTEND → AGGREGATE form compiles to the
+    IDENTICAL Catalyst plan as the nested ANSI query — same pushed
+    parquet filter, same partial/final hash aggregation — which the
+    value-hash against the ANSI-form oracle proves.  EXTEND introduces
+    the derived column once; AGGREGATE's GROUP BY emits the grouping
+    keys first in the output schema (pipe-dialect column order), so the
+    oracle lists keys first too."""
+    register_views(spark, sf_dir)
+    return spark.sql(_S6_PIPE)

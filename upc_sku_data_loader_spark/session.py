@@ -34,6 +34,14 @@ RUNTIME_CONFIGS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Adaptive execution: re-plan at shuffle boundaries (skew, coalesce).
     "spark.sql.adaptive.enabled": "true",
+    # CSV corrupt-record routing (a19) must not depend on the query's
+    # projection: with parser column pruning ON, a short-arity row is
+    # flagged corrupt under a full parse but NOT under a pruned one
+    # (measured — filter+count vs collect gave different is_corrupt).
+    # Deterministic semantics beat the pruning win; CSV is an ingest
+    # edge here, the analytic store is parquet (whose pruning this
+    # does not touch).
+    "spark.sql.csv.parser.columnPruning.enabled": "false",
 }
 
 
