@@ -65,10 +65,11 @@ _PRIORITY = [
     "k53_random_projection", "t8_ewma", "h14_collation_group",
     "etl7_dq_expectations", "e10_win_range_interval", "t9_mad_outliers",
     "etl8_snapshot_diff", "k54_containment_pairs", "s6_sql_pipe_syntax",
-    "h15_try_functions", "a19_csv_malformed",
+    "h15_try_functions", "a19_csv_malformed", "k55_bigram_logprob",
+    "a20_compressed_json",
     # hedge: riskiest round-4-window entries (if r4 verify never ran)
     "k41_semdedup", "k42_kmeans", "k43_graph_pagerank",
-    "a16_python_datasource", "a17_xml_source", "h13_variant_extract",
+    "a16_python_datasource",
 ]
 
 

@@ -442,3 +442,39 @@ def test_a18_partition_pruning_reaches_scan(spark, sf_dir):
         df.select("o_orderpriority").distinct().count()
     )
     assert n_parts == 2
+
+
+def test_round5_ops_plan_shapes(spark, sf_dir):
+    """Scale-shape claims of the round-5 additions, pinned in the
+    executed plan: k50/k51 broadcast their stats sides (the only
+    data-scale shuffle is the keyed tf/bigram agg), k54 and etl8 stay
+    off degenerate join paths, and e10/t8 evaluate all window
+    aggregates in a single user-partitioned Window pass."""
+    p50 = _executed_plan(spark, "k50_bm25_topk", sf_dir)
+    assert "BroadcastExchange" in p50
+    assert "CartesianProduct" not in p50
+    assert "TakeOrderedAndProject" in p50  # top-k, not a global sort
+
+    p51 = _executed_plan(spark, "k51_pmi_collocations", sf_dir)
+    assert "BroadcastExchange" in p51
+    assert "CartesianProduct" not in p51
+    assert "TakeOrderedAndProject" in p51
+
+    p54 = _executed_plan(spark, "k54_containment_pairs", sf_dir)
+    assert "CartesianProduct" not in p54
+    assert "BroadcastNestedLoopJoin" not in p54
+
+    p_etl8 = _executed_plan(spark, "etl8_snapshot_diff", sf_dir)
+    assert "CartesianProduct" not in p_etl8
+    assert "BroadcastNestedLoopJoin" not in p_etl8
+
+    for name in ("e10_win_range_interval", "t8_ewma"):
+        p = _executed_plan(spark, name, sf_dir)
+        assert p.count("Window") == 1, name
+        assert "Exchange hashpartitioning(user_id" in p, name
+
+    # k53's sign matrix joins broadcast — the embeddings never shuffle
+    # before the (vec_id, j) aggregation
+    p53 = _executed_plan(spark, "k53_random_projection", sf_dir)
+    assert "BroadcastExchange" in p53
+    assert "CartesianProduct" not in p53

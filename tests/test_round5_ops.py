@@ -434,3 +434,105 @@ def test_a19_corrupt_routing_salvages_fields(spark, sf_dir):
     )
     corrupt = sum(1 for r in rows if r["is_corrupt"])
     assert 0 < corrupt < len(rows)
+
+
+# --- k55 bigram logprob -------------------------------------------------------
+
+
+def test_k55_bigram_logprob_bounds(spark, sf_dir):
+    out = QUERIES["k55_bigram_logprob"](spark, sf_dir)
+    # log-probs are strictly negative (smoothing forbids P=1 unless a
+    # word pair is the whole vocabulary) and finite
+    assert out.filter(F.col("logprob") >= 0).count() == 0
+    assert out.filter(F.isnan("logprob")).count() == 0
+    # every doc with >= 2 tokens is scored
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.size(F.split("text", " ")) >= 2)
+        .count()
+    )
+    assert out.count() == docs
+
+
+def test_k55_orders_better_than_shuffled(spark):
+    """Word order must matter: the same tokens in corpus-frequent order
+    score higher than a rare permutation — checked on a planted corpus
+    where 'a b' dominates and 'b a' never occurs."""
+    docs = [(i, "a b a b a b") for i in range(9)] + [(9, "b a b a b a")]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    d.createOrReplaceTempView("_k55_probe")
+    # reuse the registered builder against a temp fixture via SQL-free
+    # recompute: bigram counts over the probe corpus
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.split("text", " "), 1, 5),
+                F.slice(F.split("text", " "), 2, 5),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_x"))
+    v = bg.agg(F.countDistinct("w2").alias("vocab"))
+    scored = (
+        bg.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(v)
+        .groupBy("doc_id")
+        .agg(
+            F.avg(
+                F.log((F.col("c_xy") + 1.0) / (F.col("c_x") + F.col("vocab")))
+            ).alias("lp")
+        )
+    )
+    by_id = {r["doc_id"]: r["lp"] for r in scored.collect()}
+    assert by_id[0] > by_id[9]
+
+
+# --- a20 compressed JSON ------------------------------------------------------
+
+
+def test_a20_files_are_gzip(spark, sf_dir):
+    import glob
+
+    from upc_sku_data_loader_spark.plans.sources_sinks import _scratch
+
+    out = QUERIES["a20_compressed_json"](spark, sf_dir)
+    n = out.count()
+    src = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderkey") % 4 == 1)
+        .count()
+    )
+    assert n == src
+    files = glob.glob(_scratch(sf_dir, "orders_json_gz") + "/*.json.gz")
+    assert files, "output must be .json.gz part files"
+    with open(files[0], "rb") as fh:
+        assert fh.read(2) == b"\x1f\x8b"  # gzip magic
+
+
+# --- j9 applyInArrow ----------------------------------------------------------
+
+
+def test_j9_matches_builtin_aggregation(spark, sf_dir):
+    out = {
+        r["o_custkey"]: (r["n_orders"], r["total_spend"], r["max_order"])
+        for r in QUERIES["j9_apply_in_arrow"](spark, sf_dir).collect()
+    }
+    ref = {
+        r["o_custkey"]: (r["n"], r["t"], r["m"])
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("t"),
+            F.max("o_totalprice").alias("m"),
+        )
+        .filter(F.col("n") >= 3)
+        .collect()
+    }
+    assert out == ref and len(out) > 0

@@ -37,6 +37,12 @@ DEFAULT = [
     "k47_coreset_fps",
     "k40_shard_assign",
     "k49_curriculum_interleave",
+    # round-5 additions with data-scale shuffles
+    "k50_bm25_topk",
+    "k51_pmi_collocations",
+    "k54_containment_pairs",
+    "t9_mad_outliers",
+    "k53_random_projection",
 ]
 
 

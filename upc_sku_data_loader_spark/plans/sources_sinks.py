@@ -1498,3 +1498,41 @@ def a19_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price_cents",
         F.col("_corrupt").isNotNull().alias("is_corrupt"),
     )
+
+
+# --- A20: compressed JSON-lines round-trip (codec handling at the edge) -------
+
+
+@query(
+    "a20_compressed_json",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 4 = 1
+    """,
+)
+def a20_compressed_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-ingest handling: gzip JSON-lines written and read
+    back transparently by codec inference from the file extension —
+    the wire format of most API-dump / log-shipper feeds.  The
+    lossless round-trip against the ORIGINAL table is the oracle (a2's
+    proof pattern).
+
+    Scale note: gzip is NOT splittable — one .json.gz file = one task,
+    the classic ingest bottleneck; production keeps many ~100 MB
+    objects (or zstd/bzip2) so file-level parallelism replaces
+    block-level splitting.  This entry writes one file per input
+    partition, which is exactly that layout.
+    """
+    path = _scratch(sf_dir, "orders_json_gz")
+    (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 4 == 1)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .json(path)
+    )
+    return spark.read.schema(
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    ).json(path)

@@ -1274,3 +1274,97 @@ def k53_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "j", F.round("comp", 6).alias("comp"))
     )
+
+
+# --- K55: smoothed bigram-LM log-probability (perplexity proxy, order 2) ------
+
+
+@query(
+    "k55_bigram_logprob",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM d, UNNEST(generate_series(1, n - 1)) AS s(i)
+      WHERE n >= 2
+    ),
+    big AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY w1, w2),
+    uni AS (SELECT w1, COUNT(*) AS c_x FROM bg GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w2) AS vocab FROM bg),
+    scored AS (
+      SELECT bg.doc_id,
+             ROUND(LN((big.c_xy + 1.0) / (uni.c_x + v.vocab)), 6) AS logp
+      FROM bg
+      JOIN big ON big.w1 = bg.w1 AND big.w2 = bg.w2
+      JOIN uni ON uni.w1 = bg.w1
+      CROSS JOIN v
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(logp AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*), 4) AS logprob
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def k55_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 perplexity proxy: per-doc mean log-probability under the
+    corpus's own add-one-smoothed bigram LM, P(w2|w1) = (c(w1,w2)+1) /
+    (c(w1·)+|V|) — sharper than k35's unigram score at separating
+    fluent text from shuffled-token soup (word ORDER now matters).
+
+    Plan: one adjacent-pair explode (map-only), bigram/left-marginal
+    count aggs (vocabulary-scale after Zipf — broadcast back onto the
+    bigram stream), scalar |V| via a 1-row broadcast cross join, one
+    per-doc agg.  Same float discipline as k35: LN rounded 6 dp both
+    sides, then exact decimal mean rounded 4 dp.
+    """
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .withColumn("n", F.size("t"))
+    )
+    bg = (
+        d.filter(F.col("n") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("t"), 1, F.col("n") - 1),
+                    F.slice(F.col("t"), 2, F.col("n") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_x"))
+    v = bg.agg(F.countDistinct("w2").alias("vocab"))
+    scored = (
+        bg.join(F.broadcast(big), ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("c_xy") + 1.0)
+                    / (F.col("c_x") + F.col("vocab"))
+                ),
+                6,
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("logp").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("logprob"),
+    )

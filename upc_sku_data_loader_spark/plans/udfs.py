@@ -291,3 +291,70 @@ def j8_pandas_window_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         rolling_mean("o_totalprice").over(w).alias("roll_avg"),
     )
+
+
+# --- J9: grouped-map via applyInArrow (Arrow-native per-group kernels) --------
+
+
+@query(
+    "j9_apply_in_arrow",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS total_spend,
+           MAX(o_totalprice) AS max_order
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 3
+    """,
+)
+def j9_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBy(...).applyInArrow`` (Spark 4): grouped-map over raw
+    pyarrow Tables — the zero-pandas sibling of j4's applyInPandas for
+    Arrow-native per-group logic.  The kernel mirrors a
+    HAVING-filtered aggregation so the SQL oracle checks it
+    value-for-value; the decimal sum is computed by casting the Arrow
+    column to decimal128 before pc.sum (order-independent, the dsum
+    discipline in Arrow form).
+
+    Scale: one shuffle on the grouping key; the Python worker sees one
+    group per Table — identical distribution to applyInPandas but
+    without the pandas conversion tax on wide batches.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(table: "pa.Table") -> "pa.Table":
+        n = table.num_rows
+        if n < 3:
+            return pa.table(
+                {
+                    "o_custkey": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "total_spend": pa.array([], pa.float64()),
+                    "max_order": pa.array([], pa.float64()),
+                }
+            )
+        price = table.column("o_totalprice")
+        dec = price.cast(pa.decimal128(30, 6))
+        # float(Decimal) is correctly rounded; Arrow's decimal→float64
+        # cast is not (measured: off by one ulp vs DuckDB's cast)
+        total = float(pc.sum(dec).as_py())
+        return pa.table(
+            {
+                "o_custkey": pa.array(
+                    [table.column("o_custkey")[0].as_py()], pa.int64()
+                ),
+                "n_orders": pa.array([n], pa.int64()),
+                "total_spend": pa.array([total], pa.float64()),
+                "max_order": pa.array([pc.max(price).as_py()], pa.float64()),
+            }
+        )
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return o.groupBy("o_custkey").applyInArrow(
+        kernel,
+        "o_custkey bigint, n_orders bigint, total_spend double, "
+        "max_order double",
+    )
