@@ -66,10 +66,9 @@ _PRIORITY = [
     "etl7_dq_expectations", "e10_win_range_interval", "t9_mad_outliers",
     "etl8_snapshot_diff", "k54_containment_pairs", "s6_sql_pipe_syntax",
     "h15_try_functions", "a19_csv_malformed", "k55_bigram_logprob",
-    "a20_compressed_json",
+    "a20_compressed_json", "j9_apply_in_arrow", "k56_curation_scorecard",
     # hedge: riskiest round-4-window entries (if r4 verify never ran)
-    "k41_semdedup", "k42_kmeans", "k43_graph_pagerank",
-    "a16_python_datasource",
+    "k41_semdedup", "k42_kmeans",
 ]
 
 

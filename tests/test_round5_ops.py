@@ -536,3 +536,50 @@ def test_j9_matches_builtin_aggregation(spark, sf_dir):
         .collect()
     }
     assert out == ref and len(out) > 0
+
+
+# --- k56 curation scorecard ---------------------------------------------------
+
+
+def test_k56_mask_consistent_with_keep(spark, sf_dir):
+    rows = QUERIES["k56_curation_scorecard"](spark, sf_dir).collect()
+    assert len(rows) == spark.read.parquet(
+        f"{sf_dir}/documents.parquet"
+    ).count()
+    for r in rows:
+        assert 0 <= r["reason_mask"] < 32
+        assert r["keep"] == (r["reason_mask"] == 0)
+
+
+def test_k56_gates_fire_on_planted_docs(spark):
+    """Each gate must actually fire: a 3-token doc (length), a
+    one-word-repeated doc (ttr+repetition+entropy), a stopword-free
+    doc (stopword floor)."""
+    from upc_sku_data_loader_spark.plans.curation import _K56_STOPWORDS
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),                       # too short → bit 1
+            (2, " ".join(["x"] * 50)),          # ttr/rep/entropy/stop
+            (3, " ".join(f"w{i}" for i in range(40))),  # no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    cnt = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("types"),
+        F.max("c").alias("cmax"),
+        F.sum(
+            F.when(F.col("term").isin(*_K56_STOPWORDS), F.col("c")).otherwise(0)
+        ).alias("cstop"),
+    )
+    by = {r["doc_id"]: r for r in agg.collect()}
+    assert by[1]["n"] < 10                        # bit 1 fires
+    assert by[2]["types"] * 10 < 3 * by[2]["n"]   # bit 2 fires
+    assert by[2]["cmax"] * 5 > by[2]["n"]         # bit 8 fires
+    assert by[3]["cstop"] * 20 < by[3]["n"]       # bit 4 fires

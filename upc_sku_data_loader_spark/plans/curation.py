@@ -1062,3 +1062,105 @@ def k50_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(_BM25_TOPK)
     )
+
+
+# --- K56: curation ensemble scorecard (per-doc decision + reason bitmask) -----
+
+_K56_STOPWORDS = ("the", "a", "of", "and", "to")  # fixture-vocab function words
+
+
+@query(
+    "k56_curation_scorecard",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT doc_id, term, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY doc_id, term
+    ),
+    tot AS (SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY doc_id),
+    sig AS (
+      SELECT cnt.doc_id,
+             ANY_VALUE(tot.n) AS n_tokens,
+             COUNT(*) AS n_types,
+             MAX(c) AS c_max,
+             SUM(CASE WHEN term IN {_K56_STOPWORDS!r} THEN c ELSE 0 END)
+               AS c_stop,
+             ROUND(-SUM((c * 1.0 / tot.n) * LN(c * 1.0 / tot.n)), 6)
+               AS entropy
+      FROM cnt JOIN tot USING (doc_id)
+      GROUP BY cnt.doc_id
+    )
+    SELECT doc_id, n_tokens, entropy,
+           (CASE WHEN n_tokens < 10 OR n_tokens > 1000 THEN 1 ELSE 0 END
+            + CASE WHEN n_types * 10 < 3 * n_tokens THEN 2 ELSE 0 END
+            + CASE WHEN c_stop * 20 < n_tokens THEN 4 ELSE 0 END
+            + CASE WHEN c_max * 5 > n_tokens THEN 8 ELSE 0 END
+            + CASE WHEN entropy < 2.0 THEN 16 ELSE 0 END) AS reason_mask,
+           (n_tokens BETWEEN 10 AND 1000)
+             AND n_types * 10 >= 3 * n_tokens
+             AND c_stop * 20 >= n_tokens
+             AND c_max * 5 <= n_tokens
+             AND entropy >= 2.0 AS keep
+    FROM sig
+    """,
+)
+def k56_curation_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DECISION layer of a curation pipeline: five independent
+    quality gates evaluated per document in one pass, emitted as a
+    keep boolean plus a reason bitmask (bit 1 length, 2 type-token
+    ratio, 4 stopword floor, 8 top-token repetition, 16 entropy) — the
+    auditable form production filters ship (you keep the mask so you
+    can re-litigate any single gate without rescanning the corpus).
+
+    All five signals derive from ONE (doc, term) keyed count (map-side
+    partials absorb the explode) + a per-doc agg; thresholds compare in
+    pure integers except entropy, which reuses k52's
+    integer-ratio-then-round-6dp discipline before the >= 2.0 nats cut.
+    At 100 TB: one shuffle keyed by doc_id, nothing else.
+    """
+    from pyspark.sql.window import Window
+
+    cnt = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = Window.partitionBy("doc_id")
+    p = F.col("c") * 1.0 / F.sum("c").over(tot)
+    sig = (
+        cnt.withColumn("ent_term", p * F.log(p))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.max("c").alias("c_max"),
+            F.sum(
+                F.when(F.col("term").isin(*_K56_STOPWORDS), F.col("c"))
+                .otherwise(F.lit(0))
+            ).alias("c_stop"),
+            F.round(-F.sum("ent_term"), 6).alias("entropy"),
+        )
+    )
+    fail_len = (F.col("n_tokens") < 10) | (F.col("n_tokens") > 1000)
+    fail_ttr = F.col("n_types") * 10 < 3 * F.col("n_tokens")
+    fail_stop = F.col("c_stop") * 20 < F.col("n_tokens")
+    fail_rep = F.col("c_max") * 5 > F.col("n_tokens")
+    fail_ent = F.col("entropy") < 2.0
+    mask = (
+        F.when(fail_len, 1).otherwise(0)
+        + F.when(fail_ttr, 2).otherwise(0)
+        + F.when(fail_stop, 4).otherwise(0)
+        + F.when(fail_rep, 8).otherwise(0)
+        + F.when(fail_ent, 16).otherwise(0)
+    )
+    return sig.select(
+        "doc_id",
+        "n_tokens",
+        "entropy",
+        mask.cast("int").alias("reason_mask"),
+        (
+            ~fail_len & ~fail_ttr & ~fail_stop & ~fail_rep & ~fail_ent
+        ).alias("keep"),
+    )
