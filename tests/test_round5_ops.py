@@ -583,3 +583,29 @@ def test_k56_gates_fire_on_planted_docs(spark):
     assert by[2]["types"] * 10 < 3 * by[2]["n"]   # bit 2 fires
     assert by[2]["cmax"] * 5 > by[2]["n"]         # bit 8 fires
     assert by[3]["cstop"] * 20 < by[3]["n"]       # bit 4 fires
+
+
+# --- k58 shard manifest -------------------------------------------------------
+
+
+def test_k58_manifest_covers_corpus_and_checksum_is_order_free(spark, sf_dir):
+    rows = QUERIES["k58_shard_manifest"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert len(rows) == min(8, docs.count())
+    # XOR checksum is order/partitioning independent: recompute from a
+    # differently-partitioned corpus scan
+    whole = (
+        docs.repartition(7)
+        .select(
+            F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h")
+        )
+        .agg(F.expr("bit_xor(h)").alias("x"))
+        .collect()[0]["x"]
+    )
+    fold = 0
+    for r in rows:
+        fold ^= r["content_checksum"]
+    assert fold == whole

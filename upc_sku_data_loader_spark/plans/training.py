@@ -1368,3 +1368,62 @@ def k55_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("logprob"),
     )
+
+
+# --- K58: shard manifest with order-independent content checksums -------------
+
+
+@query(
+    "k58_shard_manifest",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, ntok,
+             CAST((rk - 1) % 8 AS BIGINT) AS shard_id
+      FROM (
+        SELECT doc_id, len(string_split(text, ' ')) AS ntok,
+               ROW_NUMBER() OVER (ORDER BY len(string_split(text, ' ')) DESC,
+                                  doc_id) AS rk
+        FROM documents
+      )
+    )
+    SELECT a.shard_id,
+           COUNT(*) AS n_docs,
+           SUM(a.ntok) AS n_tokens,
+           bit_xor(CAST(CONCAT('0x', substr(md5(d.text), 1, 15))
+                        AS BIGINT)) AS content_checksum
+    FROM assigned a JOIN documents d USING (doc_id)
+    GROUP BY a.shard_id
+    """,
+)
+def k58_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard integrity manifest: per shard (k40's LPT-style
+    assignment), doc/token counts plus an ORDER-INDEPENDENT content
+    checksum — XOR-fold of an md5-derived 60-bit integer per document.
+    This is the artifact a dataloader validates before training and a
+    re-shard compares against after migration; XOR (both engines'
+    `bit_xor` aggregate) commutes and never overflows, so the checksum
+    is stable under any partitioning/arrival order at any corpus size
+    (a SUM-based checksum overflows past ~2^63 mass; XOR does not).
+
+    Shape: reuses the registered k40 plan (distributed rank, no
+    single-task sort), one hash join back to the corpus for the text
+    digest, one #shards-group agg with map-side partial XOR folds.
+    """
+    from ..registry import QUERIES as _Q
+
+    assigned = _Q["k40_shard_assign"](spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    return (
+        assigned.join(d, "doc_id")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("n_tokens"),
+            F.expr("bit_xor(h)").alias("content_checksum"),
+        )
+    )
