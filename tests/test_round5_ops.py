@@ -609,3 +609,33 @@ def test_k58_manifest_covers_corpus_and_checksum_is_order_free(spark, sf_dir):
     for r in rows:
         fold ^= r["content_checksum"]
     assert fold == whole
+
+
+# --- h16 map HOFs -------------------------------------------------------------
+
+
+def test_h16_map_pipeline_matches_row_form(spark, sf_dir):
+    out = {
+        (r["l_orderkey"], r["l_linenumber"]): r["fused"]
+        for r in QUERIES["h16_map_hof"](spark, sf_dir).collect()
+    }
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.sum("l_quantity").alias("qty"),
+            F.floor(
+                F.sum(F.col("l_extendedprice").cast("decimal(30,6)"))
+                .cast("double")
+                / 1000
+            ).alias("kp"),
+        )
+        .withColumn("fused", F.col("qty") * 2 + F.col("kp"))
+        .filter(F.col("fused") >= 30)
+    )
+    ref = {
+        (r["l_orderkey"], r["l_linenumber"]): float(r["fused"])
+        for r in li.collect()
+    }
+    assert out == ref and len(out) > 0

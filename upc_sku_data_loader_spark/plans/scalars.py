@@ -642,3 +642,80 @@ def h15_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("qty_int"),
         )
     )
+
+
+# --- H16: map higher-order functions (build / zip / transform / filter) -------
+
+
+@query(
+    "h16_map_hof",
+    oracle="""
+    WITH per_line AS (
+      SELECT l_orderkey, l_linenumber,
+             SUM(l_quantity) AS qty,
+             FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6)))
+                        AS DOUBLE) / 1000) AS kp
+      FROM lineitem
+      WHERE l_orderkey % 20 = 0
+      GROUP BY l_orderkey, l_linenumber
+    )
+    SELECT l_orderkey, l_linenumber, qty * 2 + kp AS fused
+    FROM per_line
+    WHERE qty * 2 + kp >= 30
+    """,
+)
+def h16_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed higher-order functions end-to-end: per order build two
+    maps keyed by line number (`map_from_entries` over collected
+    structs), fuse them with `map_zip_with` (qty·2 + price/1000 per
+    key), drop small entries with `map_filter`, then explode back to
+    rows.  The map machinery is the Spark surface under test; the
+    oracle recomputes the surviving (key, value) pairs straight from
+    the source columns (h13's proof pattern — map plumbing must be
+    value-neutral).
+
+    Shape: one groupBy(l_orderkey) shuffle to build the maps, map-only
+    HOFs after; at 100 TB identical to any per-key agg.  All values are
+    integer-derived (×2, FLOOR) — no float discipline needed.
+    """
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        # fixture linenumbers repeat within an order — collapse first so
+        # map keys are unique (map_from_entries errors on dup keys)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.sum("l_quantity").alias("qty"),
+            F.floor(
+                F.sum(F.col("l_extendedprice").cast("decimal(30,6)"))
+                .cast("double")
+                / 1000
+            ).alias("kp"),
+        )
+    )
+    maps = li.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("l_linenumber", "qty")))
+        ).alias("qty_map"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("l_linenumber", "kp")))
+        ).alias("price_map"),
+    )
+    fused = maps.select(
+        "l_orderkey",
+        F.map_filter(
+            F.map_zip_with(
+                "qty_map",
+                "price_map",
+                lambda k, q, p: q * 2 + p,
+            ),
+            lambda k, v: v >= 30,
+        ).alias("fused_map"),
+    )
+    return fused.select(
+        "l_orderkey", F.explode("fused_map").alias("l_linenumber", "fused")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("fused").cast("double").alias("fused"),
+    )
