@@ -639,3 +639,20 @@ def test_h16_map_pipeline_matches_row_form(spark, sf_dir):
         for r in li.collect()
     }
     assert out == ref and len(out) > 0
+
+
+# --- k60 dataset card ---------------------------------------------------------
+
+
+def test_k60_card_values_recompute(spark, sf_dir):
+    card = {
+        r["metric"]: r["value"]
+        for r in QUERIES["k60_dataset_card"](spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert card["n_docs"] == docs.count()
+    assert card["n_langs"] == docs.select("lang").distinct().count()
+    assert card["n_sources"] == docs.select("source").distinct().count()
+    assert 0 <= card["exact_dup_rate_micro"] <= 1_000_000
+    assert card["p50_tokens"] <= card["p90_tokens"]
+    assert card["n_tokens"] >= card["n_docs"]  # every doc has >= 1 token

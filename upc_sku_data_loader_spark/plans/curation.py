@@ -1164,3 +1164,90 @@ def k56_curation_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ~fail_len & ~fail_ttr & ~fail_stop & ~fail_rep & ~fail_ent
         ).alias("keep"),
     )
+
+
+# --- K60: dataset card (one-stop corpus statistics report) --------------------
+
+
+@query(
+    "k60_dataset_card",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, source,
+             len(string_split(text, ' ')) AS ntok,
+             md5(text) AS h
+      FROM documents
+    ),
+    base AS (
+      SELECT COUNT(*) AS n_docs,
+             SUM(ntok) AS n_tokens,
+             COUNT(DISTINCT lang) AS n_langs,
+             COUNT(DISTINCT source) AS n_sources,
+             COUNT(DISTINCT h) AS n_unique,
+             quantile_cont(ntok, 0.5) AS p50,
+             quantile_cont(ntok, 0.9) AS p90
+      FROM d
+    )
+    SELECT metric, value FROM (
+      SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM base
+      UNION ALL
+      SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM base
+      UNION ALL
+      SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM base
+      UNION ALL
+      SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM base
+      UNION ALL
+      SELECT 'exact_dup_rate_micro',
+             CAST(CAST(((n_docs - n_unique) * 2000000 + n_docs)
+                       // (2 * n_docs) AS BIGINT) AS DOUBLE) FROM base
+      UNION ALL
+      SELECT 'p50_tokens', ROUND(p50, 2) FROM base
+      UNION ALL
+      SELECT 'p90_tokens', ROUND(p90, 2) FROM base
+    )
+    """,
+)
+def k60_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: the summary block of a data release (docs, tokens,
+    language/source breadth, exact-dup rate, length percentiles) in one
+    long-format report — the artifact every corpus release ships
+    (Datasheets for Datasets, arXiv:1803.09010) and the first thing a
+    consumer checks before training.
+
+    Shape: ONE map-only per-doc derivation (token count, content md5)
+    feeding ONE global aggregate (count-distincts + two exact
+    percentiles); the report itself is 7 rows.  Dup rate is integer
+    micro-units; percentiles round 2 dp (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, the t3 equivalence).  At 100 TB the count-distinct
+    terms would switch to approx_count_distinct/HLL (d4/d19) — exact
+    here because the oracle must match bit-for-bit.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.size(F.split("text", " ")).alias("ntok"),
+        F.md5("text").alias("h"),
+    )
+    base = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("h").alias("n_unique"),
+        F.expr("percentile(ntok, 0.5)").alias("p50"),
+        F.expr("percentile(ntok, 0.9)").alias("p90"),
+    )
+    return base.select(
+        F.expr(
+            "stack(7,"
+            " 'n_docs', CAST(n_docs AS DOUBLE),"
+            " 'n_tokens', CAST(n_tokens AS DOUBLE),"
+            " 'n_langs', CAST(n_langs AS DOUBLE),"
+            " 'n_sources', CAST(n_sources AS DOUBLE),"
+            " 'exact_dup_rate_micro', CAST(CAST(((n_docs - n_unique)"
+            "   * CAST(2000000 AS BIGINT) + n_docs) div (2 * n_docs)"
+            "   AS BIGINT) AS DOUBLE),"
+            " 'p50_tokens', ROUND(p50, 2),"
+            " 'p90_tokens', ROUND(p90, 2))"
+        ).alias("metric", "value")
+    )
