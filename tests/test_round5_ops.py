@@ -656,3 +656,33 @@ def test_k60_card_values_recompute(spark, sf_dir):
     assert 0 <= card["exact_dup_rate_micro"] <= 1_000_000
     assert card["p50_tokens"] <= card["p90_tokens"]
     assert card["n_tokens"] >= card["n_docs"]  # every doc has >= 1 token
+
+
+# --- h17 / h18 function libraries ---------------------------------------------
+
+
+def test_h17_calendar_invariants(spark, sf_dir):
+    out = QUERIES["h17_datetime_extended"](spark, sf_dir)
+    bad = out.filter(
+        (F.col("q") < 1) | (F.col("q") > 4)
+        | (F.col("iso_week") < 1) | (F.col("iso_week") > 53)
+        | (F.col("doy") < 1) | (F.col("doy") > 366)
+        | (F.dayofmonth("month_end") < 28)
+        | (F.month("mid_year") != 7)
+        | (F.dayofmonth("q_start") != 1)
+    ).count()
+    assert bad == 0
+
+
+def test_h18_position_zero_when_absent(spark, sf_dir):
+    out = QUERIES["h18_array_lib"](spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    joined = out.join(docs, "doc_id").select("pos_the", "text").collect()
+    for r in joined:
+        toks = r["text"].split(" ")
+        if "the" in toks:
+            assert r["pos_the"] == toks.index("the") + 1
+        else:
+            assert r["pos_the"] == 0

@@ -719,3 +719,113 @@ def h16_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.col("fused").cast("double").alias("fused"),
     )
+
+
+# --- H17: extended datetime library -------------------------------------------
+
+
+@query(
+    "h17_datetime_extended",
+    oracle="""
+    SELECT o_orderkey,
+           quarter(o_orderdate) AS q,
+           week(o_orderdate) AS iso_week,
+           dayofyear(o_orderdate) AS doy,
+           last_day(o_orderdate) AS month_end,
+           CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus_2m,
+           make_date(CAST(year(o_orderdate) AS INT), 7, 1) AS mid_year,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start
+    FROM orders
+    WHERE o_orderkey % 25 = 0
+    """,
+)
+def h17_datetime_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended calendar library beyond h4: quarter, ISO week,
+    day-of-year, month-end, month-clamped add_months (Jan 31 + 1mo =
+    Feb 29, verified identical to DuckDB interval addition), make_date
+    construction, quarter truncation — the feature-engineering calendar
+    surface of time-series/cohort pipelines.  Map-only.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 25 == 0)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.quarter(d).alias("q"),
+        F.weekofyear(d).alias("iso_week"),
+        F.dayofyear(d).alias("doy"),
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 2).alias("plus_2m"),
+        F.make_date(F.year(d), F.lit(7), F.lit(1)).alias("mid_year"),
+        F.date_trunc("quarter", d).cast("date").alias("q_start"),
+    )
+
+
+# --- H18: array library (position / remove / zip / set ops / compact) ---------
+
+
+@query(
+    "h18_array_lib",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id,
+           COALESCE(list_position(toks, 'the'), 0) AS pos_the,
+           len(list_filter(toks, x -> x <> 'the')) AS n_without_the,
+           array_to_string(
+             list_sort(list_distinct(list_cat(toks[1:3], ['zz', 'aa']))),
+             ',') AS union3,
+           COALESCE(array_to_string(
+             list_sort(list_distinct(list_intersect(toks, ['data', 'table', 'row']))),
+             ','), '') AS kept,
+           len(list_filter(toks, x -> x IN ('data', 'table', 'row')))
+             AS n_kw_instances,
+           array_to_string(
+             list_transform(range(1, CAST(least(3, len(toks)) AS BIGINT) + 1),
+                            i -> toks[i] || ':' || CAST(i AS VARCHAR)),
+             ',') AS indexed3
+    FROM t
+    """,
+)
+def h18_array_lib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array library beyond h7's HOFs: array_position (1-based, 0 when
+    absent — DuckDB's list_position matches exactly, measured),
+    array_remove, order-insensitive array_union/array_intersect
+    (serialized SORTED so the two engines' preservation orders can't
+    diverge), keyword-instance counts, and an arrays_zip-with-index
+    construction (posexplode-free enumerate).  Map-only; arrays are
+    serialized to strings in the output (driver canonicalizer rule).
+    """
+    t = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+    )
+    kw = F.array(F.lit("data"), F.lit("table"), F.lit("row"))
+    idx3 = F.transform(
+        F.sequence(F.lit(1), F.least(F.lit(3), F.size("toks"))),
+        lambda i: F.concat(
+            F.element_at("toks", i), F.lit(":"), i.cast("string")
+        ),
+    )
+    return t.select(
+        "doc_id",
+        F.array_position("toks", "the").cast("bigint").alias("pos_the"),
+        F.size(F.array_remove("toks", "the")).alias("n_without_the"),
+        F.array_join(
+            F.array_sort(
+                F.array_union(
+                    F.slice("toks", 1, 3), F.array(F.lit("zz"), F.lit("aa"))
+                )
+            ),
+            ",",
+        ).alias("union3"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.array_intersect("toks", kw))), ","
+        ).alias("kept"),
+        F.size(F.filter("toks", lambda x: F.array_contains(kw, x))).alias(
+            "n_kw_instances"
+        ),
+        F.array_join(idx3, ",").alias("indexed3"),
+    )
