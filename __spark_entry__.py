@@ -67,9 +67,7 @@ _PRIORITY = [
     "etl8_snapshot_diff", "k54_containment_pairs", "s6_sql_pipe_syntax",
     "h15_try_functions", "a19_csv_malformed", "k55_bigram_logprob",
     "a20_compressed_json", "j9_apply_in_arrow", "k56_curation_scorecard",
-    "k58_shard_manifest",
-    # hedge: riskiest round-4-window entry (if r4 verify never ran)
-    "k41_semdedup",
+    "k58_shard_manifest", "k61_pretrain_pipeline",
 ]
 
 

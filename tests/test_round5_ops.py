@@ -686,3 +686,48 @@ def test_h18_position_zero_when_absent(spark, sf_dir):
             assert r["pos_the"] == toks.index("the") + 1
         else:
             assert r["pos_the"] == 0
+
+
+# --- k15d overlapping segments ------------------------------------------------
+
+
+def test_k15d_segments_overlap_by_construction(spark, sf_dir):
+    out = QUERIES["k15d_multimodal_segments"](spark, sf_dir)
+    rows = out.collect()
+    assert all(r["byte_offset"] == r["seg_index"] * 120 for r in rows)
+    assert all(0 < r["seg_len"] <= 200 for r in rows)
+    # hop(120) < window(200) ⇒ any doc with >= 2 segments has overlap:
+    # segment i spans [120i, 120i+200) ⊇ start of segment i+1 at 120(i+1)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    multi = [v for v in by_doc.values() if len(v) > 1]
+    assert multi, "fixture must produce multi-segment docs"
+    for segs in multi:
+        segs.sort(key=lambda r: r["seg_index"])
+        for a, b in zip(segs, segs[1:]):
+            if a["seg_len"] == 200:  # full window ⇒ true overlap
+                assert a["byte_offset"] + a["seg_len"] > b["byte_offset"]
+
+
+# --- k61 end-to-end pipeline --------------------------------------------------
+
+
+def test_k61_pipeline_composes_its_stages(spark, sf_dir):
+    out = {r["split"]: r for r in QUERIES["k61_pretrain_pipeline"](spark, sf_dir).collect()}
+    assert set(out) <= {"train", "val", "test"}
+    kept = (
+        QUERIES["k56_curation_scorecard"](spark, sf_dir)
+        .filter(F.col("keep"))
+        .count()
+    )
+    total_docs = sum(r["n_docs"] for r in out.values())
+    # dedup can only shrink the gated set
+    assert 0 < total_docs <= kept
+    # md5 split is deterministic: re-run gives identical manifests
+    again = {r["split"]: r for r in QUERIES["k61_pretrain_pipeline"](spark, sf_dir).collect()}
+    for k in out:
+        assert tuple(out[k]) == tuple(again[k])
+    # 80/10/10 target: train strictly dominates
+    if "train" in out and "val" in out:
+        assert out["train"]["n_docs"] > out["val"]["n_docs"]

@@ -117,3 +117,61 @@ def sample_frames(
             )
 
     return media.select("doc_id", "payload").mapInPandas(compute, FRAME_SCHEMA)
+
+
+SEGMENT_SCHEMA = (
+    "doc_id bigint, seg_index int, byte_offset bigint, "
+    "seg_len int, seg_sha256 string"
+)
+
+
+def windowed_segments(
+    media: DataFrame,
+    window_bytes: int = 200,
+    hop_bytes: int = 120,
+    max_segments: int = 10,
+) -> DataFrame:
+    """OVERLAPPING windowed segmentation over opaque media payloads —
+    the audio STFT-framing pattern (hop < window ⇒ consecutive segments
+    share window-hop bytes), vs sample_frames' disjoint chunks.  A real
+    pipeline would hand each window to a codec/feature model; the
+    deterministic digest stands in so the one-to-many Arrow plumbing
+    stays real and oracle-checkable.  Explosion happens in the worker:
+    B payloads → ≤ B·max_segments rows, no join."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out: list[tuple[int, int, int, int, str]] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_seg = min(
+                    max_segments, max(1, -(-len(data) // hop_bytes))
+                )
+                for i in range(n_seg):
+                    off = i * hop_bytes
+                    chunk = data[off : off + window_bytes]
+                    out.append(
+                        (
+                            doc_id,
+                            i,
+                            off,
+                            len(chunk),
+                            hashlib.sha256(chunk).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "seg_index",
+                    "byte_offset",
+                    "seg_len",
+                    "seg_sha256",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        compute, SEGMENT_SCHEMA
+    )

@@ -1251,3 +1251,122 @@ def k60_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'p90_tokens', ROUND(p90, 2))"
         ).alias("metric", "value")
     )
+
+
+# --- K61: end-to-end pretrain curation pipeline (gate → dedup → split) --------
+
+
+@query(
+    "k61_pretrain_pipeline",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT doc_id, term, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY doc_id, term
+    ),
+    tot AS (SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY doc_id),
+    sig AS (
+      SELECT cnt.doc_id,
+             ANY_VALUE(tot.n) AS n_tokens,
+             COUNT(*) AS n_types,
+             MAX(c) AS c_max,
+             SUM(CASE WHEN term IN {_K56_STOPWORDS!r} THEN c ELSE 0 END)
+               AS c_stop,
+             ROUND(-SUM((c * 1.0 / tot.n) * LN(c * 1.0 / tot.n)), 6)
+               AS entropy
+      FROM cnt JOIN tot USING (doc_id)
+      GROUP BY cnt.doc_id
+    ),
+    keep AS (
+      SELECT doc_id, n_tokens FROM sig
+      WHERE n_tokens BETWEEN 10 AND 1000
+        AND n_types * 10 >= 3 * n_tokens
+        AND c_stop * 20 >= n_tokens
+        AND c_max * 5 <= n_tokens
+        AND entropy >= 2.0
+    ),
+    dd AS (
+      SELECT k.doc_id, k.n_tokens, md5(d.text) AS h,
+             ROW_NUMBER() OVER (PARTITION BY md5(d.text)
+                                ORDER BY k.doc_id) AS rn
+      FROM keep k JOIN documents d USING (doc_id)
+    ),
+    surv AS (
+      SELECT doc_id, n_tokens, h,
+             CASE WHEN CAST(CONCAT('0x',
+                    substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) % 100 < 80 THEN 'train'
+                  WHEN CAST(CONCAT('0x',
+                    substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM dd WHERE rn = 1
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS n_tokens,
+           bit_xor(CAST(CONCAT('0x', substr(h, 1, 15)) AS BIGINT))
+             AS content_checksum
+    FROM surv
+    GROUP BY split
+    """,
+)
+def k61_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END pretrain curation in one declarative plan: k56's five
+    quality gates → exact content dedup (first doc_id per digest wins)
+    → k21-style md5 train/val/test split (80/10/10) → per-split
+    manifest with k58's XOR content checksum.  This is the whole
+    raw-corpus→training-set path a reference user runs, value-hashed
+    as ONE query — every stage engine-reproducible (no RNG, no floats
+    except the gated entropy).
+
+    Shape: reuses the registered k56 plan (one doc-keyed shuffle), one
+    join to the corpus for digests, one dedup window keyed by digest,
+    map-only split assign, #splits-group agg.  Catalyst pipelines the
+    whole thing; at 100 TB the same plan holds with HLL swaps only in
+    the reporting layer.
+    """
+    from pyspark.sql.window import Window
+
+    from ..registry import QUERIES as _Q
+
+    keep = (
+        _Q["k56_curation_scorecard"](spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id", "n_tokens")
+    )
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    dd = (
+        keep.join(d, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("h").orderBy("doc_id")),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    surv = dd.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+    )
+    return surv.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.expr(
+            "bit_xor(cast(conv(substring(h, 1, 15), 16, 10) as bigint))"
+        ).alias("content_checksum"),
+    )

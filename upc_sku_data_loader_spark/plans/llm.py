@@ -18,6 +18,7 @@ from ..functions import vectors as V
 from ..functions.multimodal import (
     extract_features,
     sample_frames,
+    windowed_segments,
     with_binary_payload,
 )
 from ..operators.dedup import (
@@ -1589,4 +1590,43 @@ def k54_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " div (2 * n_contained)"
             ).alias("containment_micro"),
         )
+    )
+
+
+# --- K15d: multimodal audio-style overlapping segmentation --------------------
+
+
+@query(
+    "k15d_multimodal_segments",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, text, n_chars,
+             unnest(generate_series(
+               0,
+               CAST(least(10, greatest(1, ceil(n_chars / 120.0))) AS INT) - 1
+             )) AS seg_index
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(seg_index AS INT) AS seg_index,
+           CAST(seg_index * 120 AS BIGINT) AS byte_offset,
+           CAST(least(200, n_chars - seg_index * 120) AS INT) AS seg_len,
+           sha256(substring(text, CAST(seg_index * 120 + 1 AS INT), 200))
+             AS seg_sha256
+    FROM s
+    """,
+)
+def k15d_multimodal_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style OVERLAPPING segmentation (window 200 B, hop 120 B —
+    consecutive segments share 80 bytes, the STFT framing every audio
+    featurizer needs), completing the multimodal family: k15 decode
+    features, k15b disjoint frames, k15c resize, k15d overlap windows.
+    Per-batch Arrow fan-out in the worker (≤10 rows per payload, no
+    join); digests stand in for the codec (functions/multimodal.py:35
+    documents the container limitation), so the Spark-side plumbing —
+    schema, batching, one-to-many shape — is real and value-hashed.
+    """
+    d = load(spark, sf_dir, "documents")
+    return windowed_segments(
+        with_binary_payload(d), window_bytes=200, hop_bytes=120, max_segments=10
     )
