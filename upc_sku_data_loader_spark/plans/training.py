@@ -1218,7 +1218,7 @@ _RP_DIMS = 16  # target dimensionality
 )
 def k53_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss sign random projection (Achlioptas 2003):
-    project each embedding to {_RP_DIMS} dimensions with a dense ±1
+    project each embedding to 16 dimensions with a dense ±1
     matrix derived from md5 — fully deterministic, no engine RNG, and
     the same matrix on any engine/cluster, so projections computed in
     different jobs are comparable (the property SimHash/LSH pipelines
