@@ -1,0 +1,205 @@
+"""Data-selection tier invariants (k62/k63/k67, t10, etl9, a21) — each
+is also value-hash-checked in tools/parity.py; these tests pin the
+engine-independent properties the hash alone can't express (cluster
+argmax policy, reconstruction round-trips, alarm algebra, backfill
+audit-flag semantics, bloom filters may-only-skip)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from upc_sku_data_loader_spark import plans  # noqa: F401
+from upc_sku_data_loader_spark.registry import QUERIES
+
+
+# --- k62 cluster representative ----------------------------------------------
+
+
+def test_k62_one_rep_per_cluster_with_max_ttr(spark, sf_dir):
+    rows = QUERIES["k62_cluster_best_keeper"](spark, sf_dir).collect()
+    assert rows, "fixture corpus has near-dup clusters at t=0.5"
+    clusters = defaultdict(list)
+    for r in rows:
+        clusters[r["cluster_id"]].append(r)
+    for cid, members in clusters.items():
+        reps = [m for m in members if m["is_rep"]]
+        assert len(reps) == 1
+        rep = reps[0]
+        best = max(members, key=lambda m: (m["ttr_micro"], -m["doc_id"]))
+        assert rep["doc_id"] == best["doc_id"]
+        assert all(m["rep_doc_id"] == rep["doc_id"] for m in members)
+        # cluster label is the component's min doc id (CC invariant)
+        assert cid == min(m["doc_id"] for m in members)
+
+
+def test_k62_members_match_k20_components(spark, sf_dir):
+    """Same pair graph ⇒ same membership as the min-id resolver."""
+    k20 = {
+        (r["doc_id"], r["cluster_keeper"])
+        for r in QUERIES["k20_dedup_clusters"](spark, sf_dir).collect()
+    }
+    k62 = {
+        (r["doc_id"], r["cluster_id"])
+        for r in QUERIES["k62_cluster_best_keeper"](spark, sf_dir).collect()
+    }
+    assert k20 == k62
+
+
+# --- k63 DSIR importance ------------------------------------------------------
+
+
+def test_k63_topk_ordering_and_pool(spark, sf_dir):
+    rows = QUERIES["k63_dsir_importance"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 100
+    assert [r["rk"] for r in rows] != []
+    assert sorted(r["rk"] for r in rows) == list(range(1, len(rows) + 1))
+    assert all(r["lang"] != "en" for r in rows), "target docs are not selected"
+    w = [(-r["logw"], r["doc_id"]) for r in sorted(rows, key=lambda r: r["rk"])]
+    assert w == sorted(w), "rank order is (logw DESC, doc_id ASC)"
+
+
+def test_k63_weight_recompute_for_top_doc(spark, sf_dir):
+    """Recompute the winner's Σ c_b·logratio_b from raw corpus counts."""
+    import math
+
+    out = QUERIES["k63_dsir_importance"](spark, sf_dir)
+    top = out.filter(F.col("rk") == 1).collect()[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+
+    def bucket(tok: str) -> int:
+        import hashlib
+
+        return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % 128
+
+    tgt, raw = defaultdict(int), defaultdict(int)
+    nt = nr = 0
+    for d in docs:
+        for t in d["text"].split(" "):
+            b = bucket(t)
+            raw[b] += 1
+            nr += 1
+            if d["lang"] == "en":
+                tgt[b] += 1
+                nt += 1
+    doc = next(d for d in docs if d["doc_id"] == top["doc_id"])
+    logw = 0.0
+    for t in doc["text"].split(" "):
+        b = bucket(t)
+        lr = math.log(
+            (tgt[b] + 1) * (nr + 128) / ((raw[b] + 1) * (nt + 128))
+        )
+        logw += round(lr, 6)
+    assert abs(logw - top["logw"]) < 1e-3
+
+
+# --- k67 span corruption ------------------------------------------------------
+
+
+def test_k67_reconstruction_roundtrip(spark, sf_dir):
+    out = QUERIES["k67_span_corruption"](spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    joined = out.join(docs, "doc_id").collect()
+    assert joined
+    for r in joined:
+        toks = r["input_text"].split(" ")
+        assert toks.count("<X>") == 1
+        assert len(toks) == r["n_tokens"] - 2  # 3 masked, 1 sentinel added
+        span = r["target_text"].split(" ")
+        assert span[0] == "<X>" and len(span) == 4
+        i = toks.index("<X>")
+        assert i == r["span_start"] - 1
+        rebuilt = toks[:i] + span[1:] + toks[i + 1 :]
+        assert " ".join(rebuilt) == r["text"]
+
+
+def test_k67_short_docs_skipped(spark, sf_dir):
+    out = QUERIES["k67_span_corruption"](spark, sf_dir)
+    assert out.filter(F.col("n_tokens") < 8).count() == 0
+
+
+# --- t10 CUSUM ---------------------------------------------------------------
+
+
+def test_t10_alarm_algebra_matches_bruteforce(spark, sf_dir):
+    alarms = QUERIES["t10_cusum_changepoint"](spark, sf_dir).collect()
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "event_id", "ts", "value")
+        .collect()
+    )
+    by_type = defaultdict(list)
+    for e in events:
+        by_type[e["event_type"]].append(e)
+    expected = set()
+    for et, rows in by_type.items():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        xm = [round(r["value"] * 1_000_000) for r in rows]
+        n, tot = len(xm), sum(xm)
+        dev = [n * x - tot for x in xm]
+        mad_n = sum(abs(d) for d in dev) // n
+        slack, thr = mad_n // 2, 8 * mad_n
+        run_min, r = 0, 0
+        for row, d in zip(rows, dev):
+            r += d - slack
+            run_min = min(run_min, r)
+            if r - run_min > thr:
+                expected.add((et, row["event_id"]))
+    got = {(a["event_type"], a["event_id"]) for a in alarms}
+    assert got == expected
+
+
+# --- etl9 late-dim backfill ---------------------------------------------------
+
+
+def test_etl9_audit_flags_consistent(spark, sf_dir):
+    out = QUERIES["etl9_late_dim_backfill"](spark, sf_dir)
+    rows = out.collect()
+    orders_keys = {
+        r["o_custkey"]
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey")
+        .collect()
+    }
+    cust = {
+        r["c_custkey"]: r
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    }
+    assert {r["custkey"] for r in rows} == orders_keys
+    assert len(rows) == len(orders_keys), "one final dim row per fact key"
+    for r in rows:
+        k = r["custkey"]
+        if not r["was_inferred"]:
+            assert not r["backfilled"]
+            assert r["c_name"] == cust[k]["c_name"]
+        elif r["backfilled"]:
+            assert k % 7 == 0 and k in cust
+            assert r["c_name"] == cust[k]["c_name"]
+        else:
+            assert k not in cust
+            assert r["c_name"] == "UNKNOWN" and r["c_nationkey"] == -1
+
+
+# --- a21 bloom-filtered parquet ----------------------------------------------
+
+
+def test_a21_roundtrip_equals_direct_filter(spark, sf_dir):
+    from upc_sku_data_loader_spark.plans.sources_sinks import _A21_KEYS
+
+    out = {
+        (r["l_partkey"], r["n_lines"], float(r["sum_qty"]))
+        for r in QUERIES["a21_parquet_bloom_write"](spark, sf_dir).collect()
+    }
+    direct = {
+        (r["l_partkey"], r["n_lines"], float(r["sum_qty"]))
+        for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_partkey").isin(*_A21_KEYS))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+        .collect()
+    }
+    assert out == direct

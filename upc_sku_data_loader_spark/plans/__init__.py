@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     joins,
     llm,
     scalars,
+    selection,
     sorts_setops,
     sources_sinks,
     sql_api,
@@ -27,6 +28,7 @@ __all__ = [
     "joins",
     "llm",
     "scalars",
+    "selection",
     "sorts_setops",
     "sources_sinks",
     "sql_api",

@@ -1,0 +1,373 @@
+"""Data-selection tier: quality-aware cluster representatives, DSIR
+importance resampling, and span-corruption example building.
+
+These close the gap between *detecting* redundancy/quality (k2/k18/k56)
+and *deciding what the training set actually contains* — the selection
+policies production pretraining pipelines run after the detectors
+(reference file:line n/a — the reference tree is empty, SURVEY §0.1;
+the contract is SURVEY §2.K):
+
+- k62 best-of-cluster representative: near-dup clusters keep the
+  HIGHEST-QUALITY member, not the lowest id.  Every dedup paper's
+  "keep one per cluster" step has a policy knob; min-id is an
+  arbitrary tiebreak, while production filters keep the copy with the
+  best quality signal (here: type-token ratio in integer micro-units).
+- k63 DSIR importance weights (Xie et al. 2023, "Data Selection for
+  Language Models via Importance Resampling", arXiv:2302.03169):
+  hashed unigram features, target-vs-raw bucket distributions with
+  add-one smoothing, per-doc log importance weight
+  Σ_b c_b · ln(p_target[b]/p_raw[b]), top-k selection.  The public
+  recipe for "make the crawl look like the target domain".
+- k67 T5-style span corruption (Raffel et al. 2020, arXiv:1910.10683
+  §3.1.4): deterministic sentinel-masked (input, target) pair per
+  document — the seq2seq denoising objective's data layout, built
+  engine-reproducibly (md5-derived span start, no RNG).
+
+Scale notes: every step is either map-only or a single keyed shuffle;
+cluster resolution reuses the pointer-doubling connected-components
+kernel (operators/dedup.py); DSIR's bucket tables are fixed-width (128
+rows) and broadcast — at 100 TB the only data-scale shuffles are the
+per-(doc, bucket) count and the final top-k (TakeOrderedAndProject).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..operators.dedup import (
+    dedup_clusters,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    verify_jaccard,
+)
+from ..registry import query
+from .llm import K2_ORACLE
+
+# Integer type-token ratio: micro-units via integer division, so both
+# engines agree bit-for-bit (Spark `div` and DuckDB `//` both truncate).
+_TTR_MICRO_SQL = (
+    "(1000000 * len(list_distinct(string_split(text, ' '))))"
+    " // len(string_split(text, ' '))"
+)
+
+
+# --- K62: quality-aware cluster representative selection ----------------------
+
+
+@query(
+    "k62_cluster_best_keeper",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      {K2_ORACLE}
+    ),
+    edges AS (
+      SELECT a AS u, b AS v FROM pairs
+      UNION ALL
+      SELECT b, a FROM pairs
+    ),
+    reach AS (
+      SELECT u AS id, v AS r FROM edges
+      UNION
+      SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+    ),
+    clus AS (
+      SELECT id AS doc_id, LEAST(id, MIN(r)) AS cluster_id
+      FROM reach
+      GROUP BY id
+    ),
+    q AS (
+      SELECT doc_id, {_TTR_MICRO_SQL} AS ttr_micro FROM documents
+    ),
+    m AS (
+      SELECT c.doc_id, c.cluster_id, q.ttr_micro
+      FROM clus c JOIN q USING (doc_id)
+    )
+    SELECT doc_id, cluster_id, ttr_micro,
+           FIRST_VALUE(doc_id) OVER (
+             PARTITION BY cluster_id
+             ORDER BY ttr_micro DESC, doc_id
+           ) AS rep_doc_id,
+           doc_id = FIRST_VALUE(doc_id) OVER (
+             PARTITION BY cluster_id
+             ORDER BY ttr_micro DESC, doc_id
+           ) AS is_rep
+    FROM m
+    """,
+)
+def k62_cluster_best_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution with a QUALITY keeper policy: each
+    connected component of the verified near-dup graph (k2's
+    MinHash-LSH pipeline, t=0.5) elects the member with the highest
+    type-token ratio (ties → lowest doc_id) as its representative.
+
+    This is k20 with the policy knob production pipelines actually use:
+    "keep one per cluster" should keep the *best* copy (least
+    boilerplate-damaged, least truncated), not an arbitrary min-id.
+
+    Plan: LSH banding (keyed shuffles on band signatures) → exact
+    verify → pointer-doubling CC (O(log diameter) keyed rounds,
+    operators/dedup.py:153) → one window per cluster for the argmax.
+    Quality is integer micro-units (`div`), so the argmax order is
+    engine-exact with no float tie hazards.  Clusters are near-dup-
+    sized (small by construction), so the per-cluster window never
+    sees a skewed partition at any corpus size.
+    """
+    d = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, n_hashes=32, shingle_k=3)
+    cands = lsh_candidate_pairs(
+        sigs, n_bands=8, rows_per_band=4, max_bucket_size=None
+    )
+    pairs = verify_jaccard(cands, d, shingle_k=3, threshold=0.5)
+    clusters = dedup_clusters(pairs).withColumnRenamed(
+        "cluster_keeper", "cluster_id"
+    )
+    quality = d.select(
+        "doc_id",
+        F.expr(
+            "(1000000 * size(array_distinct(split(text, ' '))))"
+            " div size(split(text, ' '))"
+        ).alias("ttr_micro"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("ttr_micro"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("rep_doc_id", F.first("doc_id").over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "ttr_micro",
+            "rep_doc_id",
+            (F.col("doc_id") == F.col("rep_doc_id")).alias("is_rep"),
+        )
+    )
+
+
+# --- K63: DSIR hashed-ngram importance weights --------------------------------
+
+_DSIR_BUCKETS = 128
+_DSIR_TOPK = 100
+
+
+@query(
+    "k63_dsir_importance",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(tok), 1, 4)) AS INT) % {_DSIR_BUCKETS}
+               AS b
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+    ),
+    db AS (
+      SELECT doc_id, lang, b, COUNT(*) AS c
+      FROM feat GROUP BY doc_id, lang, b
+    ),
+    tgt AS (
+      SELECT b, COUNT(*) AS ct FROM feat WHERE lang = 'en' GROUP BY b
+    ),
+    raw AS (SELECT b, COUNT(*) AS cr FROM feat GROUP BY b),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM feat WHERE lang = 'en') AS nt,
+             (SELECT COUNT(*) FROM feat) AS nr
+    ),
+    lr AS (
+      SELECT raw.b,
+             ROUND(LN(CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE)
+                      * (tot.nr + {_DSIR_BUCKETS})
+                      / ((raw.cr + 1)
+                         * (tot.nt + {_DSIR_BUCKETS}))), 6) AS logratio
+      FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot
+    ),
+    sc AS (
+      SELECT db.doc_id, db.lang,
+             SUM(db.c) AS n_tokens,
+             ROUND(CAST(SUM(CAST(db.c AS DECIMAL(12,0))
+                            * CAST(lr.logratio AS DECIMAL(20,6)))
+                        AS DOUBLE), 4) AS logw
+      FROM db JOIN lr USING (b)
+      WHERE db.lang <> 'en'
+      GROUP BY db.doc_id, db.lang
+    )
+    SELECT doc_id, lang, n_tokens, logw, rk
+    FROM (
+      SELECT sc.*,
+             ROW_NUMBER() OVER (ORDER BY logw DESC, doc_id) AS rk
+      FROM sc
+    )
+    WHERE rk <= {_DSIR_TOPK}
+    """,
+)
+def k63_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling weights (Xie et al. 2023,
+    arXiv:2302.03169): score every non-target document by how much its
+    hashed-unigram feature distribution looks like the TARGET domain
+    (here lang='en') relative to the RAW pool, and keep the top 100.
+
+    log w(doc) = Σ_b c_doc[b] · ln(p_target[b] / p_raw[b]) with
+    add-one smoothing over 128 hash buckets; md5-derived bucketing so
+    both engines hash tokens identically.
+
+    Plan: tokenize + bucket map-only → ONE data-scale keyed shuffle
+    (per-(doc, bucket) counts with map-side partials) → bucket tables
+    are fixed 128 rows (broadcast joined back, never a shuffle) → one
+    per-doc agg → TakeOrderedAndProject top-k.  Float discipline:
+    ln-ratio rounded 6 dp per bucket (integer-rational argument, same
+    on both engines), exact decimal dot-product, final round 4 dp —
+    the k55 recipe.  At 100 TB nothing here scales past the corpus's
+    (doc, bucket) relation, which is ≤128× doc count.
+    """
+    d = load(spark, sf_dir, "documents")
+    feat = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("tok").cast("binary")), 1, 4), 16, 10
+            ).cast("int")
+            % _DSIR_BUCKETS
+        ).alias("b"),
+    )
+    db = feat.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("c"))
+    tgt = (
+        feat.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw = feat.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tot = feat.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
+        F.count(F.lit(1)).alias("nr"),
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    * (F.col("nr") + _DSIR_BUCKETS)
+                    / (
+                        (F.col("cr") + 1)
+                        * (F.col("nt") + _DSIR_BUCKETS)
+                    )
+                ),
+                6,
+            ).alias("logratio"),
+        )
+    )
+    sc = (
+        db.filter(F.col("lang") != "en")
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.col("c").cast("decimal(12,0)")
+                    * F.col("logratio").cast("decimal(20,6)")
+                ).cast("double"),
+                4,
+            ).alias("logw"),
+        )
+    )
+    # TakeOrderedAndProject first (distributed top-k), THEN rank the 100
+    # survivors — a global row_number window would sort all docs in ONE
+    # partition, which dies at corpus scale.
+    top = sc.orderBy(F.desc("logw"), F.asc("doc_id")).limit(_DSIR_TOPK)
+    w = Window.orderBy(F.desc("logw"), F.asc("doc_id"))
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id", "lang", "n_tokens", "logw", "rk"
+    )
+
+
+# --- K67: T5-style span corruption ---------------------------------------------
+
+_SPAN_LEN = 3
+
+
+@query(
+    "k67_span_corruption",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, t, n,
+             1 + (CAST(('0x' || substr(md5('span:' || CAST(doc_id AS VARCHAR)),
+                                       1, 4)) AS INT)
+                  % (n - {_SPAN_LEN})) AS s
+      FROM d
+      WHERE n >= 8
+    )
+    SELECT doc_id, n AS n_tokens, s AS span_start,
+           array_to_string(
+             list_concat(list_concat(t[1:s - 1], ['<X>']), t[s + {_SPAN_LEN}:n]),
+             ' ') AS input_text,
+           '<X> ' || array_to_string(t[s:s + {_SPAN_LEN} - 1], ' ')
+             AS target_text
+    FROM e
+    """,
+)
+def k67_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption example builder (Raffel et al. 2020,
+    arXiv:1910.10683 §3.1.4): mask one 3-token span per document with a
+    sentinel, emitting the (input_text, target_text) pair the seq2seq
+    denoising objective trains on.
+
+    The span start is md5-derived from doc_id (uniform over valid
+    offsets, identical on both engines) — the RNG-free discipline every
+    sampling operator in this repo uses (k21/k28/k53).  Docs under 8
+    tokens are skipped (too short to corrupt meaningfully).
+
+    Plan: pure map-only column expressions — split, integer-hash
+    offset, array slices, concat.  Zero shuffles; at 100 TB this is a
+    scan-speed transform that pipelines into the tokenizer stage.
+    """
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") >= 8)
+    )
+    s = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("span:"), F.col("doc_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % (F.col("n") - _SPAN_LEN)
+        + 1
+    )
+    e = d.withColumn("s", s)
+    head = F.slice(F.col("t"), 1, F.col("s") - 1)
+    tail = F.slice(
+        F.col("t"), F.col("s") + _SPAN_LEN, F.col("n") - F.col("s") - (_SPAN_LEN - 1)
+    )
+    span = F.slice(F.col("t"), F.col("s"), _SPAN_LEN)
+    return e.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.col("s").alias("span_start"),
+        F.array_join(
+            F.concat(head, F.array(F.lit("<X>")), tail), " "
+        ).alias("input_text"),
+        F.concat(F.lit("<X> "), F.array_join(span, " ")).alias("target_text"),
+    )

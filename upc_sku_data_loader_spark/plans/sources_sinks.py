@@ -1536,3 +1536,148 @@ def a20_compressed_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "o_orderkey bigint, o_orderstatus string, o_totalprice double"
     ).json(path)
+
+
+# --- ETL9: late-arriving dimension with inferred-member backfill --------------
+# The Kimball pattern: facts arrive referencing dimension keys the dim
+# feed has not delivered yet.  The load must (a) never drop or stall
+# the fact, (b) insert an "inferred member" placeholder row, (c) later
+# overwrite the placeholder in place when the real dimension row lands,
+# keeping an audit trail of which rows were ever inferred.
+
+
+@query(
+    "etl9_late_dim_backfill",
+    oracle="""
+    WITH ontime AS (
+      SELECT * FROM customer WHERE c_custkey % 7 <> 0
+    ),
+    late AS (
+      SELECT * FROM customer WHERE c_custkey % 7 = 0
+    ),
+    fact_keys AS (
+      SELECT DISTINCT o_custkey AS custkey FROM orders
+    ),
+    phase1 AS (
+      SELECT f.custkey,
+             COALESCE(o.c_name, 'UNKNOWN') AS c_name,
+             COALESCE(o.c_nationkey, -1) AS c_nationkey,
+             o.c_name IS NULL AS was_inferred
+      FROM fact_keys f LEFT JOIN ontime o ON f.custkey = o.c_custkey
+    )
+    SELECT p.custkey,
+           COALESCE(l.c_name, p.c_name) AS c_name,
+           COALESCE(l.c_nationkey, p.c_nationkey) AS c_nationkey,
+           p.was_inferred,
+           p.was_inferred AND l.c_name IS NOT NULL AS backfilled
+    FROM phase1 p LEFT JOIN late l ON p.custkey = l.c_custkey
+    """,
+)
+def etl9_late_dim_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving-dimension handling (Kimball inferred members): the
+    customer feed is split into an on-time batch (6/7 of keys) and a
+    late batch; phase 1 loads every fact-referenced key, substituting
+    an UNKNOWN placeholder where the dim row is missing; phase 2
+    applies the late batch, overwriting placeholders and flagging the
+    rows that were backfilled.
+
+    Plan: fact-key distinct (one keyed shuffle) + two LEFT hash joins
+    against dimension-sized sides — at 100 TB the fact distinct is the
+    only data-scale exchange; both dim joins broadcast when the dim
+    fits (AQE decides), and the placeholder/backfill logic is pure
+    map-side COALESCE/flag algebra.  The audit columns (was_inferred,
+    backfilled) are what makes the load idempotent and re-runnable —
+    the same contract the reference's upsert loop enforces via
+    primary-key merge.
+    """
+    cust = load(spark, sf_dir, "customer")
+    ontime = cust.filter(F.col("c_custkey") % 7 != 0)
+    late = cust.filter(F.col("c_custkey") % 7 == 0)
+    fact_keys = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    phase1 = fact_keys.join(
+        ontime, fact_keys.custkey == ontime.c_custkey, "left"
+    ).select(
+        "custkey",
+        F.coalesce("c_name", F.lit("UNKNOWN")).alias("c_name"),
+        F.coalesce("c_nationkey", F.lit(-1)).alias("c_nationkey"),
+        F.col("c_name").isNull().alias("was_inferred"),
+    )
+    l2 = late.select(
+        F.col("c_custkey").alias("l_key"),
+        F.col("c_name").alias("l_name"),
+        F.col("c_nationkey").alias("l_nationkey"),
+    )
+    return phase1.join(
+        l2, phase1.custkey == l2.l_key, "left"
+    ).select(
+        "custkey",
+        F.coalesce("l_name", "c_name").alias("c_name"),
+        F.coalesce("l_nationkey", "c_nationkey").alias("c_nationkey"),
+        "was_inferred",
+        (F.col("was_inferred") & F.col("l_name").isNotNull()).alias(
+            "backfilled"
+        ),
+    )
+
+
+# --- A21: parquet write with column bloom filters + point-lookup read ---------
+
+
+_A21_KEYS = (1, 2, 3, 5, 8, 13, 21, 34)
+
+
+@query(
+    "a21_parquet_bloom_write",
+    oracle=f"""
+    SELECT l_partkey,
+           COUNT(*) AS n_lines,
+           SUM(l_quantity) AS sum_qty
+    FROM lineitem
+    WHERE l_partkey IN {_A21_KEYS}
+    GROUP BY l_partkey
+    """,
+)
+def a21_parquet_bloom_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink with a COLUMN BLOOM FILTER on the point-lookup key
+    (`parquet.bloom.filter.enabled#l_partkey`), then an IN-list read
+    back through it.
+
+    Why this matters at 100 TB: min/max row-group statistics are
+    useless for a high-cardinality key that is uniformly scattered
+    (every row group spans nearly the full key range), so a point
+    lookup otherwise scans everything.  The bloom filter gives each
+    row group a probabilistic membership test — the reader skips
+    groups whose filter rejects the key, turning an IN-probe into
+    IO proportional to the matching groups only.  The write also
+    sorts within partitions by the key so row groups cover narrow
+    key ranges (making BOTH stats- and bloom-skipping effective).
+
+    Correctness contract: the round-trip must be value-identical to
+    filtering the source directly (bloom filters may only skip, never
+    alter results) — the oracle runs the same IN + agg on the raw
+    table.
+    """
+    path = _scratch(sf_dir, "lineitem_bloom")
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+        .sortWithinPartitions("l_partkey")
+        .write.option("parquet.bloom.filter.enabled#l_partkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#l_partkey", "20000")
+        .option("parquet.block.size", str(1 << 20))
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("l_partkey").isin(*_A21_KEYS))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )

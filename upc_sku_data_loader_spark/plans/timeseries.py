@@ -734,3 +734,134 @@ def t9_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_outlier"),
         )
     )
+
+
+# --- T10: CUSUM change-point detection ----------------------------------------
+# One-sided CUSUM (Page 1954) over each event_type's time-ordered value
+# stream, in PURE INTEGER algebra so both engines agree bit-for-bit.
+# The recurrence S_i = max(0, S_{i-1} + x_i - mu) is not window-
+# expressible directly, but has the classic prefix identity
+#   S_i = R_i - min_{j<=i} R_j,   R = prefix sum of (x_i - mu),
+# which IS two window passes.  To avoid float mu entirely, work in
+# n-scaled micro-units: dev_i = n*xm_i - T (xm = round(value*1e6),
+# T = sum xm) — integer, mean-free.  The classic slack k keeps a
+# driftless random walk from accumulating (without it, S grows ~σ·√i
+# and a fixed threshold eventually fires on EVERY stream): k = MAD/2
+# per step, alarm when S_i > H = 8·MAD, both in n-scaled integers
+# (MAD_n = sum|dev| `div` n).
+
+
+@query(
+    "t10_cusum_changepoint",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, event_id, ts,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS xm
+      FROM events
+    ),
+    st AS (
+      SELECT event_type, COUNT(*) AS n, SUM(xm) AS tot
+      FROM x GROUP BY event_type
+    ),
+    d AS (
+      SELECT x.event_type, x.event_id, x.ts, st.n,
+             CAST(st.n AS HUGEINT) * x.xm - st.tot AS dev
+      FROM x JOIN st USING (event_type)
+    ),
+    h AS (
+      SELECT event_type,
+             SUM(ABS(dev)) // ANY_VALUE(n) AS mad_n
+      FROM d GROUP BY event_type
+    ),
+    w AS (
+      SELECT d.event_type, d.event_id, d.ts, d.n, h.mad_n,
+             SUM(d.dev - h.mad_n // 2)
+               OVER (PARTITION BY d.event_type ORDER BY d.ts, d.event_id
+                     ROWS UNBOUNDED PRECEDING) AS r
+      FROM d JOIN h USING (event_type)
+    ),
+    s AS (
+      SELECT event_type, event_id, ts, n, mad_n,
+             r - LEAST(0, MIN(r) OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)) AS cusum
+      FROM w
+    )
+    SELECT event_type, event_id, ts,
+           CAST(cusum // n AS BIGINT) AS cusum_over_n,
+           CAST(8 * mad_n // n AS BIGINT) AS thr_over_n
+    FROM s
+    WHERE cusum > 8 * mad_n
+    """,
+)
+def t10_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point alarms (Page 1954) per event_type: emit the
+    events where the one-sided cumulative deviation from the stream
+    mean — less the per-step slack k = MAD/2 that absorbs driftless
+    random-walk wander — exceeds 8x the mean absolute deviation; the
+    classic sequential drift detector in its batch prefix-sum form.
+
+    Engine-exactness: everything is integer.  Values go to micro-units
+    (round half-up ties agree: DuckDB ROUND and Spark's bround differ
+    only at exact .5 on NEGATIVE values, and value >= 0 in the fixture
+    contract; measured identical).  Deviations are n-scaled
+    (dev = n*xm - T) so no mean division happens before the final
+    bounded `div`; Spark `div` and DuckDB `//` both truncate toward
+    zero and every divided quantity is non-negative.
+
+    Plan shape: one keyed agg for (n, T) broadcast back; TWO window
+    passes over the same (event_type | ts, event_id) sort — Catalyst
+    runs both in a single WindowExec after one shuffle; the prefix
+    sums ride decimal(38,0) (DuckDB HUGEINT twin) so a 100 TB stream
+    cannot overflow.  No global sort, no collect.
+    """
+    x = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.expr("CAST(ROUND(value * 1000000) AS BIGINT)").alias("xm"),
+    )
+    st = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xm").alias("tot"),
+    )
+    d = x.join(F.broadcast(st), "event_type").withColumn(
+        "dev",
+        (F.col("n").cast("decimal(38,0)") * F.col("xm") - F.col("tot")).cast(
+            "decimal(38,0)"
+        ),
+    )
+    h = d.groupBy("event_type").agg(
+        F.expr("SUM(ABS(dev)) div ANY_VALUE(n)").alias("mad_n")
+    )
+    from pyspark.sql.window import Window as _W
+
+    ow = (
+        _W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    # S_0 = 0 in the classic recurrence, so the prefix min is clamped at
+    # the virtual R_0 = 0 (a plain window MIN sees only j >= 1 and would
+    # understate S wherever every prefix sum is positive).
+    s = (
+        d.join(F.broadcast(h), "event_type")
+        .withColumn(
+            "r",
+            F.sum(
+                (F.col("dev") - F.expr("mad_n div 2")).cast("decimal(38,0)")
+            ).over(ow),
+        )
+        .withColumn(
+            "cusum",
+            F.col("r")
+            - F.least(F.lit(0).cast("decimal(38,0)"), F.min("r").over(ow)),
+        )
+    )
+    return s.filter(F.col("cusum") > 8 * F.col("mad_n")).select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.expr("CAST(cusum div n AS BIGINT)").alias("cusum_over_n"),
+        F.expr("CAST(8 * mad_n div n AS BIGINT)").alias("thr_over_n"),
+    )
