@@ -203,3 +203,107 @@ def test_a21_roundtrip_equals_direct_filter(spark, sf_dir):
         .collect()
     }
     assert out == direct
+
+
+# --- c15 fuzzy join -----------------------------------------------------------
+
+
+def test_c15_pairs_within_distance_and_blocked(spark, sf_dir):
+    rows = QUERIES["c15_join_fuzzy"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["name_a"] < r["name_b"]
+        assert r["lev"] <= 2
+        assert set(r["name_a"].split(" ")) & set(r["name_b"].split(" "))
+        assert abs(len(r["name_a"]) - len(r["name_b"])) <= 2
+
+
+def test_c15_matches_bruteforce_blocked(spark, sf_dir):
+    """Recompute the full contract (blocking + verify) in Python."""
+    from collections import Counter
+
+    try:
+        from Levenshtein import distance  # noqa: F401
+
+        have_lev = True
+    except ImportError:
+        have_lev = False
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    names = Counter(
+        r["p_name"]
+        for r in spark.read.parquet(f"{sf_dir}/part.parquet").collect()
+    )
+    expected = set()
+    uniq = sorted(names)
+    for i, a in enumerate(uniq):
+        for b in uniq[i + 1 :]:
+            if (
+                set(a.split(" ")) & set(b.split(" "))
+                and abs(len(a) - len(b)) <= 2
+                and lev(a, b) <= 2
+            ):
+                expected.add((a, b))
+    got = {
+        (r["name_a"], r["name_b"])
+        for r in QUERIES["c15_join_fuzzy"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+# --- k68 BPE merges -----------------------------------------------------------
+
+
+def test_k68_merges_match_reference_bpe(spark, sf_dir):
+    """Reference BPE (Sennrich alg. 1) in plain Python over the vocab."""
+    from collections import Counter
+
+    words = Counter()
+    for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect():
+        for w in r["text"].split(" "):
+            if "|" not in w:
+                words[w] += 1
+    vocab = {w: list(w) for w in words}
+    expected = []
+    for _ in range(3):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for l, r in zip(syms, syms[1:]):
+                pairs[(l, r)] += words[w]
+        (l, r), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((l, r, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    rows = QUERIES["k68_bpe_merges"](spark, sf_dir).collect()
+    got = sorted(
+        (r["sym_left"], r["sym_right"], r["pair_count"])
+        for r in rows
+        if r["stage"] <= 3
+    )
+    assert sorted(expected) == got
+    final = [r for r in rows if r["stage"] == 4]
+    assert len(final) == 10
+    assert [r["rk"] for r in sorted(final, key=lambda r: r["rk"])] == list(
+        range(1, 11)
+    )

@@ -552,3 +552,97 @@ def c14_join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice"), "gross"),
         )
     )
+
+
+# --- C15: fuzzy (edit-distance) self-join with token blocking -----------------
+# Entity-resolution join: match names within Levenshtein distance 2
+# WITHOUT the all-pairs cross product.  The BLOCKING is part of the
+# operator contract (as k18's length prune is): candidate pairs must
+# share at least one whitespace token AND sit within a +/-2 length
+# band — then the survivors are exact-verified with levenshtein().
+# Running on DISTINCT names first collapses the fixture's key fan-out
+# (many parts share a name), so the expensive verify runs once per
+# name pair, with part multiplicities re-attached as counts.
+
+
+@query(
+    "c15_join_fuzzy",
+    oracle="""
+    WITH names AS (
+      SELECT p_name AS name, COUNT(*) AS n_parts
+      FROM part GROUP BY p_name
+    ),
+    toks AS (
+      SELECT name, n_parts, unnest(string_split(name, ' ')) AS tok
+      FROM names
+    ),
+    cand AS (
+      SELECT DISTINCT a.name AS name_a, b.name AS name_b
+      FROM toks a JOIN toks b
+        ON a.tok = b.tok
+       AND a.name < b.name
+       AND ABS(length(a.name) - length(b.name)) <= 2
+    )
+    SELECT c.name_a, c.name_b,
+           levenshtein(c.name_a, c.name_b) AS lev,
+           na.n_parts AS n_parts_a,
+           nb.n_parts AS n_parts_b
+    FROM cand c
+    JOIN names na ON na.name = c.name_a
+    JOIN names nb ON nb.name = c.name_b
+    WHERE levenshtein(c.name_a, c.name_b) <= 2
+    """,
+)
+def c15_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join on part names: pairs within Levenshtein <= 2,
+    found via token blocking instead of an all-pairs cross product —
+    the entity-resolution/record-linkage join shape (Fellegi-Sunter
+    blocking + edit-distance verify).
+
+    Scale design: the join runs on the DISTINCT-name relation (names
+    de-duplicate heavily at any scale — vocabulary grows sublinearly
+    in corpus size), keyed by shared token, so candidate generation is
+    an inverted-index equi-join exactly like k18's prefix filter; the
+    +/-2 length band prunes inside the join condition BEFORE the pair
+    materializes (|len(a)-len(b)| > 2 makes lev <= 2 impossible); and
+    levenshtein runs only on surviving candidates.  The blocking key
+    (shared token) is declared in the contract — both engines compute
+    the identical candidate set, so recall limits are explicit, not
+    engine artifacts.
+    """
+    names = (
+        load(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    toks = names.select(
+        "name", "n_parts", F.explode(F.split("name", " ")).alias("tok")
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.name") < F.col("b.name"))
+            & (
+                F.abs(F.length("a.name") - F.length("b.name")) <= 2
+            ),
+        )
+        .select(
+            F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b")
+        )
+        .distinct()
+    )
+    na = names.select(
+        F.col("name").alias("name_a"), F.col("n_parts").alias("n_parts_a")
+    )
+    nb = names.select(
+        F.col("name").alias("name_b"), F.col("n_parts").alias("n_parts_b")
+    )
+    return (
+        cand.withColumn("lev", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("lev") <= 2)
+        .join(na, "name_a")
+        .join(nb, "name_b")
+        .select("name_a", "name_b", "lev", "n_parts_a", "n_parts_b")
+    )

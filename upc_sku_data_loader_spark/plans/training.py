@@ -1427,3 +1427,176 @@ def k58_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_xor(h)").alias("content_checksum"),
         )
     )
+
+
+# --- K68: BPE merge learning (first 3 merges, exactly) ------------------------
+# Byte-pair-encoding tokenizer training (Sennrich et al. 2016,
+# arXiv:1508.07909): repeatedly count adjacent symbol pairs over the
+# frequency-weighted vocabulary and merge the most frequent pair.
+# Symbol sequences ride a DOUBLE-DELIMITED string ('|a||b||c|') so one
+# engine-portable replace('|l||r|','|lr|') applies a merge to ALL
+# non-overlapping occurrences at once — consecutive merge sites share
+# no characters in this encoding (measured: '|a||b||a||b|' → two
+# merges in one pass on both engines), and a pattern can never match
+# inside a multi-char symbol because symbols carry their own pipes.
+
+_BPE_MERGES = 3
+_BPE_TOPK = 10
+
+
+def _bpe_pairs_sql(src: str) -> str:
+    """CTE body: frequency-weighted adjacent-pair counts over `src`."""
+    return f"""
+      SELECT l, r, SUM(f) AS cnt FROM (
+        SELECT syms[i] AS l, syms[i + 1] AS r, f
+        FROM (SELECT string_split(substr(seq, 2, length(seq) - 2), '||')
+                       AS syms, f
+              FROM {src}),
+             UNNEST(generate_series(1, len(syms) - 1)) AS g(i)
+      ) GROUP BY l, r
+    """
+
+
+def _bpe_oracle() -> str:
+    ctes = [
+        """
+    wf AS (
+      SELECT w, COUNT(*) AS f
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w NOT LIKE '%|%' GROUP BY w
+    ),
+    s0 AS (
+      SELECT w, f,
+             '|' || array_to_string(string_split(w, ''), '||') || '|' AS seq
+      FROM wf
+    )"""
+    ]
+    for i in range(1, _BPE_MERGES + 1):
+        ctes.append(f"p{i} AS ({_bpe_pairs_sql(f's{i - 1}')})")
+        ctes.append(
+            f"m{i} AS (SELECT l, r, cnt FROM p{i} "
+            f"ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        ctes.append(
+            f"""s{i} AS (
+      SELECT w, f,
+             replace(seq,
+                     '|' || (SELECT l FROM m{i}) || '||'
+                         || (SELECT r FROM m{i}) || '|',
+                     '|' || (SELECT l FROM m{i})
+                         || (SELECT r FROM m{i}) || '|') AS seq
+      FROM s{i - 1}
+    )"""
+        )
+    ctes.append(f"pfinal AS ({_bpe_pairs_sql(f's{_BPE_MERGES}')})")
+    merge_rows = "\n    UNION ALL\n".join(
+        f"    SELECT {i} AS stage, l AS sym_left, r AS sym_right, "
+        f"cnt AS pair_count, 1 AS rk FROM m{i}"
+        for i in range(1, _BPE_MERGES + 1)
+    )
+    return f"""
+    WITH {','.join(ctes)}
+    {merge_rows}
+    UNION ALL
+    SELECT {_BPE_MERGES + 1} AS stage, sym_left, sym_right, pair_count, rk
+    FROM (
+      SELECT l AS sym_left, r AS sym_right, cnt AS pair_count,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, l, r) AS rk
+      FROM pfinal
+    ) WHERE rk <= {_BPE_TOPK}
+    """
+
+
+def _bpe_pair_counts(state: DataFrame) -> DataFrame:
+    syms = F.split(
+        F.expr("substr(seq, 2, length(seq) - 2)"), r"\|\|"
+    )
+    s = state.select(F.col("f"), syms.alias("syms")).withColumn(
+        "n", F.size("syms")
+    )
+    return (
+        s.filter(F.col("n") >= 2)
+        .select(
+            "f",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), 1, F.col("n") - 1),
+                    F.slice(F.col("syms"), 2, F.col("n") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.l", "p.r")
+        .agg(F.sum("f").alias("cnt"))
+    )
+
+
+@query("k68_bpe_merges", oracle=_bpe_oracle())
+def k68_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 3 BPE merges over the corpus vocabulary
+    (Sennrich et al. 2016) and report them plus the top-10 remaining
+    pair counts — the tokenizer-training step every LLM data pipeline
+    runs before k12's tokenization can exist.
+
+    Plan per round: ONE keyed (l, r) aggregation over the DISTINCT
+    vocabulary (frequency-weighted — the corpus-scale word count
+    happened once, up front), then a 1-ROW bounded collect of the
+    argmax pair (the k42-kmeans discipline: centroid-sized driver
+    state only) drives a map-only double-delimited replace.  Rounds
+    are O(#merges), each a vocabulary-scale job — at 100 TB the
+    vocabulary relation is sublinear in corpus size (Heaps' law), and
+    a production 32k-merge run would batch this loop with
+    localCheckpoint lineage truncation exactly as k42 does.
+    """
+    wf = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(~F.col("w").contains("|"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    state = wf.withColumn(
+        "seq",
+        F.concat(
+            F.lit("|"), F.array_join(F.split("w", ""), "||"), F.lit("|")
+        ),
+    )
+    merges = []
+    for i in range(1, _BPE_MERGES + 1):
+        best = (
+            _bpe_pair_counts(state)
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((i, best["l"], best["r"], best["cnt"], 1))
+        pat = f"|{best['l']}||{best['r']}|"
+        rep = f"|{best['l']}{best['r']}|"
+        state = state.withColumn(
+            "seq", F.replace("seq", F.lit(pat), F.lit(rep))
+        )
+    merge_df = spark.createDataFrame(
+        merges, "stage int, sym_left string, sym_right string, "
+        "pair_count bigint, rk int"
+    )
+    from pyspark.sql.window import Window as _W
+
+    final = (
+        _bpe_pair_counts(state)
+        .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+        .limit(_BPE_TOPK)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                _W.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            ),
+        )
+        .select(
+            F.lit(_BPE_MERGES + 1).alias("stage"),
+            F.col("l").alias("sym_left"),
+            F.col("r").alias("sym_right"),
+            F.col("cnt").alias("pair_count"),
+            "rk",
+        )
+    )
+    return merge_df.unionByName(final)
