@@ -307,3 +307,47 @@ def test_k68_merges_match_reference_bpe(spark, sf_dir):
     assert [r["rk"] for r in sorted(final, key=lambda r: r["rk"])] == list(
         range(1, 11)
     )
+
+
+# --- physical-plan shape guards for the new tier ------------------------------
+
+
+def _executed_plan(spark, name, sf_dir) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    df.count()  # materialize so AQE finalizes the plan
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_a21_in_probe_reaches_parquet_reader(spark, sf_dir):
+    """The IN-list must be pushed to the bloom-filtered parquet scan —
+    row-group skipping only happens when the reader sees the filter."""
+    plan = _executed_plan(spark, "a21_parquet_bloom_write", sf_dir)
+    assert "PushedFilters: [In(l_partkey" in plan
+
+
+def test_k63_bucket_tables_broadcast_no_cartesian(spark, sf_dir):
+    """The 128-row log-ratio table must broadcast onto the (doc,bucket)
+    stream; the only nested-loop allowed is the 1-row totals scalar."""
+    plan = _executed_plan(spark, "k63_dsir_importance", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_c15_blocking_join_is_keyed_not_cartesian(spark, sf_dir):
+    plan = _executed_plan(spark, "c15_join_fuzzy", sf_dir)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_t10_single_exchange_feeds_fused_window(spark, sf_dir):
+    """Both window passes (prefix sum, prefix min) must ride ONE
+    hashpartitioning(event_type) exchange; the per-type stats join
+    broadcasts."""
+    plan = _executed_plan(spark, "t10_cusum_changepoint", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    lines = plan.splitlines()
+    widx = [i for i, ln in enumerate(lines) if "Window [" in ln]
+    assert len(widx) == 2, f"expected 2 window passes, saw {len(widx)}"
+    between = lines[widx[0] + 1 : widx[1]]
+    assert not any("Exchange" in ln for ln in between), (
+        "prefix-sum and prefix-min windows must share one exchange"
+    )

@@ -43,6 +43,12 @@ DEFAULT = [
     "k54_containment_pairs",
     "t9_mad_outliers",
     "k53_random_projection",
+    # data-selection tier (second round-5 batch)
+    "k62_cluster_best_keeper",
+    "k63_dsir_importance",
+    "k68_bpe_merges",
+    "c15_join_fuzzy",
+    "t10_cusum_changepoint",
 ]
 
 
