@@ -351,3 +351,92 @@ def test_t10_single_exchange_feeds_fused_window(spark, sf_dir):
     assert not any("Exchange" in ln for ln in between), (
         "prefix-sum and prefix-min windows must share one exchange"
     )
+
+
+# --- k64 CCNet buckets --------------------------------------------------------
+
+
+def test_k64_buckets_are_ordered_terciles(spark, sf_dir):
+    rows = QUERIES["k64_ccnet_buckets"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == docs, "every document is bucketed exactly once"
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append(r)
+    for lang, rs in by_lang.items():
+        tails = [r["logprob"] for r in rs if r["bucket"] == "tail"]
+        mids = [r["logprob"] for r in rs if r["bucket"] == "middle"]
+        heads = [r["logprob"] for r in rs if r["bucket"] == "head"]
+        if tails and mids:
+            assert max(tails) <= min(mids)
+        if mids and heads:
+            assert max(mids) < min(heads)
+        # terciles: no bucket may dominate (ties can skew boundaries)
+        assert max(len(tails), len(mids), len(heads)) <= 0.7 * len(rs)
+
+
+# --- d22 count-min sketch -----------------------------------------------------
+
+
+def test_d22_never_underestimates_and_exact_counts_true(spark, sf_dir):
+    from upc_sku_data_loader_spark.plans.aggregates import _CM_PROBES
+
+    rows = QUERIES["d22_count_min_sketch"](spark, sf_dir).collect()
+    assert {r["custkey"] for r in rows} == set(_CM_PROBES)
+    direct = {
+        r["o_custkey"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r["is_overestimate"]
+        assert r["cm_estimate"] >= r["exact_cnt"]
+        assert r["exact_cnt"] == direct.get(r["custkey"], 0)
+
+
+# --- f5 keyset pagination -----------------------------------------------------
+
+
+def test_f5_page3_matches_global_sort(spark, sf_dir):
+    got = [
+        r["o_orderkey"]
+        for r in QUERIES["f5_keyset_pagination"](spark, sf_dir)
+        .orderBy("o_orderkey")
+        .collect()
+    ]
+    allkeys = sorted(
+        r["o_orderkey"]
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey")
+        .collect()
+    )
+    assert got == allkeys[200:300]
+
+
+def test_f5_boundary_filter_is_pushed_to_scan(spark, sf_dir):
+    df = QUERIES["f5_keyset_pagination"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThan(o_orderkey" in plan
+
+
+# --- j10 iterator pandas UDF --------------------------------------------------
+
+
+def test_j10_matches_affine_and_runs_via_arrow(spark, sf_dir):
+    df = QUERIES["j10_pandas_iter_udf"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, "iterator UDF must ride Arrow batches"
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture,
+    # so compare as multisets keyed by orderkey + value.
+    got = sorted(
+        (r["l_orderkey"], r["qty_z"]) for r in df.collect()
+    )
+    want = sorted(
+        (r["l_orderkey"], round((r["l_quantity"] - 25.0) / 10.0, 6))
+        for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_linenumber") == 1)
+        .collect()
+    )
+    assert got == want

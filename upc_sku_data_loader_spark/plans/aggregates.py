@@ -667,3 +667,139 @@ def d21_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+# --- D22: count-min sketch (mergeable frequency sketch) -----------------------
+
+_CM_DEPTH = 3
+_CM_WIDTH = 64
+_CM_PROBES = (1, 2, 3, 5, 8, 13, 21)
+
+
+@query(
+    "d22_count_min_sketch",
+    oracle=f"""
+    WITH fan AS (
+      SELECT o_custkey AS k, j
+      FROM orders, UNNEST([0, 1, 2]) AS s(j)
+    ),
+    cells AS (
+      SELECT j,
+             CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                                      || CAST(k AS VARCHAR)), 1, 4))
+                  AS INT) % {_CM_WIDTH} AS b,
+             COUNT(*) AS cnt
+      FROM fan GROUP BY 1, 2
+    ),
+    probes AS (SELECT unnest([{", ".join(map(str, _CM_PROBES))}]) AS custkey),
+    est AS (
+      SELECT p.custkey, MIN(c.cnt) AS cm_estimate
+      FROM probes p JOIN cells c
+        ON c.b = CAST(('0x' || substr(md5(CAST(c.j AS VARCHAR) || ':'
+                                         || CAST(p.custkey AS VARCHAR)),
+                                      1, 4)) AS INT) % {_CM_WIDTH}
+      GROUP BY p.custkey
+    ),
+    ex AS (
+      SELECT o_custkey AS custkey, COUNT(*) AS exact_cnt
+      FROM orders GROUP BY 1
+    )
+    SELECT e.custkey,
+           COALESCE(ex.exact_cnt, 0) AS exact_cnt,
+           e.cm_estimate,
+           e.cm_estimate >= COALESCE(ex.exact_cnt, 0) AS is_overestimate
+    FROM est e LEFT JOIN ex USING (custkey)
+    """,
+)
+def d22_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over order
+    custkeys: a 3x64 counter grid whose cells are
+    SUM-mergeable across partitions — the constant-size frequency
+    sketch that answers point queries at any stream size, always
+    OVER-estimating (one-sided error), never under.
+
+    Engine-portability: the d row-hashes are md5-derived (j:key), so
+    both engines land every key in the same cells; the estimate
+    MIN-reduces one cell per row.
+
+    Plan: one map-only x3 fan-out (explode of a literal
+    array), ONE keyed agg onto the fixed 192-cell grid (map-side
+    partials absorb the fan-out — this is the whole scale story: the
+    shuffle carries at most d*w rows per mapper regardless of input
+    size), then a broadcast probe join for the fixed query set plus an
+    exact count for the verify columns.  At 100 TB the sketch build
+    cost is the scan; the sketch itself stays 192 longs.
+    """
+    fan = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("k"))
+        .select(
+            "k",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(_CM_DEPTH)])
+            ).alias("j"),
+        )
+    )
+    cell = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("j").cast("string"),
+                        F.lit(":"),
+                        F.col("k").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % _CM_WIDTH
+    )
+    cells = (
+        fan.withColumn("b", cell)
+        .groupBy("j", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = spark.createDataFrame(
+        [(k,) for k in _CM_PROBES], "custkey bigint"
+    )
+    probe_cell = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("j").cast("string"),
+                        F.lit(":"),
+                        F.col("custkey").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % _CM_WIDTH
+    )
+    est = (
+        probes.crossJoin(F.broadcast(cells))
+        .filter(F.col("b") == probe_cell)
+        .groupBy("custkey")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
+    ex = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return est.join(ex, "custkey", "left").select(
+        "custkey",
+        F.coalesce("exact_cnt", F.lit(0)).alias("exact_cnt"),
+        "cm_estimate",
+        (
+            F.col("cm_estimate") >= F.coalesce("exact_cnt", F.lit(0))
+        ).alias("is_overestimate"),
+    )

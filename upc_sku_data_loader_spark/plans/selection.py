@@ -371,3 +371,107 @@ def k67_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("input_text"),
         F.concat(F.lit("<X> "), F.array_join(span, " ")).alias("target_text"),
     )
+
+
+# --- K64: CCNet-style perplexity bucketing ------------------------------------
+
+_CCNET_Q = (0.3333333333333333, 0.6666666666666666)
+
+
+@query(
+    "k64_ccnet_buckets",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    freq AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq),
+    scored AS (
+      SELECT t.doc_id, t.lang,
+             ROUND(LN(CAST(f.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE)), 6)
+               AS logp
+      FROM tok t JOIN freq f ON f.w = t.w, tot
+    ),
+    per_doc AS (
+      SELECT doc_id, lang,
+             ROUND(CAST(SUM(CAST(logp AS DECIMAL(30,6))) AS DOUBLE)
+                   / COUNT(*), 4) AS logprob
+      FROM scored GROUP BY doc_id, lang
+    ),
+    cuts AS (
+      SELECT lang,
+             ROUND(quantile_cont(logprob, {_CCNET_Q[0]}), 6) AS cut_lo,
+             ROUND(quantile_cont(logprob, {_CCNET_Q[1]}), 6) AS cut_hi
+      FROM per_doc GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.logprob,
+           CASE WHEN d.logprob <= c.cut_lo THEN 'tail'
+                WHEN d.logprob <= c.cut_hi THEN 'middle'
+                ELSE 'head' END AS bucket
+    FROM per_doc d JOIN cuts c USING (lang)
+    """,
+)
+def k64_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): score each document by LM log-probability
+    (k35's unigram proxy) and split each language into head / middle /
+    tail terciles — the exact artifact CCNet ships per CommonCrawl
+    snapshot, and the standard coarse-to-fine curation knob (train on
+    head+middle, drop tail).
+
+    Per-lang cutpoints are EXACT percentiles (Spark `percentile` ≡
+    DuckDB `quantile_cont`, the t3/t9 equivalence), rounded 6 dp
+    before the bucket compare so both engines bucket the same rounded
+    4-dp scores against the same rounded cuts — no float boundary
+    hazard.
+
+    Plan: explode → vocab agg broadcast back (Zipf-bounded) → per-doc
+    agg → per-lang percentile agg (#langs rows, broadcast back) →
+    map-only bucket CASE.  Two data-scale keyed shuffles total (token
+    stream, per-doc); everything else is dimension-sized.
+    """
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").cast("long").alias("total"))
+    scored = (
+        tok.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                F.log(
+                    F.col("cnt").cast("double")
+                    / F.col("total").cast("double")
+                ),
+                6,
+            ).alias("logp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        F.round(
+            F.sum(F.col("logp").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("logprob")
+    )
+    cuts = per_doc.groupBy("lang").agg(
+        F.round(
+            F.expr(f"percentile(logprob, {_CCNET_Q[0]})"), 6
+        ).alias("cut_lo"),
+        F.round(
+            F.expr(f"percentile(logprob, {_CCNET_Q[1]})"), 6
+        ).alias("cut_hi"),
+    )
+    return per_doc.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "logprob",
+        F.when(F.col("logprob") <= F.col("cut_lo"), "tail")
+        .when(F.col("logprob") <= F.col("cut_hi"), "middle")
+        .otherwise("head")
+        .alias("bucket"),
+    )

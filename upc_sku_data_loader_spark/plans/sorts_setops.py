@@ -278,3 +278,54 @@ def g6_setop_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = a.intersectAll(b).select(F.lit("intersect_all").alias("op"), "v")
     diff = a.exceptAll(b).select(F.lit("except_all").alias("op"), "v")
     return inter.unionAll(diff)
+
+
+# --- F5: keyset pagination (the scale-correct LIMIT/OFFSET) -------------------
+
+_F5_PAGE = 100
+_F5_SKIP = 200  # boundary = last key of page 2 (pages of 100)
+
+
+@query(
+    "f5_keyset_pagination",
+    oracle=f"""
+    WITH b AS (
+      SELECT MAX(o_orderkey) AS last_key
+      FROM (SELECT o_orderkey FROM orders
+            ORDER BY o_orderkey LIMIT {_F5_SKIP})
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders, b
+    WHERE o_orderkey > b.last_key
+    ORDER BY o_orderkey
+    LIMIT {_F5_PAGE}
+    """,
+)
+def f5_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination: page 3 of the order book, fetched as
+    `WHERE key > last_seen ORDER BY key LIMIT n` instead of
+    OFFSET/LIMIT.
+
+    Why this is the 100 TB pagination: OFFSET k LIMIT n must still
+    produce-and-discard k rows on every page (O(k+n) per page, O(p²n)
+    for a full scan via pages), while the keyset predicate is pushed
+    down to the parquet reader (PushedFilters: GreaterThan) so page p
+    costs the same as page 1.  The boundary key is a 1-VALUE bounded
+    collect (the k42 centroid discipline) obtained from a distributed
+    TakeOrderedAndProject — turning it into a literal is exactly what
+    lets the scan skip row groups below the boundary.
+    """
+    orders = load(spark, sf_dir, "orders")
+    boundary = (
+        orders.select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(_F5_SKIP)
+        .agg(F.max("o_orderkey").alias("last_key"))
+        .collect()[0]["last_key"]
+    )
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(F.col("o_orderkey") > F.lit(boundary))
+        .orderBy("o_orderkey")
+        .limit(_F5_PAGE)
+    )

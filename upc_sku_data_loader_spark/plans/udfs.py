@@ -358,3 +358,48 @@ def j9_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey bigint, n_orders bigint, total_spend double, "
         "max_order double",
     )
+
+
+# --- J10: iterator-of-series pandas UDF (amortized-init batch stream) ---------
+
+
+@query(
+    "j10_pandas_iter_udf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND((l_quantity - 25.0) / 10.0, 6) AS qty_z
+    FROM lineitem
+    WHERE l_linenumber = 1
+    """,
+)
+def j10_pandas_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF (`Iterator[pd.Series] ->
+    Iterator[pd.Series]`): the third scalar-UDF evaluation mode after
+    row-at-a-time (j1) and batch-at-a-time (j2).  The generator sees
+    EVERY Arrow batch of a partition through one call, so expensive
+    one-time state (a model handle, a codec table — here standing in
+    as fixed normalization constants) is initialized once per
+    partition stream, not once per batch — the pattern for ML-scoring
+    UDFs at 100 TB where per-batch init would dominate.
+
+    Arithmetic is fixed-constant affine, so the result is
+    bit-identical to the SQL twin; rounding only at the edge.
+    """
+    mu, sigma = 25.0, 10.0
+
+    @pandas_udf("double")
+    def qty_z(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # one-time "init" happens here, before the first batch arrives
+        m, s = mu, sigma
+        for b in batches:
+            yield (b - m) / s
+
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") == 1)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(qty_z(F.col("l_quantity")), 6).alias("qty_z"),
+        )
+    )
