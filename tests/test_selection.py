@@ -440,3 +440,19 @@ def test_j10_matches_affine_and_runs_via_arrow(spark, sf_dir):
         .collect()
     )
     assert got == want
+
+
+# --- s7 SQL scripting ---------------------------------------------------------
+
+
+def test_s7_threshold_is_tight_power_of_ten(spark, sf_dir):
+    row = QUERIES["s7_sql_scripting"](spark, sf_dir).collect()[0]
+    thr = row["threshold"]
+    assert thr > 1 and 10 ** len(str(thr)[1:]) == thr, "power of ten"
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    above = orders.filter(F.col("o_totalprice") > float(thr)).count()
+    assert above == row["n_above"] < 100
+    # tightness: one decade lower still had >= 100 above (loop invariant)
+    assert (
+        orders.filter(F.col("o_totalprice") > float(thr) / 10).count() >= 100
+    )

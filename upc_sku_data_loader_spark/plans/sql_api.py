@@ -209,3 +209,56 @@ def s6_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle lists keys first too."""
     register_views(spark, sf_dir)
     return spark.sql(_S6_PIPE)
+
+
+# --- S7: SQL scripting (BEGIN…END procedural control flow) --------------------
+
+_S7_SCRIPT = """
+BEGIN
+  DECLARE thr DOUBLE DEFAULT 1.0;
+  DECLARE n BIGINT DEFAULT 0;
+  SET n = (SELECT COUNT(*) FROM orders);
+  WHILE n >= 100 DO
+    SET thr = thr * 10.0;
+    SET n = (SELECT COUNT(*) FROM orders WHERE o_totalprice > thr);
+  END WHILE;
+  SELECT CAST(thr AS BIGINT) AS threshold, n AS n_above;
+END
+"""
+
+
+@query(
+    "s7_sql_scripting",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(POWER(10, k) AS DOUBLE) AS thr
+      FROM generate_series(1, 12) AS g(k)
+    ),
+    c AS (
+      SELECT thr,
+             (SELECT COUNT(*) FROM orders WHERE o_totalprice > t.thr) AS n
+      FROM t
+    )
+    SELECT CAST(thr AS BIGINT) AS threshold, n AS n_above
+    FROM c WHERE n < 100 ORDER BY thr LIMIT 1
+    """,
+)
+def s7_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 SQL/PSM, SPARK-48338): a BEGIN…END block
+    with DECLARE'd session variables and a WHILE loop, searching for
+    the smallest power-of-ten price threshold that fewer than 100
+    orders exceed — procedural control flow AROUND distributed
+    queries, the stored-procedure migration surface.
+
+    Each loop iteration's scalar subquery is a full Catalyst-planned
+    distributed COUNT with the predicate pushed to the parquet scan;
+    only the loop variables live on the driver (bounded scalar state,
+    the k42 discipline).  The oracle replays the fixpoint
+    declaratively: first power of ten whose exceed-count drops below
+    100 — proving the loop's exit condition against an engine with no
+    scripting support.  Powers of ten are exact in binary doubles
+    through 1e22, so thr is bit-identical on both paths.
+    """
+    register_views(spark, sf_dir)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(_S7_SCRIPT)
