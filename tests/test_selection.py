@@ -456,3 +456,27 @@ def test_s7_threshold_is_tight_power_of_ten(spark, sf_dir):
     assert (
         orders.filter(F.col("o_totalprice") > float(thr) / 10).count() >= 100
     )
+
+
+# --- k69 BPE encode -----------------------------------------------------------
+
+
+def test_k69_fertility_bounds_and_merge_effect(spark, sf_dir):
+    rows = QUERIES["k69_bpe_encode"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    assert len(rows) == len(docs)
+    chars = {
+        d["doc_id"]: sum(len(w) for w in d["text"].split(" "))
+        for d in docs
+    }
+    words = {d["doc_id"]: len(d["text"].split(" ")) for d in docs}
+    for r in rows:
+        # merges only ever shrink: tokens <= total chars, >= word count
+        assert words[r["doc_id"]] <= r["n_bpe_tokens"] <= chars[r["doc_id"]]
+        assert r["n_words"] == words[r["doc_id"]]
+        assert (
+            r["tokens_per_word_micro"]
+            == 1_000_000 * r["n_bpe_tokens"] // r["n_words"]
+        )
+    # 3 merges must actually compress: corpus-wide tokens < corpus chars
+    assert sum(r["n_bpe_tokens"] for r in rows) < sum(chars.values())

@@ -1457,7 +1457,10 @@ def _bpe_pairs_sql(src: str) -> str:
     """
 
 
-def _bpe_oracle() -> str:
+def _bpe_ctes() -> list[str]:
+    """Shared CTE chain: vocabulary build + the 3 learned-merge stages
+    (s0 … s{_BPE_MERGES}); reused by the k68 (merge report) and k69
+    (corpus encode) oracles."""
     ctes = [
         """
     wf AS (
@@ -1488,6 +1491,11 @@ def _bpe_oracle() -> str:
       FROM s{i - 1}
     )"""
         )
+    return ctes
+
+
+def _bpe_oracle() -> str:
+    ctes = _bpe_ctes()
     ctes.append(f"pfinal AS ({_bpe_pairs_sql(f's{_BPE_MERGES}')})")
     merge_rows = "\n    UNION ALL\n".join(
         f"    SELECT {i} AS stage, l AS sym_left, r AS sym_right, "
@@ -1531,23 +1539,12 @@ def _bpe_pair_counts(state: DataFrame) -> DataFrame:
     )
 
 
-@query("k68_bpe_merges", oracle=_bpe_oracle())
-def k68_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn the first 3 BPE merges over the corpus vocabulary
-    (Sennrich et al. 2016) and report them plus the top-10 remaining
-    pair counts — the tokenizer-training step every LLM data pipeline
-    runs before k12's tokenization can exist.
-
-    Plan per round: ONE keyed (l, r) aggregation over the DISTINCT
-    vocabulary (frequency-weighted — the corpus-scale word count
-    happened once, up front), then a 1-ROW bounded collect of the
-    argmax pair (the k42-kmeans discipline: centroid-sized driver
-    state only) drives a map-only double-delimited replace.  Rounds
-    are O(#merges), each a vocabulary-scale job — at 100 TB the
-    vocabulary relation is sublinear in corpus size (Heaps' law), and
-    a production 32k-merge run would batch this loop with
-    localCheckpoint lineage truncation exactly as k42 does.
-    """
+def _bpe_learn(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple], DataFrame]:
+    """Run the merge-learning loop; returns the chosen merges (as
+    (stage, l, r, cnt, 1) rows) and the post-merge vocabulary state
+    (w, f, seq)."""
     wf = (
         load(spark, sf_dir, "documents")
         .select(F.explode(F.split("text", " ")).alias("w"))
@@ -1575,6 +1572,27 @@ def k68_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         state = state.withColumn(
             "seq", F.replace("seq", F.lit(pat), F.lit(rep))
         )
+    return merges, state
+
+
+@query("k68_bpe_merges", oracle=_bpe_oracle())
+def k68_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 3 BPE merges over the corpus vocabulary
+    (Sennrich et al. 2016) and report them plus the top-10 remaining
+    pair counts — the tokenizer-training step every LLM data pipeline
+    runs before k12's tokenization can exist.
+
+    Plan per round: ONE keyed (l, r) aggregation over the DISTINCT
+    vocabulary (frequency-weighted — the corpus-scale word count
+    happened once, up front), then a 1-ROW bounded collect of the
+    argmax pair (the k42-kmeans discipline: centroid-sized driver
+    state only) drives a map-only double-delimited replace.  Rounds
+    are O(#merges), each a vocabulary-scale job — at 100 TB the
+    vocabulary relation is sublinear in corpus size (Heaps' law), and
+    a production 32k-merge run would batch this loop with
+    localCheckpoint lineage truncation exactly as k42 does.
+    """
+    merges, state = _bpe_learn(spark, sf_dir)
     merge_df = spark.createDataFrame(
         merges, "stage int, sym_left string, sym_right string, "
         "pair_count bigint, rk int"
@@ -1600,3 +1618,72 @@ def k68_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merge_df.unionByName(final)
+
+
+# --- K69: BPE encoding of the corpus with the learned merges ------------------
+
+
+def _bpe_encode_oracle() -> str:
+    ctes = _bpe_ctes()
+    return f"""
+    WITH {','.join(ctes)},
+    wn AS (
+      SELECT w,
+             len(string_split(substr(seq, 2, length(seq) - 2), '||'))
+               AS nsym
+      FROM s{_BPE_MERGES}
+    ),
+    wtok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_words,
+           SUM(wn.nsym) AS n_bpe_tokens,
+           (1000000 * SUM(wn.nsym)) // COUNT(*) AS tokens_per_word_micro
+    FROM wtok t JOIN wn ON wn.w = t.w
+    GROUP BY t.doc_id
+    """
+
+
+@query("k69_bpe_encode", oracle=_bpe_encode_oracle())
+def k69_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: encode every document with the 3-merge
+    BPE vocabulary k68 learned, reporting per-doc word count, BPE
+    token count, and integer-micro tokens-per-word (the fertility
+    metric tokenizer evaluations track) — closing the loop from
+    tokenizer training (k68) to the token-counting surface (k12/k46)
+    that budgets real pretraining runs.
+
+    Plan: the merge loop runs on the DISTINCT vocabulary (k68, bounded
+    1-row collects), then encoding is a BROADCAST hash join of the
+    corpus token stream against the (word → symbol count) vocabulary —
+    the token stream never re-tokenizes per document, and the only
+    data-scale shuffle is the per-doc agg.  Fertility is integer
+    micro-units (`div` ≡ `//`), no floats anywhere.
+    """
+    _, state = _bpe_learn(spark, sf_dir)
+    wn = state.select(
+        "w",
+        F.size(
+            F.split(F.expr("substr(seq, 2, length(seq) - 2)"), r"\|\|")
+        ).alias("nsym"),
+    )
+    wtok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    return (
+        wtok.join(F.broadcast(wn), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("nsym").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            F.expr("(1000000 * n_bpe_tokens) div n_words").alias(
+                "tokens_per_word_micro"
+            ),
+        )
+    )
