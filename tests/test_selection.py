@@ -480,3 +480,27 @@ def test_k69_fertility_bounds_and_merge_effect(spark, sf_dir):
         )
     # 3 merges must actually compress: corpus-wide tokens < corpus chars
     assert sum(r["n_bpe_tokens"] for r in rows) < sum(chars.values())
+
+
+# --- a22 managed catalog table ------------------------------------------------
+
+
+def test_a22_catalog_metadata_and_idempotent_rerun(spark, sf_dir):
+    out1 = {
+        (r["l_returnflag"], r["n_lines"])
+        for r in QUERIES["a22_managed_table"](spark, sf_dir).collect()
+    }
+    # rerun must not double-append (DROP + location clear up front)
+    out2 = {
+        (r["l_returnflag"], r["n_lines"])
+        for r in QUERIES["a22_managed_table"](spark, sf_dir).collect()
+    }
+    assert out1 == out2
+    from pathlib import Path
+
+    tag = (Path(sf_dir).name or "sf").replace(".", "_")
+    tbl = f"engine_cat.lineitem_rf_{tag}"
+    assert spark.catalog.tableExists(tbl)
+    parts = spark.sql(f"SHOW PARTITIONS {tbl}").collect()
+    flags = {p[0].split("=")[1] for p in parts}
+    assert flags == {"R", "A"}, "partition metadata lives in the catalog"

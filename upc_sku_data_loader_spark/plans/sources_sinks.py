@@ -1681,3 +1681,77 @@ def a21_parquet_bloom_write(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_quantity").alias("sum_qty"),
         )
     )
+
+
+# --- A22: managed catalog table (saveAsTable / INSERT INTO / spark.table) -----
+
+
+@query(
+    "a22_managed_table",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+             AS sum_qty_dec
+    FROM lineitem
+    WHERE l_returnflag IN ('R', 'A')
+    GROUP BY l_returnflag
+    """,
+)
+def a22_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Managed CATALOG table lifecycle — the metastore-backed surface
+    next to the path-based reads every other A-op uses: CREATE
+    DATABASE, `saveAsTable` (managed parquet, partitioned), `INSERT
+    INTO … SELECT` appending a second slice through the catalog, then
+    a `spark.table` read back.
+
+    Why it matters at scale: catalog tables carry schema + partition
+    metadata in the metastore, so readers resolve partitions without
+    listing the filesystem (the 100 TB directory-listing tax), INSERT
+    INTO routes through the same partition layout, and dropping the
+    table reclaims the data (managed semantics).  DROP TABLE IF EXISTS
+    up front makes the whole op idempotent — reruns can't double-append.
+
+    The value contract: catalog round-trip ≡ filtering the source
+    directly (decimal-exact sums).
+    """
+    tag = (Path(sf_dir).name or "sf").replace(".", "_")
+    db, tbl = "engine_cat", f"engine_cat.lineitem_rf_{tag}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    # the default in-memory catalog forgets tables between sessions while
+    # their warehouse directories persist — clear the location too, or a
+    # rerun in a fresh session hits LOCATION_ALREADY_EXISTS
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    shutil.rmtree(
+        Path(wh) / f"{db}.db" / f"lineitem_rf_{tag}", ignore_errors=True
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    (
+        li.filter(F.col("l_returnflag") == "R")
+        .write.format("parquet")
+        .partitionBy("l_returnflag")
+        .saveAsTable(tbl)
+    )
+    li.filter(F.col("l_returnflag") == "A").createOrReplaceTempView(
+        f"a22_src_{tag}"
+    )
+    spark.sql(
+        f"INSERT INTO {tbl} "
+        f"SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag "
+        f"FROM a22_src_{tag}"
+    )
+    return (
+        spark.table(tbl)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_qty_dec"),
+        )
+    )
