@@ -49,6 +49,9 @@ DEFAULT = [
     "k68_bpe_merges",
     "c15_join_fuzzy",
     "t10_cusum_changepoint",
+    "k64_ccnet_buckets",
+    "k69_bpe_encode",
+    "d22_count_min_sketch",
 ]
 
 
