@@ -504,3 +504,94 @@ def test_a22_catalog_metadata_and_idempotent_rerun(spark, sf_dir):
     parts = spark.sql(f"SHOW PARTITIONS {tbl}").collect()
     flags = {p[0].split("=")[1] for p in parts}
     assert flags == {"R", "A"}, "partition metadata lives in the catalog"
+
+
+# --- e11 ignore-nulls navigation ---------------------------------------------
+
+
+def test_e11_prev_observed_skips_error_rows(spark, sf_dir):
+    rows = QUERIES["e11_win_ignore_nulls"](spark, sf_dir).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    for rs in by_user.values():
+        rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        observed = []
+        for r in rs:
+            assert r["prev_observed"] == (observed[-1] if observed else None)
+            assert r["second_observed"] == (
+                observed[1] if len(observed) >= 2 else None
+            ) or (
+                r["v"] is not None
+                and len(observed) == 1
+                and r["second_observed"] == r["v"]
+            )
+            if r["v"] is not None:
+                observed.append(r["v"])
+
+
+# --- a23 recursive glob read --------------------------------------------------
+
+
+def test_a23_sidecar_ignored_and_tree_complete(spark, sf_dir):
+    out = {
+        (r["l_returnflag"], r["n_lines"])
+        for r in QUERIES["a23_glob_recursive_read"](spark, sf_dir).collect()
+    }
+    direct = {
+        (r["l_returnflag"], r["n"])
+        for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_returnflag").isin("R", "N"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert out == direct
+    # the planted sidecar exists and would crash a naive read
+    from upc_sku_data_loader_spark.plans.sources_sinks import _scratch
+    from pathlib import Path
+
+    assert (Path(_scratch(sf_dir, "lineitem_tree")) / "batch=1"
+            / "manifest.json").exists()
+
+
+# --- etl10 lambda merge -------------------------------------------------------
+
+
+def test_etl10_layers_disjoint_and_complete(spark, sf_dir):
+    rows = QUERIES["etl10_lambda_merge"](spark, sf_dir).collect()
+    days = defaultdict(set)
+    for r in rows:
+        days[r["day"]].add(r["layer"])
+    assert all(len(layers) == 1 for layers in days.values()), (
+        "a day must come from exactly one layer"
+    )
+    assert {r["layer"] for r in rows} == {"batch", "speed"}
+    total = sum(r["n_events"] for r in rows)
+    assert total == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    speed_days = {r["day"] for r in rows if r["layer"] == "speed"}
+    assert len(speed_days) <= 3, "speed layer serves only the hot tail"
+
+
+# --- k70 contrastive triplets -------------------------------------------------
+
+
+def test_k70_triplet_integrity(spark, sf_dir):
+    import hashlib
+
+    rows = QUERIES["k70_contrastive_triplets"](spark, sf_dir).collect()
+    docs = {
+        d["doc_id"]: d["text"].split(" ")
+        for d in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    assert rows
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    for r in rows:
+        t = docs[r["doc_id"]]
+        n = len(t)
+        assert n == r["n_tokens"] >= 4
+        assert r["query_md5"] == md5(" ".join(t[: n // 2]))
+        assert r["pos_md5"] == md5(" ".join(t[n // 2 :]))
+        assert r["neg_doc_id"] != r["doc_id"], "negative is never the anchor"
+        nt = docs[r["neg_doc_id"]]
+        assert r["neg_md5"] == md5(" ".join(nt[len(nt) // 2 :]))

@@ -475,3 +475,129 @@ def k64_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("head")
         .alias("bucket"),
     )
+
+
+# --- K70: contrastive (query, positive, negative) triplet mining --------------
+
+_ICT_BUCKETS = 64
+
+
+@query(
+    "k70_contrastive_triplets",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    halves AS (
+      SELECT doc_id, n,
+             md5(array_to_string(t[1:n // 2], ' ')) AS query_md5,
+             md5(array_to_string(t[n // 2 + 1:n], ' ')) AS pos_md5,
+             CAST(('0x' || substr(md5('b:' || CAST(doc_id AS VARCHAR)),
+                                  1, 4)) AS INT) % {_ICT_BUCKETS} AS b,
+             1 + CAST(('0x' || substr(md5('o:' || CAST(doc_id AS VARCHAR)),
+                                      1, 4)) AS INT)
+                 % ({_ICT_BUCKETS} - 1) AS off
+      FROM d WHERE n >= 4
+    ),
+    reps AS (
+      SELECT b, MIN(doc_id) AS rep_id FROM halves GROUP BY b
+    ),
+    repctx AS (
+      SELECT r.b, r.rep_id,
+             md5(array_to_string(d.t[d.n // 2 + 1:d.n], ' ')) AS rep_md5
+      FROM reps r JOIN d ON d.doc_id = r.rep_id
+    )
+    SELECT h.doc_id, h.n AS n_tokens, h.query_md5, h.pos_md5,
+           rc.rep_id AS neg_doc_id, rc.rep_md5 AS neg_md5
+    FROM halves h
+    JOIN repctx rc ON rc.b = (h.b + h.off) % {_ICT_BUCKETS}
+    """,
+)
+def k70_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse Cloze Task triplet mining (Lee et al. 2019,
+    arXiv:1906.00300): for each document, the first half is the QUERY,
+    the second half the POSITIVE context, and a deterministically
+    drawn other document's context the NEGATIVE — the (q, d+, d-)
+    layout retrieval/embedding training consumes.
+
+    Negatives avoid any global numbering (a row_number over the corpus
+    would single-partition-sort at scale): docs hash into 64 md5
+    buckets, each bucket elects a min-id representative (a 64-row
+    broadcast table), and each anchor pairs with the representative of
+    a DIFFERENT md5-offset bucket (offset ∈ [1, 63] can never be 0, so
+    the negative is never the anchor's own bucket).  Texts travel as
+    md5 digests, not bodies — the shuffle carries 32-byte keys.
+
+    Plan: map-only halves/digests → one 64-row agg + broadcast join.
+    RNG-free throughout (md5-derived bucket and offset).
+    """
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") >= 4)
+    )
+
+    def _h(prefix: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix), F.col("doc_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+
+    halves = d.select(
+        "doc_id",
+        "n",
+        F.md5(
+            F.array_join(
+                F.slice(F.col("t"), 1, F.expr("n div 2")), " "
+            ).cast("binary")
+        ).alias("query_md5"),
+        F.md5(
+            F.array_join(
+                F.expr("slice(t, n div 2 + 1, n - n div 2)"), " "
+            ).cast("binary")
+        ).alias("pos_md5"),
+        (_h("b:") % _ICT_BUCKETS).alias("b"),
+        (1 + _h("o:") % (_ICT_BUCKETS - 1)).alias("off"),
+    )
+    reps = (
+        halves.groupBy("b")
+        .agg(F.min("doc_id").alias("rep_id"))
+        .withColumnRenamed("b", "nb")
+    )
+    repctx = reps.join(
+        d.select(
+            F.col("doc_id").alias("rep_id"),
+            F.md5(
+                F.array_join(
+                    F.expr("slice(t, n div 2 + 1, n - n div 2)"), " "
+                ).cast("binary")
+            ).alias("rep_md5"),
+        ),
+        "rep_id",
+    )
+    return (
+        halves.join(
+            F.broadcast(repctx),
+            F.col("nb") == (F.col("b") + F.col("off")) % _ICT_BUCKETS,
+        )
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            "query_md5",
+            "pos_md5",
+            F.col("rep_id").alias("neg_doc_id"),
+            F.col("rep_md5").alias("neg_md5"),
+        )
+    )

@@ -1755,3 +1755,133 @@ def a22_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_qty_dec"),
         )
     )
+
+
+# --- A23: recursive + glob-filtered directory scan ----------------------------
+
+
+@query(
+    "a23_glob_recursive_read",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE l_returnflag IN ('R', 'N')
+    GROUP BY l_returnflag
+    """,
+)
+def a23_glob_recursive_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-tree ingestion with `recursiveFileLookup` +
+    `pathGlobFilter`: the landing-zone layout real pipelines inherit —
+    data files scattered across nested subdirectories that are NOT
+    hive partitions, with sidecar junk (_SUCCESS markers, manifests,
+    logs) interleaved.
+
+    The write stage builds exactly that: two nested non-hive subdirs
+    (`batch=.../region=...`) plus a planted `manifest.json` sidecar.
+    The read must (a) descend recursively since the layout carries no
+    partition semantics, and (b) glob-select `*.parquet` so the
+    sidecar never reaches the reader — at 100 TB sidecar-tolerant
+    globbing is the difference between a working load and a daily
+    schema-inference crash.  Value contract: tree scan ≡ filtering
+    the flat source.
+    """
+    base = Path(_scratch(sf_dir, "lineitem_tree"))
+    shutil.rmtree(base, ignore_errors=True)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_returnflag"
+    )
+    for flag, sub in (("R", "batch=1/region=east"), ("N", "batch=2/region=west")):
+        (
+            li.filter(F.col("l_returnflag") == flag)
+            .write.mode("overwrite")
+            .parquet(str(base / sub))
+        )
+    (base / "batch=1" / "manifest.json").write_text(
+        '{"files": "not-data", "note": "sidecar must be ignored"}'
+    )
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(base))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+# --- ETL10: lambda-architecture merge (batch layer + speed layer) -------------
+
+
+@query(
+    "etl10_lambda_merge",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('day', MAX(ts)) AS DATE) - 2 AS cutoff
+      FROM events
+    ),
+    batch AS (
+      SELECT CAST(date_trunc('day', e.ts) AS DATE) AS day,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE) AS total,
+             'batch' AS layer
+      FROM events e, bounds b
+      WHERE CAST(date_trunc('day', e.ts) AS DATE) < b.cutoff
+      GROUP BY 1
+    ),
+    speed AS (
+      SELECT CAST(date_trunc('day', e.ts) AS DATE) AS day,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE) AS total,
+             'speed' AS layer
+      FROM events e, bounds b
+      WHERE CAST(date_trunc('day', e.ts) AS DATE) >= b.cutoff
+      GROUP BY 1
+    )
+    SELECT * FROM batch
+    UNION ALL
+    SELECT * FROM speed
+    """,
+)
+def etl10_lambda_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda-architecture serving merge: the precomputed BATCH layer
+    (days strictly before the cutoff — in production, a nightly
+    parquet/OLAP rollup) unioned with the SPEED layer (the hot tail
+    after the cutoff, aggregated on demand — in production, the
+    streaming state store), each row tagged with its provenance so a
+    serving query can tell recomputed history from live estimates.
+
+    The cutoff derives from the data (max day − 2), so the op replays
+    identically on any fixture generation.  Both layers are one keyed
+    day-agg each over DISJOINT predicate-pushed slices of the scan —
+    the union never double-counts (pytest-pinned), and at 100 TB the
+    batch slice is the only full-history pass while the speed slice
+    reads two days.
+    """
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.date_sub(
+        F.expr("CAST(date_trunc('day', max_ts) AS DATE)"), 2
+    )
+    bounds = ev.agg(F.max("ts").alias("max_ts")).select(
+        cutoff.alias("cutoff")
+    )
+    day = F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("day")
+    tagged = ev.select(day, "value").crossJoin(F.broadcast(bounds))
+
+    def layer(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("day").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total"),
+        ).withColumn("layer", F.lit(name))
+
+    batch = layer(tagged.filter(F.col("day") < F.col("cutoff")), "batch")
+    speed = layer(tagged.filter(F.col("day") >= F.col("cutoff")), "speed")
+    return batch.unionByName(speed)

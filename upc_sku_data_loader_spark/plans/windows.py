@@ -326,3 +326,61 @@ def e10_win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DOUBLE)"
         ).alias("sum_1h"),
     )
+
+
+# --- E11: IGNORE NULLS navigation functions -----------------------------------
+# lag(... ) IGNORE NULLS / nth_value(..., n) IGNORE NULLS: the sparse-
+# series navigation surface — "previous OBSERVED reading", not
+# "previous row" — which is how sensor/price series with missing
+# readings are actually walked (t6's interpolation uses the same
+# primitive internally; this pins the user-facing form).
+
+
+@query(
+    "e11_win_ignore_nulls",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT user_id, ts, event_id, v,
+           lag(v IGNORE NULLS) OVER w AS prev_observed,
+           nth_value(v, 2 IGNORE NULLS) OVER (
+             w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS second_observed
+    FROM p
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def e11_win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS navigation: per-user previous OBSERVED value
+    (lag ... IGNORE NULLS skips rows whose reading is missing — here
+    'error' events carry no valid reading) and the second observed
+    value in the running frame (nth_value ... IGNORE NULLS).
+
+    Semantics verified identical Spark ↔ DuckDB on a planted
+    null-pattern frame (measured; both engines implement the ANSI
+    IGNORE NULLS clause).  One user-keyed shuffle; both navigation
+    functions ride the same WindowExec pass.
+    """
+    register = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    register.createOrReplaceTempView("e11_p")
+    return spark.sql(
+        """
+        SELECT user_id, ts, event_id, v,
+               lag(v) IGNORE NULLS OVER w AS prev_observed,
+               nth_value(v, 2) IGNORE NULLS OVER w2 AS second_observed
+        FROM e11_p
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """
+    )
