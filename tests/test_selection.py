@@ -595,3 +595,23 @@ def test_k70_triplet_integrity(spark, sf_dir):
         assert r["neg_doc_id"] != r["doc_id"], "negative is never the anchor"
         nt = docs[r["neg_doc_id"]]
         assert r["neg_md5"] == md5(" ".join(nt[len(nt) // 2 :]))
+
+
+# --- b14 sentinel normalization -----------------------------------------------
+
+
+def test_b14_rescue_accounting(spark, sf_dir):
+    rows = QUERIES["b14_sentinel_normalize"](spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_rows"] for r in rows) == n_docs
+    null_row = next(r for r in rows if r["source_norm"] == "∅NULL")
+    # doc_id % 7 in {0,1,2} plants a pure sentinel
+    expected_nulled = sum(1 for i in range(n_docs) if i % 7 in (0, 1, 2))
+    assert null_row["n_nulled"] == null_row["n_rows"] == expected_nulled
+    # %7==3 rows are whitespace-padded, rescued by TRIM into real values
+    assert sum(r["n_trimmed"] for r in rows) == sum(
+        1 for i in range(n_docs) if i % 7 == 3
+    )
+    for r in rows:
+        if r["source_norm"] != "∅NULL":
+            assert r["source_norm"] == r["source_norm"].strip() != ""

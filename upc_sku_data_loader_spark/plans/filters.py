@@ -467,3 +467,91 @@ def b13_gtin_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             body13, gtin_check_digit(body13, 13).cast("string")
         ).alias("gtin14_case"),
     )
+
+
+# --- B14: sentinel-value normalization ----------------------------------------
+# Real feeds encode "missing" a dozen ways ('', 'N/A', 'NULL', '-',
+# whitespace padding) and none of them is SQL NULL; every aggregate,
+# join, and distinct over such a column silently fragments.  The
+# fixture column is clean, so the op first plants the sentinels
+# deterministically (doc_id mod 7 — identical on both engines), then
+# normalizes: TRIM, case-insensitive sentinel→NULL, and reports the
+# rescue accounting a data-quality dashboard shows.
+
+
+@query(
+    "b14_sentinel_normalize",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE doc_id % 7
+               WHEN 0 THEN ''
+               WHEN 1 THEN 'N/A'
+               WHEN 2 THEN 'NULL'
+               WHEN 3 THEN ' ' || source || ' '
+               ELSE source
+             END AS raw
+      FROM documents
+    ),
+    norm AS (
+      SELECT doc_id, raw,
+             CASE WHEN trim(raw) = '' OR upper(trim(raw)) IN ('N/A', 'NULL', '-')
+                  THEN NULL ELSE trim(raw) END AS source_norm
+      FROM planted
+    )
+    SELECT COALESCE(source_norm, '∅NULL') AS source_norm,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN source_norm IS NULL THEN 1 ELSE 0 END) AS n_nulled,
+           SUM(CASE WHEN source_norm IS NOT NULL AND raw <> source_norm
+                    THEN 1 ELSE 0 END) AS n_trimmed
+    FROM norm
+    GROUP BY 1
+    """,
+)
+def b14_sentinel_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentinel-value normalization: TRIM + case-insensitive mapping of
+    the missing-data zoo ('', 'N/A', 'NULL', '-') to real SQL NULL,
+    with rescue accounting (how many rows were nulled vs merely
+    de-padded) per surviving value — the cleanup without which
+    aggregates and joins fragment into phantom groups.
+
+    Map-only scan + one keyed agg; the sentinel set is a fixed literal
+    list (whole-stage codegen, no UDF).  The planted-junk construction
+    is part of the contract so both engines clean identical input.
+    """
+    d = load(spark, sf_dir, "documents")
+    raw = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit(""))
+        .when(F.col("doc_id") % 7 == 1, F.lit("N/A"))
+        .when(F.col("doc_id") % 7 == 2, F.lit("NULL"))
+        .when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(F.lit(" "), F.col("source"), F.lit(" ")),
+        )
+        .otherwise(F.col("source"))
+    )
+    planted = d.select("doc_id", raw.alias("raw"))
+    trimmed = F.trim(F.col("raw"))
+    norm = planted.withColumn(
+        "source_norm",
+        F.when(
+            (trimmed == "")
+            | F.upper(trimmed).isin("N/A", "NULL", "-"),
+            None,
+        ).otherwise(trimmed),
+    )
+    return norm.groupBy(
+        F.coalesce(F.col("source_norm"), F.lit("∅NULL")).alias("source_norm")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("source_norm").isNull(), 1).otherwise(0)
+        ).alias("n_nulled"),
+        F.sum(
+            F.when(
+                F.col("source_norm").isNotNull()
+                & (F.col("raw") != F.col("source_norm")),
+                1,
+            ).otherwise(0)
+        ).alias("n_trimmed"),
+    )
