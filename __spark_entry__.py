@@ -43,6 +43,17 @@ FLAGSHIP = "d1_agg_hash_grouped"  # TPC-H Q1-style pricing summary (SURVEY §7 P
 # (each has a hash-checked twin registered: k14b_simhash_md5 /
 # k16b_ann_ivf_seeded / i12-i15 batch-oracled kin).  New round-5
 # operators are inserted into the tail as they land, displacing fills.
+#
+# Round-6 rotation TODO (after this round's CORRECTNESS lands): swap in
+# the late-round-5 batch, all parity-green but never driver-windowed —
+# k62_cluster_best_keeper k63_dsir_importance k64_ccnet_buckets
+# k67_span_corruption k68_bpe_merges k69_bpe_encode
+# k70_contrastive_triplets t10_cusum_changepoint etl9_late_dim_backfill
+# etl10_lambda_merge a21_parquet_bloom_write a22_managed_table
+# a23_glob_recursive_read c15_join_fuzzy d22_count_min_sketch
+# f5_keyset_pagination j10_pandas_iter_udf s7_sql_scripting
+# e11_win_ignore_nulls b14_sentinel_normalize — plus whatever r4/r5
+# driver artifacts flag red.
 _PRIORITY = [
     # never driver-windowed: deferred composite B-half
     "q16_supplier_part_counts", "q19_disjunctive_predicates",
