@@ -1195,3 +1195,87 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+# --- Q23: market-basket brand affinity (support / confidence / lift) ----------
+
+
+@query(
+    "q23_basket_lift",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM baskets),
+    brand_cnt AS (
+      SELECT brand, COUNT(*) AS cnt FROM baskets GROUP BY brand
+    ),
+    pair_cnt AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS pair_orders
+      FROM baskets a JOIN baskets b
+        ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    )
+    SELECT pc.brand_a, pc.brand_b, pc.pair_orders,
+           (1000000 * pc.pair_orders) // n.n_orders AS support_micro,
+           (1000000 * pc.pair_orders) // ca.cnt AS confidence_micro,
+           (1000000 * pc.pair_orders * n.n_orders) // (ca.cnt * cb.cnt)
+             AS lift_micro
+    FROM pair_cnt pc
+    CROSS JOIN n
+    JOIN brand_cnt ca ON ca.brand = pc.brand_a
+    JOIN brand_cnt cb ON cb.brand = pc.brand_b
+    WHERE pc.pair_orders >= 20
+    """,
+)
+def q23_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association metrics over order/brand baskets:
+    support, confidence and lift per co-ordered brand pair, in integer
+    micro-units (both engines' integer division truncates identically,
+    so the output is hash-exact with no float discipline needed).
+
+    Shape: ONE keyed self-join on the basket key generates pair
+    occurrences (fan-out bounded by per-order distinct-brand count —
+    small constant per basket, never corpus-squared), then a keyed
+    count; the per-brand counts and the scalar order total are
+    broadcast back onto the pair table.  At 100 TB this is the standard
+    two-round apriori support/lift computation: every shuffle is keyed
+    by basket or brand, and the minimum-support filter keeps the output
+    tractable."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = baskets.select(
+        F.countDistinct("okey").alias("n_orders")
+    )
+    brand_cnt = baskets.groupBy("brand").agg(F.count(F.lit(1)).alias("cnt"))
+    a = baskets.select("okey", F.col("brand").alias("brand_a"))
+    b = baskets.select(F.col("okey").alias("okey_b"), F.col("brand").alias("brand_b"))
+    pair_cnt = (
+        a.join(b, (F.col("okey") == F.col("okey_b")) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+        .filter(F.col("pair_orders") >= 20)
+    )
+    ca = brand_cnt.select(F.col("brand").alias("brand_a"), F.col("cnt").alias("cnt_a"))
+    cb = brand_cnt.select(F.col("brand").alias("brand_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pair_cnt.crossJoin(F.broadcast(n_orders))
+        .join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_orders",
+            F.expr("(1000000 * pair_orders) div n_orders").alias("support_micro"),
+            F.expr("(1000000 * pair_orders) div cnt_a").alias("confidence_micro"),
+            F.expr("(1000000 * pair_orders * n_orders) div (cnt_a * cnt_b)").alias(
+                "lift_micro"
+            ),
+        )
+    )

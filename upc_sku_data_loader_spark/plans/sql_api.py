@@ -262,3 +262,82 @@ def s7_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     spark.conf.set("spark.sql.scripting.enabled", "true")
     return spark.sql(_S7_SCRIPT)
+
+
+# --- S8: SQL-defined functions (scalar UDF + table-valued UDF) ----------------
+
+# The function BODIES are the shared contract: the oracle inlines the
+# identical expression text, so both engines evaluate the same
+# arithmetic tree (doubles, correctly rounded per op) before the single
+# terminal rounding.
+_S8_NET_EXPR = "l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)"
+
+_S8_ORACLE = f"""
+WITH per_line AS (
+  SELECT l_orderkey, {_S8_NET_EXPR} AS net
+  FROM lineitem WHERE l_quantity >= 30
+),
+buckets AS (
+  SELECT l_orderkey,
+         COUNT(*) AS n_lines,
+         CAST(ROUND(SUM(CAST(net AS DECIMAL(30,6))), 2) AS DOUBLE)
+           AS order_net
+  FROM per_line GROUP BY l_orderkey
+)
+SELECT CAST(FLOOR(order_net / 10000.0) AS BIGINT) AS net_bucket_10k,
+       COUNT(*) AS n_orders,
+       SUM(n_lines) AS n_lines
+FROM buckets
+GROUP BY net_bucket_10k
+"""
+
+
+@query("s8_sql_udf", oracle=_S8_ORACLE)
+def s8_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined functions (Spark 4 SQL UDFs, SPARK-46246): a scalar
+    ``CREATE TEMPORARY FUNCTION … RETURNS DOUBLE RETURN expr`` computing
+    the net line price, and a table-valued
+    ``RETURNS TABLE … RETURN SELECT`` wrapping the qualifying-lines
+    scan, composed in one query — the catalog-function migration path
+    for warehouses whose business logic lives in SQL UDFs rather than
+    application code.
+
+    SQL UDFs are inlined into the calling plan at analysis time (no
+    serialization boundary, unlike J1's Python UDF): `.explain` shows
+    the same pushed parquet filter and whole-stage codegen as writing
+    the expression inline, which is exactly what the oracle does — the
+    parity hash certifies the inlining is semantics-preserving.  Sum
+    via per-row DECIMAL cast (order-independent, exact), one terminal
+    2-dp round; the 10k bucketing floor is exact on both engines.
+    """
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION s8_net(l_extendedprice DOUBLE, "
+        "l_discount DOUBLE, l_tax DOUBLE) RETURNS DOUBLE "
+        f"RETURN {_S8_NET_EXPR}"
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION s8_qualifying_lines(min_qty DOUBLE)
+        RETURNS TABLE(l_orderkey BIGINT, net DOUBLE)
+        RETURN SELECT l_orderkey,
+                      s8_net(l_extendedprice, l_discount, l_tax) AS net
+               FROM lineitem WHERE l_quantity >= min_qty
+        """
+    )
+    return spark.sql(
+        """
+        WITH buckets AS (
+          SELECT l_orderkey,
+                 COUNT(*) AS n_lines,
+                 CAST(ROUND(SUM(CAST(net AS DECIMAL(30,6))), 2) AS DOUBLE)
+                   AS order_net
+          FROM s8_qualifying_lines(30.0) GROUP BY l_orderkey
+        )
+        SELECT CAST(FLOOR(order_net / 10000.0) AS BIGINT) AS net_bucket_10k,
+               COUNT(*) AS n_orders,
+               SUM(n_lines) AS n_lines
+        FROM buckets
+        GROUP BY net_bucket_10k
+        """
+    )

@@ -865,3 +865,110 @@ def t10_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(cusum div n AS BIGINT)").alias("cusum_over_n"),
         F.expr("CAST(8 * mad_n div n AS BIGINT)").alias("thr_over_n"),
     )
+
+
+# --- T11: Holt linear-trend exponential smoothing -----------------------------
+
+# Shared coefficient literals: both engines parse the identical decimal
+# text to the identical nearest double, and the recurrences below apply
+# the identical operation tree, so level/trend match bit-for-bit before
+# the single terminal rounding.
+_HOLT_ALPHA = "0.5"  # level smoothing (exact double)
+_HOLT_BETA = "0.3"  # trend smoothing
+_HOLT_1MB = "0.7"  # 1 - beta, as its own literal (never computed)
+
+
+@query(
+    "t11_holt_trend",
+    oracle=f"""
+    WITH RECURSIVE p AS (
+      SELECT user_id, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events WHERE event_type = 'purchase'
+    ),
+    holt AS (
+      SELECT user_id, rn, ts, event_id, value,
+             value AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM p WHERE rn = 1
+      UNION ALL
+      SELECT p.user_id, p.rn, p.ts, p.event_id, p.value,
+             {_HOLT_ALPHA} * p.value + {_HOLT_ALPHA} * (h.l + h.b),
+             {_HOLT_BETA} * (({_HOLT_ALPHA} * p.value
+                              + {_HOLT_ALPHA} * (h.l + h.b)) - h.l)
+               + {_HOLT_1MB} * h.b
+      FROM holt h JOIN p ON p.user_id = h.user_id AND p.rn = h.rn + 1
+    )
+    SELECT user_id, ts, event_id, rn, value,
+           CAST(ROUND(l * 1000000) AS BIGINT) AS level_micro,
+           CAST(ROUND(b * 1000000) AS BIGINT) AS trend_micro,
+           CAST(ROUND((l + b) * 1000000) AS BIGINT) AS forecast_micro
+    FROM holt
+    """,
+)
+def t11_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per user purchase
+    stream (Holt 1957; the `ETS(A,A,N)` state recursion): level
+    l_t = α·y_t + (1-α)(l_{{t-1}} + b_{{t-1}}), trend
+    b_t = β(l_t - l_{{t-1}}) + (1-β)b_{{t-1}}, initialized l_1 = y_1,
+    b_1 = 0.
+
+    The recurrence is inherently sequential per key — not a window
+    function (each step feeds the next through TWO coupled states, so no
+    finite-kernel rewrite exists, unlike t8's EWMA) — so this is the
+    canonical `applyInPandas` shape: ONE shuffle on user_id, then a
+    per-key in-memory scan.  The oracle runs the identical operation
+    tree as a DuckDB recursive CTE; both engines do correctly-rounded
+    IEEE double ops in the same order, so l/b agree bit-for-bit and the
+    terminal micro-unit rounding (HALF_UP in both) is hash-exact.
+
+    Scale: at 100 TB this partitions by user exactly like t5/t8; state
+    per key is two doubles.  A key whose history exceeds executor memory
+    would switch to chunked iteration over sorted per-user spills —
+    applyInPandas already feeds groups whole, which is the right
+    granularity for bounded per-entity streams."""
+    import pandas as pd
+
+    def _holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        alpha, beta, one_m_beta = 0.5, 0.3, 0.7
+        levels: list[float] = []
+        trends: list[float] = []
+        l = b = 0.0
+        for i, y in enumerate(pdf["value"]):
+            y = float(y)
+            if i == 0:
+                l, b = y, 0.0
+            else:
+                l_new = alpha * y + alpha * (l + b)
+                b = beta * (l_new - l) + one_m_beta * b
+                l = l_new
+            levels.append(l)
+            trends.append(b)
+        pdf["rn"] = range(1, len(pdf) + 1)
+        pdf["l"] = levels
+        pdf["b"] = trends
+        return pdf
+
+    purchases = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+    )
+    smoothed = purchases.groupBy("user_id").applyInPandas(
+        _holt,
+        schema=(
+            "user_id bigint, ts timestamp_ntz, event_id bigint, "
+            "value double, rn bigint, l double, b double"
+        ),
+    )
+    return smoothed.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "rn",
+        "value",
+        F.expr("CAST(ROUND(l * 1000000) AS BIGINT)").alias("level_micro"),
+        F.expr("CAST(ROUND(b * 1000000) AS BIGINT)").alias("trend_micro"),
+        F.expr("CAST(ROUND((l + b) * 1000000) AS BIGINT)").alias("forecast_micro"),
+    )
