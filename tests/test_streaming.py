@@ -168,3 +168,29 @@ def test_a16b_stream_source_is_streaming_and_tiles(spark, sf_dir):
     out = QUERIES["a16b_python_stream_source"](spark, sf_dir).collect()
     assert sum(r["n"] for r in out) == 2000
     assert sum(r["sum_seq"] for r in out) == 2000 * 1999 // 2
+
+
+# --- i16 streaming left-outer join ---------------------------------------------
+
+
+def test_i16_outer_join_emission_contract(spark, sf_dir):
+    """Matched pairs + evicted unmatched rows; no purchase appears with
+    both a null and a non-null click (append-mode no-dup invariant)."""
+    from pyspark.sql import functions as F
+
+    from upc_sku_data_loader_spark.registry import QUERIES
+
+    out = QUERIES["i16_stream_outer_join"](spark, sf_dir)
+    agg = (
+        out.groupBy("purchase_id")
+        .agg(
+            F.sum(F.when(F.col("click_id").isNull(), 1).otherwise(0)).alias("nulls"),
+            F.sum(F.when(F.col("click_id").isNotNull(), 1).otherwise(0)).alias("hits"),
+        )
+        .collect()
+    )
+    assert agg, "stream produced no rows"
+    for r in agg:
+        # a purchase emits EITHER its matches OR one null row, never both
+        assert (r["nulls"] == 0) != (r["hits"] == 0) or r["nulls"] + r["hits"] == 1
+        assert r["nulls"] <= 1

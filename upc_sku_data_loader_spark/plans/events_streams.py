@@ -476,3 +476,104 @@ def i15_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(f"i15_dedup_{tag}").select("event_id", "event_type", "user_id")
+
+
+# --- I16: TRUE streaming stream-stream LEFT OUTER join ------------------------
+#
+# Emission contract (this is what makes a streaming outer join
+# value-hash-checkable): matched pairs emit immediately; an UNMATCHED
+# left row emits its null-joined result only when the global watermark
+# passes its state-retention bound (here: the purchase's own event
+# time, since the time condition caps matching clicks at c_ts <= p_ts).
+# Spark tracks watermarks in MILLISECONDS (floor of the µs event time)
+# and takes the min across both inputs, and eviction is strict
+# (p_ts < watermark), so with delay 0 the emitted set is exactly:
+#   matched ∪ { unmatched p : µs(p_ts) < 1000·⌊min(max_p, max_c)/1000⌋ }
+# — fully SQL-expressible, mirrored in the oracle below.  The fixture
+# is one parquet file → one micro-batch + one eviction batch, so the
+# batching (and therefore the watermark trajectory) is deterministic.
+
+
+@query(
+    "i16_stream_outer_join",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    wm AS (
+      SELECT 1000 * (epoch_us(LEAST((SELECT MAX(p_ts) FROM p),
+                                     (SELECT MAX(c_ts) FROM c))) // 1000)
+               AS wm_us
+    ),
+    joined AS (
+      SELECT p.purchase_id, p.user_id, p.p_ts, c.click_id, c.c_ts
+      FROM p LEFT JOIN c
+        ON c.user_id = p.user_id
+       AND c.c_ts > p.p_ts - INTERVAL 30 MINUTE
+       AND c.c_ts <= p.p_ts
+    )
+    SELECT purchase_id, user_id, p_ts, click_id, c_ts
+    FROM joined, wm
+    WHERE click_id IS NOT NULL OR epoch_us(p_ts) < wm.wm_us
+    """,
+)
+def i16_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming stream-stream LEFT OUTER join with per-side
+    watermarks (Spark's interval-join + state-eviction machinery): each
+    purchase looks back 30 minutes for clicks by the same user; matches
+    stream out immediately, and the null-joined rows for unmatched
+    purchases are emitted by watermark-driven state eviction — the
+    mechanism that BOUNDS join state on an infinite stream (without it,
+    the left side's state grows forever).
+
+    At 100 TB/day this is the production funnel-join shape: state per
+    side ∝ rows inside the watermark horizon only; the time-range
+    predicate lets Spark evict both sides continuously.  The oracle
+    replays the emission contract declaratively (see block comment) —
+    matched pairs plus unmatched-and-evicted purchases."""
+    ev = read_events_stream(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "0 seconds")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").cast("timestamp").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "0 seconds")
+    )
+    joined = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.c_ts > p.p_ts - F.expr("INTERVAL 30 MINUTES"))
+        & (c.c_ts <= p.p_ts),
+        "leftOuter",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("i16_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("i16_outer").select(
+        "purchase_id",
+        "user_id",
+        F.col("p_ts").cast("timestamp_ntz").alias("p_ts"),
+        "click_id",
+        F.col("c_ts").cast("timestamp_ntz").alias("c_ts"),
+    )
