@@ -64,3 +64,66 @@ def test_s8_sql_udf_inlines_to_pushed_scan(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert df.count() > 0
+
+
+def test_d23_mode_is_argmax_of_counts(spark, sf_dir):
+    rows = QUERIES["d23_agg_mode"](spark, sf_dir).collect()
+    parts = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .groupBy("p_type", "p_brand")
+        .count()
+        .collect()
+    )
+    by_type: dict[str, dict[str, int]] = {}
+    for r in parts:
+        by_type.setdefault(r["p_type"], {})[r["p_brand"]] = r["count"]
+    assert len(rows) == len(by_type)
+    for r in rows:
+        counts = by_type[r["p_type"]]
+        best = max(counts.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0]]))
+        assert counts[r["mode_brand"]] == r["mode_count"] == best[1]
+
+
+def test_t12_backtest_nonnegative_and_counts(spark, sf_dir):
+    rows = QUERIES["t12_naive_backtest"](spark, sf_dir).collect()
+    for r in rows:
+        assert r["n_evals"] >= 1
+        assert r["sum_abs_err"] >= 0
+        assert r["mae_micro"] >= 0
+
+
+def test_etl11_wap_blocks_bad_batch(spark, sf_dir):
+    rows = {r["batch_id"]: r for r in QUERIES["etl11_write_audit_publish"](spark, sf_dir).collect()}
+    assert rows[1]["published"] is True
+    assert rows[2]["published"] is False
+    assert rows[2]["n_null_keys"] > 0 or rows[2]["n_nonpositive"] > 0
+    # live table still serves batch 1 after the bad batch was rejected
+    assert rows[1]["live_rows_after"] == rows[2]["live_rows_after"] == rows[1]["n_rows"]
+
+
+def test_a24_fixed_width_roundtrip_is_lossless(spark, sf_dir):
+    out = QUERIES["a24_fixed_width_source"](spark, sf_dir)
+    src = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    assert out.count() == src.count()
+    got = {r["s_suppkey"]: r for r in out.collect()}
+    for r in src.collect():
+        g = got[r["s_suppkey"]]
+        assert g["s_name"] == r["s_name"][:20].rstrip()
+        assert abs(g["s_acctbal_2dp"] - round(r["s_acctbal"], 2)) < 0.011
+
+
+def test_k73_decisions_partition_the_new_batch(spark, sf_dir):
+    out = QUERIES["k73_incremental_dedup"](spark, sf_dir)
+    n_new = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id % 2 = 1")
+        .count()
+    )
+    assert out.count() == n_new
+    rows = out.collect()
+    for r in rows:
+        assert r["decision"] in ("exact_dup", "near_dup", "keep")
+        if r["decision"] == "keep":
+            assert r["n_exact"] == 0 and r["n_near"] == 0
+        if r["decision"] == "near_dup":
+            assert r["n_near"] >= 1 and r["max_jaccard"] >= 0.5

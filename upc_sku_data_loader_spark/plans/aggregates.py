@@ -803,3 +803,47 @@ def d22_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cm_estimate") >= F.coalesce("exact_cnt", F.lit(0))
         ).alias("is_overestimate"),
     )
+
+
+# --- D23: deterministic MODE aggregate (most-frequent with tiebreak) ----------
+
+
+@query(
+    "d23_agg_mode",
+    oracle="""
+    WITH counted AS (
+      SELECT p_type, p_brand, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY p_type
+                                ORDER BY COUNT(*) DESC, p_brand) AS rk
+      FROM part GROUP BY p_type, p_brand
+    )
+    SELECT p_type, p_brand AS mode_brand, n AS mode_count
+    FROM counted WHERE rk = 1
+    """,
+)
+def d23_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE per group with a DETERMINISTIC tiebreak — both Spark's and
+    DuckDB's native ``mode()`` pick an arbitrary winner on count ties,
+    which is exactly the kind of engine-dependent nondeterminism a
+    verified pipeline can't ship.  The portable form is count + rank
+    with an explicit ``(count DESC, value ASC)`` order.
+
+    Shape: one keyed aggregation then a per-group top-1 window — the
+    count table is already grouped, so the window input is |groups × 
+    distinct values|, far smaller than the fact table.  At 100 TB both
+    shuffles key on p_type; the count pre-aggregation is map-side
+    partial, making the window stage's input the bounded distinct-pair
+    set, never raw rows."""
+    from pyspark.sql.window import Window
+
+    counted = (
+        load(spark, sf_dir, "part")
+        .groupBy("p_type", "p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("p_type").orderBy(F.col("n").desc(), F.col("p_brand"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("p_type", F.col("p_brand").alias("mode_brand"), F.col("n").alias("mode_count"))
+    )

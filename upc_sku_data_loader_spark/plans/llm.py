@@ -1630,3 +1630,109 @@ def k15d_multimodal_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_segments(
         with_binary_payload(d), window_bytes=200, hop_bytes=120, max_segments=10
     )
+
+
+# --- K73: incremental dedup — new batch vs existing corpus --------------------
+
+
+@query(
+    "k73_incremental_dedup",
+    oracle="""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    newb AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+    exact AS (
+      SELECT n.doc_id, COUNT(*) AS n_exact
+      FROM newb n JOIN corpus c ON md5(n.text) = md5(c.text)
+      GROUP BY n.doc_id
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 1)),
+               i -> array_to_string(t[i:i+2], ' ')
+             )) AS s
+      FROM toks
+    ),
+    near AS (
+      SELECT n.doc_id,
+             COUNT(*) AS n_near,
+             MAX(ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6))
+               AS max_jaccard
+      FROM newb n
+      JOIN sh a ON a.doc_id = n.doc_id
+      JOIN corpus c ON TRUE
+      JOIN sh b ON b.doc_id = c.doc_id
+      WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.5
+      GROUP BY n.doc_id
+    )
+    SELECT n.doc_id,
+           CASE WHEN e.n_exact IS NOT NULL THEN 'exact_dup'
+                WHEN nr.n_near IS NOT NULL THEN 'near_dup'
+                ELSE 'keep' END AS decision,
+           COALESCE(e.n_exact, 0) AS n_exact,
+           COALESCE(nr.n_near, 0) AS n_near,
+           nr.max_jaccard
+    FROM newb n
+    LEFT JOIN exact e ON e.doc_id = n.doc_id
+    LEFT JOIN near nr ON nr.doc_id = n.doc_id
+    """,
+)
+def k73_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-corpus) dedup: the production shape where a
+    NEW crawl batch is deduplicated AGAINST the already-accepted corpus
+    rather than within itself — every incremental pretraining refresh
+    runs this before admission.  Exact layer: content-hash equi-join
+    (sha-class digest on the new side joined to the corpus digest
+    table).  Near layer: the SAME MinHash-LSH banding as k2, with
+    candidate pairs restricted to (new × corpus) and exact-verified at
+    the k2 threshold; per new doc the decision ladder is
+    exact_dup → near_dup → keep.
+
+    Scale: at 100 TB the corpus digest/signature tables are incremental
+    state (append-only parquet keyed by band bucket); a new batch only
+    shuffles ITS OWN band keys against the bucket index — never
+    re-pairing the corpus with itself (the within-corpus pair
+    explosion k2 already handled is absent here by construction).
+    Fixture split: even doc_ids = corpus, odd = new batch.
+    """
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    newb = d.filter(F.col("doc_id") % 2 == 1)
+    exact = (
+        newb.alias("n")
+        .join(
+            corpus.alias("c"),
+            F.md5(F.col("n.text")) == F.md5(F.col("c.text")),
+        )
+        .groupBy(F.col("n.doc_id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    sigs = minhash_signatures(d, n_hashes=32, shingle_k=3)
+    cands = lsh_candidate_pairs(sigs, n_bands=8, rows_per_band=4, max_bucket_size=None)
+    verified = verify_jaccard(cands, d, shingle_k=3, threshold=0.5)
+    cross = verified.filter((F.col("a") % 2) != (F.col("b") % 2)).select(
+        F.when(F.col("a") % 2 == 1, F.col("a")).otherwise(F.col("b")).alias("doc_id"),
+        "jaccard",
+    )
+    near = cross.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_near"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    return (
+        newb.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("n_exact").isNotNull(), "exact_dup")
+            .when(F.col("n_near").isNotNull(), "near_dup")
+            .otherwise("keep")
+            .alias("decision"),
+            F.coalesce("n_exact", F.lit(0).cast("long")).alias("n_exact"),
+            F.coalesce("n_near", F.lit(0).cast("long")).alias("n_near"),
+            "max_jaccard",
+        )
+    )

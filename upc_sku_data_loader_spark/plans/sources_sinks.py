@@ -1885,3 +1885,174 @@ def etl10_lambda_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = layer(tagged.filter(F.col("day") < F.col("cutoff")), "batch")
     speed = layer(tagged.filter(F.col("day") >= F.col("cutoff")), "speed")
     return batch.unionByName(speed)
+
+
+# --- ETL11: write-audit-publish (WAP) -----------------------------------------
+
+
+@query(
+    "etl11_write_audit_publish",
+    oracle="""
+    WITH good AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ),
+    bad AS (
+      SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL ELSE o_orderkey END
+               AS o_orderkey,
+             o_custkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+    ),
+    audits AS (
+      SELECT 1 AS batch_id,
+             (SELECT COUNT(*) FROM good) AS n_rows,
+             (SELECT COUNT(*) FROM good WHERE o_orderkey IS NULL) AS n_null_keys,
+             (SELECT COUNT(*) FROM good WHERE o_totalprice <= 0) AS n_nonpositive
+      UNION ALL
+      SELECT 2,
+             (SELECT COUNT(*) FROM bad),
+             (SELECT COUNT(*) FROM bad WHERE o_orderkey IS NULL),
+             (SELECT COUNT(*) FROM bad WHERE o_totalprice <= 0)
+    )
+    SELECT batch_id, n_rows, n_null_keys, n_nonpositive,
+           (n_rows > 0 AND n_null_keys = 0 AND n_nonpositive = 0) AS published,
+           (SELECT COUNT(*) FROM good) AS live_rows_after
+    FROM audits
+    """,
+)
+def etl11_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish: every batch is staged to a quarantine path,
+    a data-quality audit runs AGAINST THE STAGED FILES, and only a
+    passing batch is atomically promoted (directory rename) to the
+    live path readers query — the lakehouse pattern that keeps bad
+    loads invisible (Netflix's WAP / Iceberg's stage-commit idiom,
+    here on plain parquet paths).
+
+    Two batches exercise both arms: batch 1 (clean orders) audits
+    green and publishes; batch 2 (a corrupted restatement: every 100th
+    key nulled, every 97th price negated) audits red, is NOT
+    published, and the live path provably still serves batch 1
+    (`live_rows_after` re-reads the live directory after each batch).
+
+    Scale: the audit aggregates run distributed over the staged files
+    (one pass, pushed predicates); promotion is a driver-side O(1)
+    metadata rename — no data rewrite.  On object stores the rename
+    becomes a metastore pointer swap (Iceberg/Delta commit), same
+    contract."""
+    import os
+
+    base = _scratch(sf_dir, "wap")
+    shutil.rmtree(base, ignore_errors=True)
+    live = f"{base}/live"
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    batches = {
+        1: o,
+        2: o.select(
+            F.when(F.col("o_orderkey") % 100 == 0, None)
+            .otherwise(F.col("o_orderkey"))
+            .alias("o_orderkey"),
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 97 == 0, -F.col("o_totalprice"))
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        ),
+    }
+    ledger = []
+    for batch_id, df in batches.items():
+        staging = f"{base}/staging_b{batch_id}"
+        df.write.mode("overwrite").parquet(staging)
+        staged = spark.read.parquet(staging)
+        audit = staged.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("n_null_keys"),
+            F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("n_nonpositive"),
+        ).first()
+        ok = (
+            audit["n_rows"] > 0
+            and audit["n_null_keys"] == 0
+            and audit["n_nonpositive"] == 0
+        )
+        if ok:
+            # atomic publish: swap the staged directory into the live path
+            if os.path.exists(live):
+                shutil.rmtree(f"{base}/retired", ignore_errors=True)
+                os.rename(live, f"{base}/retired")
+            os.rename(staging, live)
+        live_rows = spark.read.parquet(live).count()
+        ledger.append(
+            (
+                batch_id,
+                audit["n_rows"],
+                audit["n_null_keys"],
+                audit["n_nonpositive"],
+                ok,
+                live_rows,
+            )
+        )
+    return spark.createDataFrame(
+        ledger,
+        "batch_id int, n_rows bigint, n_null_keys bigint, "
+        "n_nonpositive bigint, published boolean, live_rows_after bigint",
+    )
+
+
+# --- A24: fixed-width text source ---------------------------------------------
+
+# Layout (mainframe-style copybook): columns at fixed byte offsets.
+_FW_KEY_W, _FW_NAME_W, _FW_BAL_W = 8, 20, 12
+
+
+@query(
+    "a24_fixed_width_source",
+    oracle=f"""
+    SELECT s_suppkey,
+           TRIM(SUBSTRING(s_name, 1, {_FW_NAME_W})) AS s_name,
+           CAST(CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS DOUBLE) / 100.0
+             AS s_acctbal_2dp
+    FROM supplier
+    """,
+)
+def a24_fixed_width_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width text source — the mainframe/copybook feed format
+    (no delimiters; fields live at byte offsets).  Spark has no native
+    fixed-width reader; the idiomatic plan is ``spark.read.text`` (one
+    string column, splittable files) + ``substring``/``trim``/casts —
+    all JVM-side Catalyst expressions, so the parse is whole-stage
+    codegenned and the text scan stays trivially splittable at 100 TB
+    (unlike a Python row parser, which would bottleneck the ingest).
+
+    Round-trip proof: supplier rows are serialized to a fixed-width
+    file (key zero-padded to {_FW_KEY_W}, name space-padded/truncated
+    to {_FW_NAME_W}, balance as zero-padded integer cents to
+    {_FW_BAL_W}), read back via the substring plan, and hash-checked
+    against the original fixture — truncation semantics mirrored in
+    the oracle."""
+    path = _scratch(sf_dir, "supplier_fixedwidth.txt")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    # explicit ROUND before the integer cast: Spark's double→bigint cast
+    # truncates while DuckDB's rounds, so the rounding must be shared
+    cents = F.round(F.col("s_acctbal") * 100, 0).cast("bigint")
+    line = F.concat(
+        F.lpad(F.col("s_suppkey").cast("string"), _FW_KEY_W, "0"),
+        F.rpad(F.substring(F.col("s_name"), 1, _FW_NAME_W), _FW_NAME_W, " "),
+        # copybook-style leading sign byte + zero-padded magnitude
+        F.when(cents < 0, F.lit("-")).otherwise(F.lit("+")),
+        F.lpad(F.abs(cents).cast("string"), _FW_BAL_W - 1, "0"),
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    s.select(line.alias("value")).coalesce(1).write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    k0, n0 = 1, _FW_KEY_W + 1
+    b0 = _FW_KEY_W + _FW_NAME_W + 1
+    sign = F.when(
+        F.substring("value", b0, 1) == "-", F.lit(-1).cast("bigint")
+    ).otherwise(F.lit(1).cast("bigint"))
+    mag = F.substring("value", b0 + 1, _FW_BAL_W - 1).cast("bigint")
+    return raw.select(
+        F.substring("value", k0, _FW_KEY_W).cast("bigint").alias("s_suppkey"),
+        F.trim(F.substring("value", n0, _FW_NAME_W)).alias("s_name"),
+        ((sign * mag).cast("double") / 100.0).alias("s_acctbal_2dp"),
+    )

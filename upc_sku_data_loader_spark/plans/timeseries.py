@@ -972,3 +972,62 @@ def t11_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND(b * 1000000) AS BIGINT)").alias("trend_micro"),
         F.expr("CAST(ROUND((l + b) * 1000000) AS BIGINT)").alias("forecast_micro"),
     )
+
+
+# --- T12: naive-forecast backtest (per-entity MAE scorecard) ------------------
+
+
+@query(
+    "t12_naive_backtest",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS yhat
+      FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (
+      SELECT user_id, ABS(value - yhat) AS abs_err
+      FROM p WHERE yhat IS NOT NULL
+    )
+    SELECT user_id,
+           COUNT(*) AS n_evals,
+           CAST(SUM(CAST(abs_err AS DECIMAL(30,6))) AS DOUBLE) AS sum_abs_err,
+           CAST(ROUND(1000000 * SUM(CAST(abs_err AS DECIMAL(30,6)))
+                      / COUNT(*), 0) AS BIGINT) AS mae_micro
+    FROM e GROUP BY user_id
+    """,
+)
+def t12_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting scorecard: score the naive persistence
+    forecast (ŷ_t = y_{t-1}) per user over the purchase stream — the
+    baseline every forecasting deployment must beat, and the same
+    lag/score/aggregate harness backtests any model whose predictions
+    land as a column.  MAE is emitted both as an exact decimal-summed
+    double and in integer micro-units.
+
+    Shape: one window (shuffle on user_id) for the lag, one keyed
+    aggregation for the scorecard — at 100 TB both stages key on the
+    entity, and the decimal sum keeps the error aggregation
+    order-independent (bit-exact under any partitioning)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("yhat", F.lag("value").over(w))
+        .filter(F.col("yhat").isNotNull())
+        .withColumn("abs_err", F.abs(F.col("value") - F.col("yhat")))
+    )
+    return p.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_evals"),
+        F.sum(F.col("abs_err").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sum_abs_err"),
+        F.expr(
+            "CAST(ROUND(1000000 * SUM(CAST(abs_err AS DECIMAL(30,6)))"
+            " / COUNT(*), 0) AS BIGINT)"
+        ).alias("mae_micro"),
+    )

@@ -403,3 +403,70 @@ def j10_pandas_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(qty_z(F.col("l_quantity")), 6).alias("qty_z"),
         )
     )
+
+
+# --- J11: polymorphic Python UDTF (analyze-time schema) -----------------------
+
+
+@query(
+    "j11_polymorphic_udtf",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id % 50 = 0
+    )
+    SELECT doc_id,
+           CAST(unnest(generate_series(0, len(toks) - 3)) AS INT) AS pos,
+           toks[unnest(generate_series(0, len(toks) - 3)) + 1] || ' ' ||
+           toks[unnest(generate_series(0, len(toks) - 3)) + 2] || ' ' ||
+           toks[unnest(generate_series(0, len(toks) - 3)) + 3] AS gram_3
+    FROM t WHERE len(toks) >= 3
+    """,
+)
+def j11_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4 `analyze()` static method,
+    SPARK-44503): the OUTPUT SCHEMA is computed at plan time from a
+    literal argument — `word_ngrams(text, 3)` emits a column literally
+    named `gram_3`, `...(text, 2)` would emit `gram_2`.  This is the
+    API for table functions whose shape depends on their call site
+    (pivot-like explosions, configurable feature fans) without a
+    stringly-typed schema parameter.
+
+    The eval kernel is plain token slicing (engine-independent), so the
+    3-gram call hash-matches the SQL oracle's positional-join n-gram
+    build.  Scale: UDTFs run per-partition like any map — the lateral
+    join fans out rows but never shuffles."""
+    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class WordNgrams:
+        @staticmethod
+        def analyze(doc_id: AnalyzeArgument, text: AnalyzeArgument, n: AnalyzeArgument):
+            if not n.isConstantExpression:
+                raise ValueError("n must be a literal")
+            width = int(n.value)
+            return AnalyzeResult(
+                StructType()
+                .add("doc_id", LongType())
+                .add("pos", IntegerType())
+                .add(f"gram_{width}", StringType())
+            )
+
+        def eval(self, doc_id: int, text: str, n: int):  # noqa: ANN001
+            toks = text.split(" ")
+            for pos in range(len(toks) - n + 1):
+                yield doc_id, pos, " ".join(toks[pos : pos + n])
+
+    spark.udtf.register("word_ngrams", udtf(WordNgrams))
+    d = load(spark, sf_dir, "documents").filter("doc_id % 50 = 0")
+    d.createOrReplaceTempView("j11_docs_subset")
+    return spark.sql(
+        "SELECT t.* FROM j11_docs_subset, "
+        "LATERAL word_ngrams(doc_id, text, 3) AS t"
+    )
