@@ -52,7 +52,11 @@ FLAGSHIP = "d1_agg_hash_grouped"  # TPC-H Q1-style pricing summary (SURVEY §7 P
 # etl10_lambda_merge a21_parquet_bloom_write a22_managed_table
 # a23_glob_recursive_read c15_join_fuzzy d22_count_min_sketch
 # f5_keyset_pagination j10_pandas_iter_udf s7_sql_scripting
-# e11_win_ignore_nulls b14_sentinel_normalize — plus whatever r4/r5
+# e11_win_ignore_nulls b14_sentinel_normalize — plus the round-6 batch
+# (k71_triangle_count k72_link_prediction k73_incremental_dedup
+# q23_basket_lift t11_holt_trend t12_naive_backtest s8_sql_udf
+# i16_stream_outer_join etl11_write_audit_publish a24_fixed_width_source
+# d23_agg_mode j11_polymorphic_udtf) — plus whatever r4/r5
 # driver artifacts flag red.
 _PRIORITY = [
     # never driver-windowed: deferred composite B-half
