@@ -194,3 +194,51 @@ def test_i16_outer_join_emission_contract(spark, sf_dir):
         # a purchase emits EITHER its matches OR one null row, never both
         assert (r["nulls"] == 0) != (r["hits"] == 0) or r["nulls"] + r["hits"] == 1
         assert r["nulls"] <= 1
+
+
+# --- checkpoint recovery: stop, add data, resume — no reprocessing -------------
+
+
+def test_checkpoint_resume_processes_each_file_exactly_once(spark, tmp_path):
+    """The file-source + checkpoint contract that production ingestion
+    rests on: a restarted query resumes from the recorded offsets —
+    rows from files already committed in the checkpoint are NOT
+    re-emitted, rows from files added while the query was down are
+    picked up, and the union is exactly-once."""
+    src = str(tmp_path / "ckpt_src")
+    sink = str(tmp_path / "ckpt_sink")
+    ckpt = str(tmp_path / "ckpt_meta")
+    schema = "event_id bigint, user_id bigint, value double"
+
+    def write_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_file([(1, 10, 1.0), (2, 10, 2.0)])
+    run_once()  # run 1: commits the first file's offsets
+    first = spark.read.parquet(sink).count()
+    assert first == 2
+
+    # "crash" window: new data lands while no query is running
+    write_file([(3, 11, 3.0)])
+    write_file([(4, 11, 4.0), (5, 12, 5.0)])
+    run_once()  # run 2: resumes from the checkpoint
+
+    out = spark.read.parquet(sink)
+    assert out.count() == 5  # 2 old (not duplicated) + 3 new
+    ids = sorted(r["event_id"] for r in out.collect())
+    assert ids == [1, 2, 3, 4, 5]
