@@ -127,3 +127,57 @@ def test_k73_decisions_partition_the_new_batch(spark, sf_dir):
             assert r["n_exact"] == 0 and r["n_near"] == 0
         if r["decision"] == "near_dup":
             assert r["n_near"] >= 1 and r["max_jaccard"] >= 0.5
+
+
+def test_a25_jdbc_stripes_tile_exactly(spark, sf_dir):
+    out = QUERIES["a25_jdbc_partitioned_read"](spark, sf_dir)
+    n_src = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    rows = out.collect()
+    assert sum(r["n_orders"] for r in rows) == n_src  # no loss/dup at bounds
+    assert len(rows) == 8
+
+
+def test_q24_share_is_monotone_and_ends_at_one(spark, sf_dir):
+    rows = sorted(
+        QUERIES["q24_pareto_share"](spark, sf_dir).collect(),
+        key=lambda r: r["rk"],
+    )
+    shares = [r["cum_share_micro"] for r in rows]
+    assert shares == sorted(shares)
+    assert shares[-1] == 1_000_000
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_t13_deseasonalized_means_are_zeroish(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    out = QUERIES["t13_seasonal_adjust"](spark, sf_dir)
+    per_dow = (
+        out.groupBy("dow")
+        .agg(F.avg("value_deseasonalized").alias("m"))
+        .collect()
+    )
+    for r in per_dow:  # adjusted series has ~zero mean within each weekday
+        assert abs(r["m"]) < 1e-4
+
+
+def test_k74_score_decomposition(spark, sf_dir):
+    from upc_sku_data_loader_spark.plans.curation import (
+        _K74_KEEP,
+        _K74_MIN_TOKENS,
+        _K74_W_DIGIT,
+        _K74_W_SHORT,
+        _K74_W_TTR,
+    )
+
+    rows = QUERIES["k74_quality_model_score"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        expect = (
+            _K74_W_TTR * r["ttr_micro"]
+            + _K74_W_DIGIT * r["digit_micro"]
+            + (_K74_W_SHORT if r["n_tokens"] < _K74_MIN_TOKENS else 0)
+        )
+        assert r["score_micro"] == expect
+        assert r["keep"] == (expect >= _K74_KEEP)

@@ -1279,3 +1279,88 @@ def q23_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Q24: Pareto / cumulative-share concentration analysis --------------------
+
+
+@query(
+    "q24_pareto_share",
+    oracle="""
+    WITH brand_rev AS (
+      SELECT p.p_brand AS brand,
+             CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                           AS DECIMAL(30,6))) * 1000000 AS BIGINT) AS rev_us
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand
+    ),
+    ranked AS (
+      SELECT brand, rev_us,
+             ROW_NUMBER() OVER (ORDER BY rev_us DESC, brand) AS rk,
+             SUM(rev_us) OVER (ORDER BY rev_us DESC, brand
+                               ROWS UNBOUNDED PRECEDING) AS cum_us,
+             SUM(rev_us) OVER () AS total_us
+      FROM brand_rev
+    )
+    SELECT brand, rk,
+           CAST(rev_us AS DOUBLE) / 1000000.0 AS revenue,
+           CAST((CAST(cum_us AS HUGEINT) * 1000000) // total_us AS BIGINT)
+             AS cum_share_micro,
+           (CAST(cum_us AS HUGEINT) * 1000000) // total_us <= 800000
+             AS in_pareto_head
+    FROM ranked
+    """,
+)
+def q24_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration analysis: brands ranked by revenue with the
+    running cumulative share of total — the 80/20 report every category
+    manager runs; `in_pareto_head` marks the brands jointly covering
+    ≤80 % of revenue.
+
+    Integer discipline: per-brand revenue is decimal-summed (exact,
+    order-independent) then converted to integer MICRO-DOLLARS, so the
+    running window sum and the share ratio are pure integer arithmetic
+    — the 128-bit intermediate (micro-total × 1e6) runs as
+    DECIMAL(38,0) in Spark and HUGEINT in DuckDB, both exact, making an
+    order-SENSITIVE running sum hash-exact anyway.
+
+    Shape: one keyed agg (brand), then a window over |brands| rows —
+    the window input is the aggregate, not the fact table, so the
+    single-partition ORDER BY costs |brands|, a constant, at any SF."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    brand_rev = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)"
+                " AS DECIMAL(30,6))) * 1000000 AS BIGINT)"
+            ).alias("rev_us")
+        )
+    )
+    w_order = Window.orderBy(F.col("rev_us").desc(), "brand")
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = brand_rev.select(
+        "brand",
+        "rev_us",
+        F.row_number().over(w_order).alias("rk"),
+        F.sum("rev_us").over(w_cum).alias("cum_us"),
+        F.sum("rev_us").over(w_all).alias("total_us"),
+    )
+    share = F.expr(
+        "CAST((CAST(cum_us AS DECIMAL(38,0)) * 1000000)"
+        " div CAST(total_us AS DECIMAL(38,0)) AS BIGINT)"
+    )
+    return ranked.select(
+        "brand",
+        "rk",
+        (F.col("rev_us").cast("double") / 1000000.0).alias("revenue"),
+        share.alias("cum_share_micro"),
+        (share <= 800000).alias("in_pareto_head"),
+    )

@@ -1370,3 +1370,91 @@ def k61_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bit_xor(cast(conv(substring(h, 1, 15), 16, 10) as bigint))"
         ).alias("content_checksum"),
     )
+
+
+# --- K74: linear quality scorecard (fixed-weight model scoring) ---------------
+
+# Shared integer weights (micro-units): score =
+#   W_TTR·ttr + W_DIGIT·digit_ratio + W_SHORT·[n_tokens < MIN_TOKENS]
+_K74_W_TTR = 2
+_K74_W_DIGIT = -1
+_K74_W_SHORT = -1_000_000
+_K74_MIN_TOKENS = 30
+_K74_KEEP = 500_000
+
+
+@query(
+    "k74_quality_model_score",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_uniq,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, n_tokens, n_uniq, n_chars, n_digits,
+             (1000000 * n_uniq) // n_tokens AS ttr_micro,
+             (1000000 * n_digits) // n_chars AS digit_micro
+      FROM feats
+    )
+    SELECT doc_id, n_tokens, ttr_micro, digit_micro,
+           {_K74_W_TTR} * ttr_micro
+             + {_K74_W_DIGIT} * digit_micro
+             + CASE WHEN n_tokens < {_K74_MIN_TOKENS}
+                    THEN {_K74_W_SHORT} ELSE 0 END AS score_micro,
+           ({_K74_W_TTR} * ttr_micro
+             + {_K74_W_DIGIT} * digit_micro
+             + CASE WHEN n_tokens < {_K74_MIN_TOKENS}
+                    THEN {_K74_W_SHORT} ELSE 0 END) >= {_K74_KEEP} AS keep
+    FROM scored
+    """,
+)
+def k74_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight linear quality model scoring — the deployment shape
+    of every fasttext/logistic quality classifier once trained: a
+    per-document feature vector dotted with frozen weights, thresholded
+    into a keep/drop decision.  (Training happens offline; SCORING is
+    the 100 TB job, and it is embarrassingly parallel.)
+
+    Features are integer micro-units (type-token ratio, digit-character
+    ratio, short-document indicator), weights are integer literals
+    shared with the oracle, so the whole score is exact integer
+    arithmetic — the model's decision boundary is bit-reproducible
+    across engines, which is what makes a corpus-admission decision
+    auditable.  Shape: map-only (no shuffle at all); Catalyst fuses the
+    feature extraction and the dot product into one codegen stage."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    feats = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.length("text").alias("n_chars"),
+        F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).alias(
+            "n_digits"
+        ),
+    )
+    scored = feats.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("(1000000 * n_uniq) div n_tokens").alias("ttr_micro"),
+        F.expr("(1000000 * n_digits) div n_chars").alias("digit_micro"),
+    )
+    score = (
+        F.lit(_K74_W_TTR) * F.col("ttr_micro")
+        + F.lit(_K74_W_DIGIT) * F.col("digit_micro")
+        + F.when(
+            F.col("n_tokens") < _K74_MIN_TOKENS, F.lit(_K74_W_SHORT)
+        ).otherwise(F.lit(0))
+    ).cast("long")
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "ttr_micro",
+        "digit_micro",
+        score.alias("score_micro"),
+        (score >= _K74_KEEP).alias("keep"),
+    )

@@ -2056,3 +2056,72 @@ def a24_fixed_width_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.substring("value", n0, _FW_NAME_W)).alias("s_name"),
         ((sign * mag).cast("double") / 100.0).alias("s_acctbal_2dp"),
     )
+
+
+# --- A25: partitioned (parallel) JDBC read ------------------------------------
+
+
+@query(
+    "a25_jdbc_partitioned_read",
+    oracle="""
+    SELECT (o_orderkey % 8) AS read_stripe,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS stripe_total
+    FROM orders
+    GROUP BY read_stripe
+    """,
+)
+def a25_jdbc_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED JDBC ingest — the parallel bulk-extract path: Spark
+    splits the source table into ``numPartitions`` stripes on
+    ``partitionColumn`` bounds and opens one concurrent connection per
+    stripe (each issues its own bounded WHERE-range query).  This —
+    not the single-connection default — is how a relational source
+    feeds a 1000-executor cluster without serializing the extract
+    through one cursor.
+
+    Exercised for real against embedded Derby: orders loaded once, then
+    read back with ``partitionColumn=o_orderkey, numPartitions=8``; the
+    plan is asserted to carry 8 input partitions (one per stripe), and
+    the per-stripe aggregate proves the stripes tile the keyspace
+    exactly (no row lost or double-read at the bounds).  Decimal-exact
+    sums make the proof order-independent."""
+    db = _scratch(sf_dir, "derby_a25_db")
+    url = f"jdbc:derby:{db};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    src = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    src.coalesce(2).write.mode("overwrite").format("jdbc").option(
+        "url", url
+    ).option("dbtable", "ORDERS_LOAD").options(**props).save()
+    bounds = src.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).first()
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "ORDERS_LOAD")
+        .option("partitionColumn", "o_orderkey")
+        .option("lowerBound", str(bounds["lo"]))
+        .option("upperBound", str(bounds["hi"] + 1))
+        .option("numPartitions", "8")
+        .options(**props)
+        .load()
+    )
+    if back.rdd.getNumPartitions() != 8:
+        raise RuntimeError(
+            f"expected 8 JDBC stripes, got {back.rdd.getNumPartitions()}"
+        )
+    return (
+        back.select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        .groupBy((F.col("o_orderkey") % 8).alias("read_stripe"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("stripe_total"),
+        )
+    )

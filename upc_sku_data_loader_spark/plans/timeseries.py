@@ -1031,3 +1031,71 @@ def t12_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / COUNT(*), 0) AS BIGINT)"
         ).alias("mae_micro"),
     )
+
+
+# --- T13: day-of-week seasonal adjustment -------------------------------------
+
+
+@query(
+    "t13_seasonal_adjust",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts, value,
+             dayofweek(ts) + 1 AS dow  -- DuckDB: 0=Sun..6; Spark: 1=Sun..7
+      FROM events WHERE event_type = 'purchase'
+    ),
+    seas AS (
+      SELECT dow,
+             COUNT(*) AS n,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS dow_mean
+      FROM p GROUP BY dow
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           CAST(p.dow AS INT) AS dow,
+           s.dow_mean,
+           ROUND(p.value - s.dow_mean, 6) AS value_deseasonalized
+    FROM p JOIN seas s ON s.dow = p.dow
+    """,
+)
+def t13_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal adjustment by day-of-week profile: the purchase stream's
+    per-weekday mean is the (additive) seasonal component; subtracting
+    it deseasonalizes the series — the first step of every
+    anomaly-detection / forecasting pipeline over business metrics
+    (trend models like t11 then run on the adjusted series).
+
+    Shape: ONE tiny keyed aggregation (7 rows) broadcast back onto the
+    stream — map-only after the broadcast, no second fact shuffle.  At
+    100 TB the seasonal profile stays 7 rows regardless of SF; only the
+    profile build scans the data (decimal-summed, order-independent,
+    one terminal round)."""
+    p = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.dayofweek("ts").alias("dow"),
+        )
+    )
+    seas = p.groupBy("dow").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dow_mean")
+    )
+    return p.join(F.broadcast(seas), "dow").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("dow").cast("int").alias("dow"),
+        "dow_mean",
+        F.round(F.col("value") - F.col("dow_mean"), 6).alias(
+            "value_deseasonalized"
+        ),
+    )
