@@ -504,3 +504,43 @@ def test_round5_late_ops_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in p_etl7
     # lineitem contributes ONE conditional-agg scan for three checks
     assert p_etl7.count("FileScan parquet [l_") <= 1 or "lineitem" in p_etl7
+
+
+def test_round6_ops_plan_shapes(spark, sf_dir):
+    """Scale-shape claims of the round-6 additions, pinned in the
+    executed plan: the graph tier's top-k edge selection is a partial
+    top-k (never a global sort), q23/q24/t13 broadcast their small
+    stats sides, k74 is a single map-only codegen stage, and t11/t12
+    cost exactly one user-keyed shuffle."""
+    p71 = _executed_plan(spark, "k71_triangle_count", sf_dir)
+    assert "TakeOrderedAndProject" in p71  # top-500 edges, no full sort
+    assert "CartesianProduct" not in p71
+
+    p72 = _executed_plan(spark, "k72_link_prediction", sf_dir)
+    assert "TakeOrderedAndProject" in p72
+    assert "BroadcastExchange" in p72  # degree side + anti-join side
+    assert "CartesianProduct" not in p72
+
+    p23 = _executed_plan(spark, "q23_basket_lift", sf_dir)
+    assert "BroadcastExchange" in p23  # dims + brand counts broadcast
+    assert "CartesianProduct" not in p23
+
+    p24 = _executed_plan(spark, "q24_pareto_share", sf_dir)
+    assert "BroadcastExchange" in p24
+    assert "CartesianProduct" not in p24
+
+    p13 = _executed_plan(spark, "t13_seasonal_adjust", sf_dir)
+    assert "BroadcastExchange" in p13  # 7-row seasonal profile
+    assert "SortMergeJoin" not in p13
+
+    p74 = _executed_plan(spark, "k74_quality_model_score", sf_dir)
+    assert "Exchange" not in p74  # map-only: zero shuffles
+    assert "BatchEvalPython" not in p74
+
+    for name in ("t11_holt_trend", "t12_naive_backtest"):
+        p = _executed_plan(spark, name, sf_dir)
+        assert "Exchange hashpartitioning(user_id" in p, name
+
+    p24a = _executed_plan(spark, "d24_modern_aggs", sf_dir)
+    assert "Exchange" in p24a  # one keyed agg...
+    assert "Join" not in p24a  # ...and no self-join idiom

@@ -52,6 +52,12 @@ DEFAULT = [
     "k64_ccnet_buckets",
     "k69_bpe_encode",
     "d22_count_min_sketch",
+    # round-6 additions with data-scale shuffles
+    "k71_triangle_count",
+    "k72_link_prediction",
+    "k73_incremental_dedup",
+    "q23_basket_lift",
+    "t11_holt_trend",
 ]
 
 

@@ -847,3 +847,48 @@ def d23_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("p_type", F.col("p_brand").alias("mode_brand"), F.col("n").alias("mode_count"))
     )
+
+
+# --- D24: modern SQL aggregate family (max_by / count_if / bool aggs) ---------
+
+
+@query(
+    "d24_modern_aggs",
+    oracle="""
+    SELECT o_orderpriority,
+           count_if(o_totalprice > 150000.0) AS n_big,
+           bool_and(o_totalprice > 0.0) AS all_positive,
+           bool_or(o_totalprice > 400000.0) AS any_jumbo,
+           max_by(o_orderkey, o_totalprice ORDER BY o_orderkey) AS top_order,
+           min_by(o_orderkey, o_totalprice ORDER BY o_orderkey)
+             AS bottom_order,
+           arg_max(o_custkey, o_totalprice ORDER BY o_orderkey) AS top_cust
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def d24_modern_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern-SQL aggregate family in one pass: ``count_if``,
+    ``bool_and``/``bool_or`` and ``max_by``/``min_by`` (argmax/argmin)
+    — the functions that replace four separate self-join idioms with
+    single aggregate expressions (pre-2020 SQL needed a join back to
+    find "the orderkey OF the max price").
+
+    Determinism note: on a price TIE, ``max_by``'s winner is
+    engine-arbitrary, so both sides break ties identically by
+    aggregating over a (price, orderkey) struct — argmax of the pair —
+    which the oracle mirrors with DuckDB's ORDER BY variant.  One hash
+    aggregation, map-side partials, no joins; at 100 TB this is the
+    cheapest possible "per-group extremes + predicates" report."""
+    o = load(spark, sf_dir, "orders")
+    # tie-safe argmax/argmin: order by (price, key) pairs
+    pk = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    pk_min = F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")).alias("nk"))
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 150000.0).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0.0).alias("all_positive"),
+        F.bool_or(F.col("o_totalprice") > 400000.0).alias("any_jumbo"),
+        F.max_by("o_orderkey", pk_min).alias("top_order"),
+        F.min_by("o_orderkey", pk).alias("bottom_order"),
+        F.max_by("o_custkey", pk_min).alias("top_cust"),
+    )

@@ -829,3 +829,47 @@ def h18_array_lib(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.array_join(idx3, ",").alias("indexed3"),
     )
+
+
+# --- H19: timezone conversion functions ---------------------------------------
+
+
+@query(
+    "h19_timezone_functions",
+    oracle="""
+    SELECT event_id,
+           ts,
+           CAST(ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York'
+                AS TIMESTAMP) AS ts_nyc,
+           CAST(ts AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Tokyo'
+                AS TIMESTAMP) AS ts_tokyo,
+           CAST(EXTRACT(HOUR FROM CAST(ts AT TIME ZONE 'UTC'
+                AT TIME ZONE 'America/New_York' AS TIMESTAMP)) AS INT)
+             AS hour_nyc,
+           CAST(EXTRACT(HOUR FROM ts) AS INT) AS hour_utc
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def h19_timezone_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion surface: wall-clock re-zoning of the UTC
+    event stream into market-local times (`from_utc_timestamp` — the
+    Spark spelling of `AT TIME ZONE`), and the local-hour extraction
+    every regional-activity report needs.  January fixtures pin the
+    DST side: New York is UTC-5 (EST) and Tokyo UTC+9 year-round, and
+    both engines resolve the conversion through the same IANA tzdata
+    rules, so the wall-clock timestamps hash-match exactly.
+
+    Shape: map-only expression work, fused into the scan's codegen
+    stage; the pushed `event_type` predicate reaches the parquet
+    reader.  At 100 TB timezone math is free — the cost is the scan."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    nyc = F.from_utc_timestamp(F.col("ts").cast("timestamp"), "America/New_York")
+    tokyo = F.from_utc_timestamp(F.col("ts").cast("timestamp"), "Asia/Tokyo")
+    return ev.select(
+        "event_id",
+        "ts",
+        nyc.cast("timestamp_ntz").alias("ts_nyc"),
+        tokyo.cast("timestamp_ntz").alias("ts_tokyo"),
+        F.hour(nyc).cast("int").alias("hour_nyc"),
+        F.hour("ts").cast("int").alias("hour_utc"),
+    )
