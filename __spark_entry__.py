@@ -56,8 +56,10 @@ FLAGSHIP = "d1_agg_hash_grouped"  # TPC-H Q1-style pricing summary (SURVEY §7 P
 # (k71_triangle_count k72_link_prediction k73_incremental_dedup
 # q23_basket_lift t11_holt_trend t12_naive_backtest s8_sql_udf
 # i16_stream_outer_join etl11_write_audit_publish a24_fixed_width_source
-# d23_agg_mode j11_polymorphic_udtf) — plus whatever r4/r5
-# driver artifacts flag red.
+# d23_agg_mode j11_polymorphic_udtf a25_jdbc_partitioned_read
+# q24_pareto_share t13_seasonal_adjust k74_quality_model_score
+# d24_modern_aggs h19_timezone_functions k73_incremental_dedup) — plus
+# whatever r4/r5 driver artifacts flag red.
 _PRIORITY = [
     # never driver-windowed: deferred composite B-half
     "q16_supplier_part_counts", "q19_disjunctive_predicates",
