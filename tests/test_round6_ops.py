@@ -181,3 +181,18 @@ def test_k74_score_decomposition(spark, sf_dir):
         )
         assert r["score_micro"] == expect
         assert r["keep"] == (expect >= _K74_KEEP)
+
+
+def test_q25_chi2_cells_tile_the_user_base(spark, sf_dir):
+    r = QUERIES["q25_ab_test_chi2"](spark, sf_dir).first()
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert r["n_control"] + r["n_treatment"] == n_users
+    assert 0 <= r["conv_control"] <= r["n_control"]
+    assert 0 <= r["conv_treatment"] <= r["n_treatment"]
+    assert r["chi2_micro"] >= 0
+    assert r["significant_p05"] == (r["chi2_micro"] >= 3_841_459)

@@ -242,3 +242,30 @@ def test_checkpoint_resume_processes_each_file_exactly_once(spark, tmp_path):
     assert out.count() == 5  # 2 old (not duplicated) + 3 new
     ids = sorted(r["event_id"] for r in out.collect())
     assert ids == [1, 2, 3, 4, 5]
+
+
+def test_i17_native_session_window_matches_custom_sessionizer(spark, sf_dir):
+    """The engine-managed session_window (i17) and the hand-rolled
+    applyInPandasWithState sessionizer (i6b) must agree on every
+    session BOTH emit (they differ only in emission horizon: watermark
+    eviction vs closed-by-later-event)."""
+    from upc_sku_data_loader_spark.registry import QUERIES
+
+    native = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in QUERIES["i17_stream_session_window"](spark, sf_dir).collect()
+    }
+    custom = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in QUERIES["i6b_stateful_streaming"](spark, sf_dir).collect()
+    }
+    shared = native.keys() & custom.keys()
+    assert shared, "expected overlapping emitted sessions"
+    for k in shared:
+        assert native[k] == custom[k]

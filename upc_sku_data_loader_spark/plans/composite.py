@@ -1364,3 +1364,98 @@ def q24_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.alias("cum_share_micro"),
         (share <= 800000).alias("in_pareto_head"),
     )
+
+
+# --- Q25: A/B experiment readout (chi-square independence test) ---------------
+
+# chi-square critical value at p=0.05, df=1, in micro-units (shared literal)
+_Q25_CRIT_MICRO = 3_841_459
+
+
+@query(
+    "q25_ab_test_chi2",
+    oracle=f"""
+    WITH units AS (
+      SELECT user_id,
+             user_id % 2 AS variant,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 100.0
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT
+        SUM(CASE WHEN variant = 0 AND converted = 1 THEN 1 ELSE 0 END) AS a,
+        SUM(CASE WHEN variant = 0 AND converted = 0 THEN 1 ELSE 0 END) AS b,
+        SUM(CASE WHEN variant = 1 AND converted = 1 THEN 1 ELSE 0 END) AS c,
+        SUM(CASE WHEN variant = 1 AND converted = 0 THEN 1 ELSE 0 END) AS d
+      FROM units
+    )
+    SELECT a + b AS n_control, a AS conv_control,
+           c + d AS n_treatment, c AS conv_treatment,
+           CAST((CAST(a + b + c + d AS HUGEINT)
+                 * (a * d - b * c) * (a * d - b * c) * 1000000)
+                // (CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d))
+                AS BIGINT) AS chi2_micro,
+           (CAST(a + b + c + d AS HUGEINT)
+                 * (a * d - b * c) * (a * d - b * c) * 1000000)
+                // (CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d))
+             >= {_Q25_CRIT_MICRO} AS significant_p05
+    FROM cells
+    """,
+)
+def q25_ab_test_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: 2×2 chi-square test of independence
+    between assignment (user_id parity — the deterministic hash-split
+    every experimentation platform uses) and conversion (≥1 purchase
+    over 100.0 — a threshold that leaves all four cells populated).
+    The statistic N(ad-bc)²/((a+b)(c+d)(a+c)(b+d)) is computed entirely
+    in 128-bit integer arithmetic (DECIMAL(38,0) in Spark, HUGEINT in
+    DuckDB) and emitted in micro-units with the p<0.05 critical value
+    as a shared literal — a bit-reproducible significance call, no
+    floats anywhere.
+
+    Shape: one keyed agg (user) + one global agg (4 cells) — at 100 TB
+    the per-user conversion rollup is the only data-scale shuffle; the
+    contingency table is a broadcast scalar."""
+    units = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 100.0),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn("variant", F.col("user_id") % 2)
+    )
+    cells = units.agg(
+        F.sum(
+            F.when((F.col("variant") == 0) & (F.col("converted") == 1), 1).otherwise(0)
+        ).alias("a"),
+        F.sum(
+            F.when((F.col("variant") == 0) & (F.col("converted") == 0), 1).otherwise(0)
+        ).alias("b"),
+        F.sum(
+            F.when((F.col("variant") == 1) & (F.col("converted") == 1), 1).otherwise(0)
+        ).alias("c"),
+        F.sum(
+            F.when((F.col("variant") == 1) & (F.col("converted") == 0), 1).otherwise(0)
+        ).alias("d"),
+    )
+    chi2 = F.expr(
+        "CAST((CAST(a + b + c + d AS DECIMAL(38,0))"
+        " * (a * d - b * c) * (a * d - b * c) * 1000000)"
+        " div (CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d))"
+        " AS BIGINT)"
+    )
+    return cells.select(
+        (F.col("a") + F.col("b")).alias("n_control"),
+        F.col("a").alias("conv_control"),
+        (F.col("c") + F.col("d")).alias("n_treatment"),
+        F.col("c").alias("conv_treatment"),
+        chi2.alias("chi2_micro"),
+        (chi2 >= _Q25_CRIT_MICRO).alias("significant_p05"),
+    )

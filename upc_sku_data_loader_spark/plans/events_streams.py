@@ -577,3 +577,88 @@ def i16_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         F.col("c_ts").cast("timestamp_ntz").alias("c_ts"),
     )
+
+
+# --- I17: TRUE streaming native session windows (watermark-evicted) -----------
+#
+# Emission contract (mirrors i16's discipline): append mode emits a
+# session only once the watermark guarantees no event can extend it —
+# i.e. session_end + gap has passed the final watermark (milliseconds,
+# strict <).  The withheld tail is exactly the sessions still inside
+# the horizon, so the emitted set is SQL-expressible and hash-checked.
+
+
+@query(
+    "i17_stream_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+             CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+             COUNT(*) AS n_events,
+             ROUND(SUM(value), 4) AS total_value
+      FROM sess GROUP BY user_id, sid
+    ),
+    wm AS (SELECT 1000 * (epoch_us(MAX(ts)) // 1000) AS wm_us FROM events)
+    SELECT user_id, session_start, session_end, n_events, total_value
+    FROM agg, wm
+    WHERE epoch_us(session_end + INTERVAL 30 MINUTE) < wm.wm_us
+    """,
+)
+def i17_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming NATIVE session windows: ``session_window`` inside
+    a watermarked ``readStream`` aggregation — Spark's built-in dynamic-
+    gap windowing with state that MERGES adjacent windows as bridging
+    events arrive and is evicted (emitted) once the watermark passes
+    ``session_end + gap``.  This is the engine-managed counterpart of
+    i6b's hand-rolled applyInPandasWithState sessionizer: same logical
+    sessions, zero custom state code.
+
+    At 100 TB/day the state store holds only open sessions inside the
+    watermark horizon per user — the eviction bound is what keeps
+    unbounded-stream sessionization feasible.  The oracle replays the
+    gap-SQL sessionization plus the emission contract (block comment);
+    rounding discipline matches i6b (4-dp terminal round)."""
+    ev = read_events_stream(spark, sf_dir).withColumn(
+        "tse", F.col("ts").cast("timestamp")
+    )
+    agg = (
+        ev.withWatermark("tse", "0 seconds")
+        .groupBy("user_id", F.session_window("tse", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("i17_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("i17_sessions").select(
+        "user_id",
+        F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+        # Spark's session window end = last event + gap; expose the
+        # last-event time so the schema matches the gap-SQL twin
+        (F.col("sw.end") - F.expr("INTERVAL 30 MINUTES"))
+        .cast("timestamp_ntz")
+        .alias("session_end"),
+        "n_events",
+        "total_value",
+    )
