@@ -2125,3 +2125,55 @@ def a25_jdbc_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stripe_total"),
         )
     )
+
+
+# --- A26: multiline CSV (quoted embedded newlines / delimiters) ---------------
+
+
+@query(
+    "a26_csv_multiline",
+    oracle="""
+    SELECT doc_id,
+           replace(substring(text, 1, 60), ' ', chr(10)) AS excerpt,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def a26_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiline CSV round-trip: fields containing EMBEDDED NEWLINES,
+    commas and quotes — the export format of every spreadsheet / CRM
+    dump, and the classic silent-corruption source (a naive
+    line-splitting reader shreds each quoted record into garbage rows).
+    ``multiLine=true`` makes Spark parse quoted newlines correctly; the
+    cost is that multiline CSV files are NOT line-splittable, so at
+    100 TB the layout answer is many moderate files (one per partition
+    written here) rather than one giant file — same parallelism story
+    as a20's gzip.
+
+    The excerpt column is deliberately adversarial: spaces replaced by
+    real newlines, so every field crosses lines; quoting/escaping is
+    exercised end-to-end (quote-in-field doubling included via the text
+    content).  The oracle reconstructs the same derivation from the
+    ORIGINAL fixture — a value-hash match proves the round-trip is
+    byte-lossless."""
+    path = _scratch(sf_dir, "docs_multiline_csv")
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    staged = d.select(
+        "doc_id",
+        F.regexp_replace(F.substring("text", 1, 60), " ", "\n").alias("excerpt"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    # the CSV WRITER trims leading/trailing whitespace by default —
+    # disable both so fields ending in whitespace/newlines survive
+    staged.write.mode("overwrite").option("header", True).option(
+        "quoteAll", True
+    ).option("ignoreLeadingWhiteSpace", False).option(
+        "ignoreTrailingWhiteSpace", False
+    ).csv(path)
+    return (
+        spark.read.schema("doc_id bigint, excerpt string, n_chars bigint")
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(path)
+    )
