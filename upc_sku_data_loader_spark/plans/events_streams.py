@@ -662,3 +662,48 @@ def i17_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+# --- I18: TRUE streaming exact distinct count (dedup-then-count) --------------
+
+
+@query(
+    "i18_stream_distinct_users",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS ws,
+           event_type,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY ws, event_type
+    """,
+)
+def i18_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming EXACT distinct count: `COUNT(DISTINCT)` is not
+    supported inside a streaming aggregation (distinct state is
+    unbounded per group), so the production recipe is the two-stage
+    plan used here — `dropDuplicates` on (window-bucket, event_type,
+    user_id) bounds the dedup state to one row per distinct key, then
+    an ordinary streaming count per (window, type) over the surviving
+    rows.  Complete-mode drain equals the batch COUNT(DISTINCT) twin
+    exactly — the parity hash proves the two-stage rewrite is
+    semantics-preserving.
+
+    At 100 TB/day you'd add a watermark to both stages so dedup and
+    count state evict together (i15 pins that variant); the sketch
+    alternative (HLL, d19) trades exactness for O(1) state when the
+    per-window key cardinality itself is too large."""
+    stream = read_events_stream(spark, sf_dir).withColumn(
+        "tse", F.col("ts").cast("timestamp")
+    )
+    bucketed = stream.select(
+        F.window("tse", "1 hour").alias("w"), "event_type", "user_id"
+    ).dropDuplicates(["w", "event_type", "user_id"])
+    counted = bucketed.groupBy("w", "event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    out = run_available_now(counted, "i18_distinct_users")
+    return out.select(
+        F.col("w.start").cast("timestamp_ntz").alias("ws"),
+        "event_type",
+        "n_users",
+    )
