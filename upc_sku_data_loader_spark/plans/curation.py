@@ -1458,3 +1458,117 @@ def k74_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score_micro"),
         (score >= _K74_KEEP).alias("keep"),
     )
+
+
+# --- K75: distribution drift between dataset snapshots (PSI) ------------------
+
+_K75_BIN_W = 50.0  # fixed-width value bins (deterministic, engine-free)
+_K75_BINS = 8  # bins 0..7, last one open-ended
+
+
+@query(
+    "k75_drift_psi",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_type,
+             user_id % 2 AS cohort,
+             LEAST(CAST(FLOOR(value / {_K75_BIN_W}) AS BIGINT),
+                   {_K75_BINS - 1}) AS bin
+      FROM events WHERE event_type = 'purchase' OR event_type = 'click'
+    ),
+    grid AS (
+      SELECT DISTINCT event_type, b.bin
+      FROM p CROSS JOIN (
+        SELECT unnest(generate_series(0, {_K75_BINS - 1})) AS bin
+      ) b
+    ),
+    counts AS (
+      SELECT g.event_type, g.bin,
+             COUNT(CASE WHEN p.cohort = 0 THEN 1 END) AS n_ref,
+             COUNT(CASE WHEN p.cohort = 1 THEN 1 END) AS n_cur
+      FROM grid g
+      LEFT JOIN p ON p.event_type = g.event_type AND p.bin = g.bin
+      GROUP BY g.event_type, g.bin
+    ),
+    tot AS (
+      SELECT event_type,
+             SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur
+      FROM counts GROUP BY event_type
+    ),
+    shares AS (
+      SELECT c.event_type, c.bin,
+             CAST(c.n_ref + 1 AS DOUBLE) / (t.t_ref + {_K75_BINS}) AS p_ref,
+             CAST(c.n_cur + 1 AS DOUBLE) / (t.t_cur + {_K75_BINS}) AS p_cur
+      FROM counts c JOIN tot t ON t.event_type = c.event_type
+    )
+    SELECT event_type,
+           ROUND(SUM((p_ref - p_cur) * ln(p_ref / p_cur)), 6) AS psi,
+           ROUND(SUM((p_ref - p_cur) * ln(p_ref / p_cur)), 6) >= 0.1
+             AS drift_alert
+    FROM shares
+    GROUP BY event_type
+    """,
+)
+def k75_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two dataset snapshots — the
+    standard ML-ops drift gate run before every model/corpus refresh
+    (PSI < 0.1 stable, ≥ 0.25 action).  Reference cohort = even user
+    ids, current = odd; the value distribution per event type is binned
+    on a FIXED grid (engine-free floor bins, open-ended tail), add-one
+    smoothed so empty bins stay finite, and
+    PSI = Σ (p_ref − p_cur)·ln(p_ref/p_cur).
+
+    Cross-engine float note: `ln` on both engines is the platform libm
+    over identical doubles (the shares are exact small-integer ratios),
+    and the terminal 6-dp round absorbs any last-ulp drift — the SAME
+    discipline k51's PMI (also ln-based) ships with, parity-green.
+
+    Shape: one keyed count per (type, bin) — map-side partials — a
+    {_K75_BINS}-row-per-type grid join (broadcast), one tiny agg.  At
+    100 TB the only data-scale pass is the binned count."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "event_type",
+            (F.col("user_id") % 2).alias("cohort"),
+            F.least(
+                F.floor(F.col("value") / _K75_BIN_W).cast("long"),
+                F.lit(_K75_BINS - 1).cast("long"),
+            ).alias("bin"),
+        )
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            ev.sparkSession.range(_K75_BINS).select(F.col("id").alias("bin"))
+        )
+    )
+    counts = (
+        grid.join(ev, ["event_type", "bin"], "left")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.when(F.col("cohort") == 0, 1)).alias("n_ref"),
+            F.count(F.when(F.col("cohort") == 1, 1)).alias("n_cur"),
+        )
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    shares = counts.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        ((F.col("n_ref") + 1).cast("double") / (F.col("t_ref") + _K75_BINS)).alias(
+            "p_ref"
+        ),
+        ((F.col("n_cur") + 1).cast("double") / (F.col("t_cur") + _K75_BINS)).alias(
+            "p_cur"
+        ),
+    )
+    term = (F.col("p_ref") - F.col("p_cur")) * F.log(
+        F.col("p_ref") / F.col("p_cur")
+    )
+    psi = F.round(F.sum(term), 6)
+    return shares.groupBy("event_type").agg(
+        psi.alias("psi"), (psi >= 0.1).alias("drift_alert")
+    )
