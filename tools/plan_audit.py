@@ -79,6 +79,8 @@ BNLJ_OK = {
     "k41_semdedup",
     # broadcast sign-matrix / projection-plane sides (k×d literals)
     "k53_random_projection",
+    # constant bin-grid cross join (|event types| × 8 bins)
+    "k75_drift_psi",
 }
 
 # Python execution is the operator's contract (UDF-tier demos) or its
