@@ -196,3 +196,11 @@ def test_q25_chi2_cells_tile_the_user_base(spark, sf_dir):
     assert 0 <= r["conv_treatment"] <= r["n_treatment"]
     assert r["chi2_micro"] >= 0
     assert r["significant_p05"] == (r["chi2_micro"] >= 3_841_459)
+
+
+def test_k76_roundtrip_is_universally_lossless(spark, sf_dir):
+    rows = QUERIES["k76_bpe_roundtrip"](spark, sf_dir).collect()
+    assert rows
+    # the invariant itself: every word in every doc decodes exactly
+    assert all(r["lossless"] for r in rows)
+    assert all(r["n_words"] == r["n_roundtrip_exact"] for r in rows)

@@ -1687,3 +1687,70 @@ def k69_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- K76: BPE round-trip proof (decode(encode(w)) == w, corpus-wide) ----------
+
+
+def _bpe_roundtrip_oracle() -> str:
+    ctes = _bpe_ctes()
+    return f"""
+    WITH {','.join(ctes)},
+    decoded AS (
+      SELECT w,
+             replace(substr(seq, 2, length(seq) - 2), '||', '') AS w_decoded
+      FROM s{_BPE_MERGES}
+    ),
+    wtok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_words,
+           SUM(CASE WHEN d.w_decoded = t.w THEN 1 ELSE 0 END)
+             AS n_roundtrip_exact,
+           COUNT(*) = SUM(CASE WHEN d.w_decoded = t.w THEN 1 ELSE 0 END)
+             AS lossless
+    FROM wtok t JOIN decoded d ON d.w = t.w
+    GROUP BY t.doc_id
+    """
+
+
+@query("k76_bpe_roundtrip", oracle=_bpe_roundtrip_oracle())
+def k76_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer LOSSLESSNESS proof: decode every word's learned BPE
+    symbol sequence (strip the boundary markers, drop the separators)
+    and verify it reproduces the original word, aggregated per
+    document — the invariant every production tokenizer deployment
+    gates on (a merge table that drops or duplicates a byte corrupts
+    the corpus silently; detokenize(tokenize(x)) == x is the guard).
+
+    Both engines run their OWN merge loops (Spark: k68's broadcast
+    iterative kernel; DuckDB: the recursive CTE chain) and then their
+    own reassembly, so a hash match certifies the two independently-
+    derived vocabularies agree symbol-for-symbol AND the encoding is
+    invertible.  Shape: identical to k69 — bounded vocab loop, one
+    broadcast join over the word stream, one per-doc agg."""
+    _, state = _bpe_learn(spark, sf_dir)
+    decoded = state.select(
+        "w",
+        F.expr(
+            "replace(substr(seq, 2, length(seq) - 2), '||', '')"
+        ).alias("w_decoded"),
+    )
+    wtok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    exact = F.sum(
+        F.when(F.col("w_decoded") == F.col("w"), 1).otherwise(0)
+    ).alias("n_roundtrip_exact")
+    return (
+        wtok.join(F.broadcast(decoded), "w")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_words"), exact)
+        .select(
+            "doc_id",
+            "n_words",
+            "n_roundtrip_exact",
+            (F.col("n_words") == F.col("n_roundtrip_exact")).alias("lossless"),
+        )
+    )
