@@ -60,8 +60,8 @@ FLAGSHIP = "d1_agg_hash_grouped"  # TPC-H Q1-style pricing summary (SURVEY §7 P
 # q24_pareto_share t13_seasonal_adjust k74_quality_model_score
 # d24_modern_aggs h19_timezone_functions k73_incremental_dedup
 # i17_stream_session_window q25_ab_test_chi2 a26_csv_multiline
-# b16_gs1_prefix_lookup i18_stream_distinct_users k75_drift_psi) — plus
-# whatever r4/r5 driver artifacts flag red.
+# b16_gs1_prefix_lookup i18_stream_distinct_users k75_drift_psi
+# k76_bpe_roundtrip) — plus whatever r4/r5 driver artifacts flag red.
 _PRIORITY = [
     # never driver-windowed: deferred composite B-half
     "q16_supplier_part_counts", "q19_disjunctive_predicates",
