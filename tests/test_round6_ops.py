@@ -204,3 +204,22 @@ def test_k76_roundtrip_is_universally_lossless(spark, sf_dir):
     # the invariant itself: every word in every doc decodes exactly
     assert all(r["lossless"] for r in rows)
     assert all(r["n_words"] == r["n_roundtrip_exact"] for r in rows)
+
+
+def test_i19_ledger_rejects_all_replays(spark, sf_dir):
+    """After the adversarial full replay, the log must hold each event
+    exactly once — n_rows == n_distinct per type."""
+    rows = QUERIES["i19_stream_txn_sink"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_rows"] == r["n_distinct"]
+
+
+def test_a27_each_file_is_one_row(spark, sf_dir):
+    out = QUERIES["a27_wholefile_text"](spark, sf_dir)
+    expect = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id % 25 = 0")
+        .count()
+    )
+    assert out.count() == expect

@@ -2177,3 +2177,143 @@ def a26_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("multiLine", True)
         .csv(path)
     )
+
+
+# --- I19: transactional foreachBatch sink (batch-id commit ledger) ------------
+
+
+@query(
+    "i19_stream_txn_sink",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT event_id) AS n_distinct
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def i19_stream_txn_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once for NON-KEYED append sinks: a batch-id COMMIT
+    LEDGER.  i9's recipe (idempotent upsert) needs a primary key; plain
+    append tables (fact logs, object-store parts) don't have one, so
+    the production pattern is a transactional ledger — each micro-batch
+    appends its rows AND records its batch_id in one ACID transaction;
+    a replayed batch (Spark tasks are at-least-once) finds its id
+    already committed and SKIPS.  Demonstrated for real: after the
+    availableNow run, every batch is maliciously re-delivered
+    (simulating post-failure replay) and the ledger rejects all of
+    them — the final table still holds each event exactly once, which
+    is precisely what the value-hash proves against the source.
+
+    At scale the same two-table commit protocol is what Delta/Iceberg
+    implement in the table metadata layer; foreachBatch + any ACID
+    store gives it on plain infrastructure."""
+    db_path = _scratch(sf_dir, "txn_sink.sqlite")
+    Path(db_path).unlink(missing_ok=True)
+    chk = _scratch(sf_dir, "i19_chk")
+    shutil.rmtree(chk, ignore_errors=True)
+    ddl = sqlite3.connect(db_path)
+    ddl.execute("CREATE TABLE commits (batch_id INTEGER PRIMARY KEY)")
+    ddl.execute("CREATE TABLE ev_log (event_id INTEGER, event_type TEXT)")
+    ddl.commit()
+    ddl.close()
+
+    replayed: list[tuple[int, list[tuple[int, str]]]] = []
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = [
+            (r["event_id"], r["event_type"])
+            for r in batch_df.select("event_id", "event_type").collect()
+        ]
+        replayed.append((batch_id, rows))
+        _txn_append(db_path, batch_id, rows)
+
+    def _txn_append(path: str, batch_id: int, rows) -> None:
+        con = sqlite3.connect(path, timeout=60.0)
+        try:
+            con.execute("BEGIN IMMEDIATE")
+            cur = con.execute(
+                "INSERT OR IGNORE INTO commits (batch_id) VALUES (?)",
+                (batch_id,),
+            )
+            if cur.rowcount == 1:  # first delivery: append inside the txn
+                con.executemany(
+                    "INSERT INTO ev_log (event_id, event_type) VALUES (?, ?)",
+                    rows,
+                )
+            con.commit()  # replay: ledger hit → commit nothing
+        finally:
+            con.close()
+
+    stream = read_events_stream(spark, sf_dir).select("event_id", "event_type")
+    q = (
+        stream.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # adversarial replay: re-deliver EVERY batch (at-least-once world)
+    for batch_id, rows in replayed:
+        _txn_append(db_path, batch_id, rows)
+    con = sqlite3.connect(db_path)
+    final = con.execute(
+        "SELECT event_type, COUNT(*), COUNT(DISTINCT event_id)"
+        " FROM ev_log GROUP BY event_type"
+    ).fetchall()
+    con.close()
+    return spark.createDataFrame(
+        [(t, int(n), int(d)) for t, n, d in final],
+        "event_type string, n_rows bigint, n_distinct bigint",
+    )
+
+
+# --- A27: whole-file text source (one record per file) ------------------------
+
+
+@query(
+    "a27_wholefile_text",
+    oracle="""
+    SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 25 = 0
+    """,
+)
+def a27_wholefile_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file text ingestion (`option("wholetext", true)`): each
+    file becomes ONE row regardless of embedded newlines — the landing
+    shape of every scraped-document corpus (one .txt/.md per document)
+    and the reader that makes "a million small files" queryable without
+    a parse step.  The doc id travels IN THE FILE PATH (standard corpus
+    layout) and is recovered with `input_file_name()` + regexp — no
+    sidecar manifest needed.
+
+    Scale note: wholetext files are intentionally NOT split (a record
+    is a file), so parallelism = #files — exactly right for a corpus of
+    millions of small documents, and the reason this reader beats
+    concatenated text + a re-splitting parse at 100 TB.  Lossless
+    round-trip proof: a sample of documents is exported one-file-each
+    (text with real newlines), read back whole, and hash-checked
+    against the fixture."""
+    base = _scratch(sf_dir, "wholefile_docs")
+    shutil.rmtree(base, ignore_errors=True)
+    Path(base).mkdir(parents=True)
+    sample = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .withColumn("text", F.regexp_replace("text", " ", "\n"))
+    )
+    for r in sample.collect():  # driver-side export: test corpus layout only
+        Path(f"{base}/doc_{r['doc_id']:08d}.txt").write_text(r["text"])
+    raw = spark.read.text(base, wholetext=True).withColumn(
+        "path", F.input_file_name()
+    )
+    return raw.select(
+        F.regexp_extract("path", r"doc_(\d+)\.txt", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        # reverse the export's newline encoding to prove byte-losslessness
+        F.regexp_replace("value", "\n", " ").alias("text"),
+        F.length(F.regexp_replace("value", "\n", " ")).cast("bigint").alias(
+            "n_chars"
+        ),
+    )
