@@ -223,3 +223,35 @@ def test_a27_each_file_is_one_row(spark, sf_dir):
         .count()
     )
     assert out.count() == expect
+
+
+def test_k77_removes_only_cross_doc_spans(spark, sf_dir):
+    """Boilerplate spans must recur in >= _K77_MIN_DF docs; a doc with
+    nothing removed keeps md5(original span text)."""
+    rows = QUERIES["k77_boilerplate_prune"](spark, sf_dir).collect()
+    assert len(rows) == 500
+    n_pruned = sum(1 for r in rows if r["n_removed"] > 0)
+    assert 0 < n_pruned < len(rows)  # threshold bites, but not everywhere
+    for r in rows:
+        assert 0 <= r["n_removed"] <= r["n_spans"]
+
+
+def test_d25_corr_matrix_bounds_and_selfconsistency(spark, sf_dir):
+    rows = QUERIES["d25_corr_matrix"](spark, sf_dir).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert -1_000_000 <= r["corr_micro"] <= 1_000_000
+    # qty ⟂ price in the generator ⇒ |corr| well below 0.5
+    by = {(r["col_x"], r["col_y"]): r["corr_micro"] for r in rows}
+    assert abs(by[("l_quantity", "l_discount")]) < 500_000
+
+
+def test_t14_acf_lag_grid_and_bounds(spark, sf_dir):
+    rows = QUERIES["t14_acf"](spark, sf_dir).collect()
+    assert sorted(r["lag"] for r in rows) == list(range(1, 8))
+    for r in rows:
+        assert abs(r["acf_micro"]) <= 1_000_000
+        assert r["n_pairs"] > 0
+    # longer lag ⇒ fewer (or equal) joinable day pairs
+    by_lag = {r["lag"]: r["n_pairs"] for r in rows}
+    assert all(by_lag[k] >= by_lag[k + 1] for k in range(1, 7))

@@ -892,3 +892,58 @@ def d24_modern_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("o_orderkey", pk).alias("bottom_order"),
         F.max_by("o_custkey", pk_min).alias("top_cust"),
     )
+
+
+# --- D25: pairwise correlation matrix -----------------------------------------
+
+_D25_PAIRS = (
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_quantity", "l_tax"),
+    ("l_extendedprice", "l_discount"),
+    ("l_extendedprice", "l_tax"),
+    ("l_discount", "l_tax"),
+)
+
+
+@query(
+    "d25_corr_matrix",
+    oracle="""
+    WITH c AS (SELECT
+    """
+    + ",\n".join(
+        f"      CAST(ROUND(corr({x}, {y}) * 1e6) AS BIGINT) AS c{i}"
+        for i, (x, y) in enumerate(_D25_PAIRS)
+    )
+    + """
+      FROM lineitem)
+    """
+    + "\n    UNION ALL\n".join(
+        f"    SELECT '{x}' AS col_x, '{y}' AS col_y, c{i} AS corr_micro FROM c"
+        for i, (x, y) in enumerate(_D25_PAIRS)
+    ),
+)
+def d25_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem numeric
+    columns — the standard profiling/feature-selection pass before any
+    model fit.  All 6 upper-triangle pairs are computed in ONE hash
+    aggregation over a single scan (each ``corr`` keeps its own
+    (n, Σx, Σy, Σxy, Σx², Σy²) moments; map-side partial merge), then
+    pivoted to long form driver-free with ``stack``.  Emitted as
+    integer micro-units (round-then-cast on BOTH engines) per the
+    round-3 float discipline.  At 100 TB: one scan, zero shuffles
+    beyond the 1-row global agg."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [
+        F.round(F.corr(x, y) * 1e6).cast("bigint").alias(f"c{i}")
+        for i, (x, y) in enumerate(_D25_PAIRS)
+    ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{x}', '{y}', c{i}" for i, (x, y) in enumerate(_D25_PAIRS)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_D25_PAIRS)}, {stack_args}) AS (col_x, col_y, corr_micro)"
+        )
+    )

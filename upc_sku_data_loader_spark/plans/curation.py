@@ -1572,3 +1572,112 @@ def k75_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shares.groupBy("event_type").agg(
         psi.alias("psi"), (psi >= 0.1).alias("drift_alert")
     )
+
+
+# --- K77: cross-document boilerplate removal (CCNet-style) --------------------
+
+_K77_SPAN = 5  # words per span: 257 5-spans recur across docs at sf0.01
+_K77_MIN_DF = 3  # spans present in >= this many distinct docs are boilerplate
+
+
+@query(
+    "k77_boilerplate_prune",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s AS (SELECT doc_id, ws,
+                 unnest(range(0, (len(ws) + {_K77_SPAN} - 1) // {_K77_SPAN}))
+                   AS pos
+          FROM d),
+    sp AS (SELECT doc_id, pos,
+                  array_to_string(
+                    list_slice(ws, pos * {_K77_SPAN} + 1,
+                               least(pos * {_K77_SPAN} + {_K77_SPAN}, len(ws))),
+                    ' ') AS span
+           FROM s),
+    df AS (SELECT span, COUNT(DISTINCT doc_id) AS df FROM sp GROUP BY span),
+    m AS (SELECT sp.doc_id, sp.pos, sp.span,
+                 df.df >= {_K77_MIN_DF} AS is_boiler
+          FROM sp JOIN df USING (span))
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           md5(COALESCE(
+             string_agg(CASE WHEN NOT is_boiler THEN span END,
+                        ' ' ORDER BY pos), '')) AS pruned_md5
+    FROM m GROUP BY doc_id
+    """,
+)
+def k77_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style CROSS-document boilerplate removal: spans of
+    {_K77_SPAN} words that occur in >= {_K77_MIN_DF} DISTINCT documents
+    (headers, footers, nav chrome in a real crawl) are deleted from
+    every document; each doc is reassembled in original span order.
+    Complements k30, which dedups repeats WITHIN one document — this is
+    the corpus-wide pass CCNet/RefinedWeb run over sharded paragraph
+    hashes.
+
+    The reassembled text is emitted as ``md5(pruned_text)`` — the k36
+    lesson: hashing the string on BOTH engines collapses any
+    whitespace/NULL-rendering difference into a value DuckDB and Spark
+    agree on bit-for-bit.
+
+    Shape: explode to spans (map-only) → span-keyed count-distinct
+    (one shuffle, map-side partials) → span-keyed join back (AQE
+    sort-merge; the df side is data-sized, NOT broadcast) → doc-keyed
+    ordered re-aggregation (one shuffle).  At 100 TB all three
+    exchanges are on uniform hash keys; no collect, no all-pairs."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("ws") / float(_K77_SPAN)).cast("int") - 1,
+                ),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.array_join(
+                        F.slice(
+                            F.col("ws"),
+                            i * _K77_SPAN + 1,
+                            F.least(
+                                F.lit(_K77_SPAN), F.size("ws") - i * _K77_SPAN
+                            ),
+                        ),
+                        " ",
+                    ).alias("span"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.span").alias("span"))
+    df_per_span = spans.groupBy("span").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    marked = spans.join(df_per_span, "span").withColumn(
+        "is_boiler", F.col("df") >= _K77_MIN_DF
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("is_boiler"), F.struct("pos", "span")
+                            )
+                        )
+                    ),
+                    lambda s: s["span"],
+                ),
+                " ",
+            )
+        ).alias("pruned_md5"),
+    )

@@ -1099,3 +1099,110 @@ def t13_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_deseasonalized"
         ),
     )
+
+
+# --- T14: autocorrelation function --------------------------------------------
+
+_T14_LAGS = 7  # ACF at calendar-day lags 1..7 (captures the weekly cycle)
+
+
+@query(
+    "t14_acf",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    idx AS (
+      SELECT date_diff('day', (SELECT MIN(d) FROM daily), d) AS t, v
+      FROM daily
+    ),
+    mu AS (
+      SELECT CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS m
+      FROM idx
+    ),
+    den AS (
+      SELECT CAST(SUM(CAST((v - m) * (v - m) AS DECIMAL(38,12))) AS DOUBLE)
+               AS ss
+      FROM idx, mu
+    ),
+    lags AS (SELECT unnest(generate_series(1, {_T14_LAGS})) AS lag),
+    pairs AS (
+      SELECT l.lag,
+             CAST(SUM(CAST((a.v - m) * (b.v - m) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS sc,
+             COUNT(*) AS n_pairs
+      FROM idx a
+      CROSS JOIN lags l
+      JOIN idx b ON b.t = a.t + l.lag
+      CROSS JOIN mu
+      GROUP BY l.lag
+    )
+    SELECT lag,
+           n_pairs,
+           CAST(ROUND(sc / ss * 1e6) AS BIGINT) AS acf_micro
+    FROM pairs, den
+    """,
+)
+def t14_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily purchase-revenue series at
+    lags 1..{_T14_LAGS}: r_k = Σ(x_t−x̄)(x_t+k−x̄) / Σ(x_t−x̄)² — the
+    first diagnostic any forecasting pipeline runs (weekly cycle shows
+    as a lag-7 peak).  Pairs join on CALENDAR-day offset; silent days
+    contribute no pair (identical convention both engines).
+
+    Float discipline: the daily series, the mean, and both
+    sums-of-products are decimal-exact (order-independent), so the
+    only engine difference is the terminal division — absorbed by the
+    micro-unit round.
+
+    Shape: one keyed daily agg (map-side partials), two 1-row global
+    aggs (broadcast back), a {_T14_LAGS}-row lag grid (broadcast cross
+    join), and one equi-join on day index.  The series after daily
+    aggregation is ~days-long — tiny regardless of raw scale; at 100 TB
+    only the first agg touches data-sized input."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("ts").cast("date").alias("d"), "value")
+    )
+    daily = ev.groupBy("d").agg(
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("v")
+    )
+    mind = daily.agg(F.min("d").alias("mind"))
+    idx = daily.crossJoin(F.broadcast(mind)).select(
+        F.datediff("d", "mind").cast("bigint").alias("t"), "v"
+    )
+    mu = idx.agg(
+        (
+            F.sum(F.col("v").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    centered = idx.crossJoin(F.broadcast(mu))
+    den = centered.agg(
+        F.sum(((F.col("v") - F.col("m")) * (F.col("v") - F.col("m"))).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("ss")
+    )
+    lags = spark.range(1, _T14_LAGS + 1).select(F.col("id").alias("lag"))
+    a = centered.select("t", "v", "m").crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("t") + F.col("lag")).alias("t_join"), F.col("v").alias("va"), "m"
+    )
+    b = centered.select(F.col("t").alias("t_join"), F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, "t_join")
+        .groupBy("lag")
+        .agg(
+            F.sum(((F.col("va") - F.col("m")) * (F.col("vb") - F.col("m"))).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("sc"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    return pairs.crossJoin(F.broadcast(den)).select(
+        "lag",
+        "n_pairs",
+        F.round(F.col("sc") / F.col("ss") * 1e6).cast("bigint").alias("acf_micro"),
+    )
