@@ -81,6 +81,8 @@ BNLJ_OK = {
     "k53_random_projection",
     # constant bin-grid cross join (|event types| × 8 bins)
     "k75_drift_psi",
+    # 1-row global-stat broadcasts (min date / mean / ss) + 7-row lag grid
+    "t14_acf",
 }
 
 # Python execution is the operator's contract (UDF-tier demos) or its
