@@ -255,3 +255,45 @@ def test_t14_acf_lag_grid_and_bounds(spark, sf_dir):
     # longer lag ⇒ fewer (or equal) joinable day pairs
     by_lag = {r["lag"]: r["n_pairs"] for r in rows}
     assert all(by_lag[k] >= by_lag[k + 1] for k in range(1, 7))
+
+
+def test_q26_rfm_quintiles_are_balanced(spark, sf_dir):
+    rows = QUERIES["q26_rfm_segments"](spark, sf_dir).collect()
+    n_cust = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_cust
+    from collections import Counter
+
+    for col in ("r_score", "f_score", "m_score"):
+        c = Counter(r[col] for r in rows)
+        assert sorted(c) == [1, 2, 3, 4, 5]
+        assert max(c.values()) - min(c.values()) <= 1  # NTILE balance
+    assert {r["segment"] for r in rows} <= {
+        "champion", "loyal", "at_risk", "hibernating", "regular"
+    }
+
+
+def test_q27_attribution_conserves_purchases(spark, sf_dir):
+    rows = QUERIES["q27_last_touch_attribution"](spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_purch = ev.filter("event_type = 'purchase'").count()
+    assert sum(r["n_purchases"] for r in rows) == n_purch  # full credit
+    assert {r["touch_type"] for r in rows} <= {"view", "click", "none"}
+
+
+def test_q28_ltv_is_monotone_in_offset(spark, sf_dir):
+    rows = QUERIES["q28_cohort_ltv"](spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r["cohort_week"]].append((r["week_offset"], r["cum_ltv_per_user"]))
+    for curve in by_cohort.values():
+        curve.sort()
+        vals = [v for _, v in curve]
+        assert vals == sorted(vals)  # cumulative ⇒ non-decreasing

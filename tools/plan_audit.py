@@ -83,6 +83,8 @@ BNLJ_OK = {
     "k75_drift_psi",
     # 1-row global-stat broadcasts (min date / mean / ss) + 7-row lag grid
     "t14_acf",
+    # 1-row corpus-max-date broadcast
+    "q26_rfm_segments",
 }
 
 # Python execution is the operator's contract (UDF-tier demos) or its

@@ -1459,3 +1459,239 @@ def q25_ab_test_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2_micro"),
         (chi2 >= _Q25_CRIT_MICRO).alias("significant_p05"),
     )
+
+
+# --- Q26: RFM customer segmentation -------------------------------------------
+
+
+@query(
+    "q26_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS c_custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                       (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+               AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT *,
+             NTILE(5) OVER (ORDER BY recency_days DESC, c_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency, c_custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary, c_custkey) AS m_score
+      FROM base
+    )
+    SELECT c_custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CASE
+             WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+               THEN 'champion'
+             WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+             WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+             WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+             ELSE 'regular'
+           END AS segment
+    FROM scored
+    """,
+)
+def q26_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    canonical CRM scoring query.  Per customer: days since last order
+    (vs the corpus max date), order count, exact decimal-summed spend;
+    each metric is quintile-scored with NTILE(5) over a DETERMINISTIC
+    total order (metric, then custkey tiebreak — both engines fill
+    earlier buckets first, so identical orders give identical buckets),
+    then mapped to named segments.
+
+    Scale shape: one keyed agg over orders (map-side partials), a 1-row
+    max-date broadcast, then three window passes over the per-customer
+    aggregate (customer-sized, ~1e7 rows per TB — fine).  The NTILE
+    global order is the one genuinely serial step; at extreme scale the
+    same scores come from a 2-pass percentile cut, which d14/t3 already
+    demonstrate."""
+    o = load(spark, sf_dir, "orders")
+    maxd = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("maxd"))
+    base = (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("lastd"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum("o_totalprice", "monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "c_custkey",
+            F.datediff("maxd", "lastd").cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    from pyspark.sql import Window
+
+    r_w = Window.orderBy(F.col("recency_days").desc(), "c_custkey")
+    f_w = Window.orderBy("frequency", "c_custkey")
+    m_w = Window.orderBy("monetary", "c_custkey")
+    scored = (
+        base.withColumn("r_score", F.ntile(5).over(r_w))
+        .withColumn("f_score", F.ntile(5).over(f_w))
+        .withColumn("m_score", F.ntile(5).over(m_w))
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") >= 3) & (F.col("f_score") >= 3), "loyal")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating")
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", seg)
+
+
+# --- Q27: last-touch attribution ----------------------------------------------
+
+
+@query(
+    "q27_last_touch_attribution",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch
+      FROM events
+    )
+    SELECT COALESCE(last_touch, 'none') AS touch_type,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+             AS attributed_revenue
+    FROM seq
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q27_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits its full
+    value to the user's most recent preceding touch event (view or
+    click); purchases with no prior touch land in the 'none' bucket.
+    The per-user event sequence is ordered by (ts, event_id) — a total
+    order, so the credited touch is engine-independent even under
+    timestamp ties.
+
+    Shape: ONE window pass over user-partitioned events (single shuffle
+    on user_id) + a 3-row final agg.  The same plan at 100 TB: user_id
+    is high-cardinality and unskewed, so the window partitioning is the
+    scalable axis; no self-join of purchases×touches (the naive
+    formulation, quadratic per user)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin("view", "click"), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("last_touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("last_touch", F.lit("none")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum("value", "attributed_revenue"),
+        )
+    )
+
+
+# --- Q28: cohort lifetime-value curves ----------------------------------------
+
+
+@query(
+    "q28_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_week, COUNT(*) AS n_users
+      FROM firsts GROUP BY cohort_week
+    ),
+    weekly AS (
+      SELECT f.cohort_week,
+             date_diff('week', f.cohort_week,
+                       date_trunc('week', e.ts)) AS week_offset,
+             CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+      FROM events e
+      JOIN firsts f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT CAST(m.cohort_week AS DATE) AS cohort_week,
+           m.week_offset,
+           s.n_users,
+           ROUND(SUM(m.revenue) OVER (PARTITION BY m.cohort_week
+                                      ORDER BY m.week_offset)
+                 / s.n_users, 6) AS cum_ltv_per_user
+    FROM weekly m JOIN sizes s ON s.cohort_week = m.cohort_week
+    """,
+)
+def q28_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: users grouped by first-active WEEK (the
+    fixture stream spans one month, so weekly cohorts give a real
+    triangle); for each cohort and week offset, the cumulative purchase
+    revenue per cohort user — the retention-economics readout every
+    growth team runs.  Weekly revenue cells are decimal-exact, so the
+    window cumsum adds IDENTICAL doubles in the same
+    (one-row-per-offset) order on both engines; the terminal 6-dp round
+    guards the division.  Week arithmetic: both engines truncate to
+    Monday-start ISO weeks and count whole-week boundaries crossed.
+
+    Shape: two user-keyed aggs (first-touch, join back) + a week-cell
+    agg + a cohort-partitioned cumsum over ~weeks² rows.  At 100 TB the
+    user-keyed join is the only data-scale exchange; everything after
+    the week-cell agg is KB-sized."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    sizes = firsts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_users"))
+    weekly = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")), F.col("cohort_week")
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(dsum("value", "revenue"))
+    )
+    w = Window.partitionBy("cohort_week").orderBy("week_offset")
+    return (
+        weekly.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+            F.round(F.sum("revenue").over(w) / F.col("n_users"), 6).alias(
+                "cum_ltv_per_user"
+            ),
+        )
+    )
