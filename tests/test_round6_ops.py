@@ -297,3 +297,81 @@ def test_q28_ltv_is_monotone_in_offset(spark, sf_dir):
         curve.sort()
         vals = [v for _, v in curve]
         assert vals == sorted(vals)  # cumulative ⇒ non-decreasing
+
+
+def test_c16_grid_join_finds_exactly_the_all_pairs_matches(spark, sf_dir):
+    """The bucketed candidate join must be complete: every pair the
+    naive all-pairs haversine accepts is found (no cell-boundary
+    misses) and nothing outside the radius slips in."""
+    import math
+
+    out = {
+        (r["c_custkey"], r["s_suppkey"]): r["dist_m"]
+        for r in QUERIES["c16_geo_radius_join"](spark, sf_dir).collect()
+    }
+    from upc_sku_data_loader_spark.plans.joins import _C16_R_KM, _c16_coord
+
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            "c_custkey",
+            _c16_coord("c", "lat", "c_custkey").alias("lat"),
+            _c16_coord("c", "lon", "c_custkey").alias("lon"),
+        )
+        .collect()
+    )
+    supp = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .select(
+            "s_suppkey",
+            _c16_coord("s", "lat", "s_suppkey").alias("lat"),
+            _c16_coord("s", "lon", "s_suppkey").alias("lon"),
+        )
+        .collect()
+    )
+
+    def hav(a, b):
+        p1, l1, p2, l2 = map(math.radians, (a["lat"], a["lon"], b["lat"], b["lon"]))
+        h = (
+            math.sin((p2 - p1) / 2) ** 2
+            + math.cos(p1) * math.cos(p2) * math.sin((l2 - l1) / 2) ** 2
+        )
+        return 2 * 6371 * math.asin(math.sqrt(h))
+
+    expect = {
+        (c["c_custkey"], s["s_suppkey"])
+        for c in cust
+        for s in supp
+        if hav(c, s) < _C16_R_KM
+    }
+    assert set(out) == expect
+    assert all(0 <= d < _C16_R_KM * 1000 for d in out.values())
+
+
+def test_h20_seq_fanout_matches_size_formula(spark, sf_dir):
+    rows = QUERIES["h20_generators"](spark, sf_dir).collect()
+    p = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter("p_partkey % 20 = 0")
+        .collect()
+    )
+    n_seq = sum(r["p_size"] % 3 + 1 for r in p)
+    assert sum(1 for r in rows if r["kind"] == "seq") == n_seq
+    assert sum(1 for r in rows if r["kind"] == "attr") == 2 * len(p)
+
+
+def test_etl12_vault_key_integrity(spark, sf_dir):
+    by = {
+        r["vault_table"]: r
+        for r in QUERIES["etl12_data_vault_load"](spark, sf_dir).collect()
+    }
+    assert set(by) == {
+        "hub_customer", "hub_part", "hub_supplier",
+        "link_order_part_supp", "sat_lineitem",
+    }
+    # hubs and links are DISTINCT by construction
+    for t in ("hub_customer", "hub_part", "hub_supplier", "link_order_part_supp"):
+        assert by[t]["n_rows"] == by[t]["n_distinct"]
+    # every lineitem row lands one satellite row
+    n_li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert by["sat_lineitem"]["n_rows"] == n_li

@@ -646,3 +646,148 @@ def c15_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nb, "name_b")
         .select("name_a", "name_b", "lev", "n_parts_a", "n_parts_b")
     )
+
+
+# --- C16: geospatial radius join (grid-cell bucketed haversine) ---------------
+
+_C16_R_KM = 100.0  # match radius
+_C16_CELL_DEG = 2.0  # 2° cells: ≥145 km in both axes at lat ≤ 49 — ≥ R
+
+# Deterministic synthetic coordinates (continental-US box) derived from
+# entity keys via the k28 md5-uniform construction — identical on both
+# engines, so the geometry is engine-free.
+_C16_LAT_SQL = (
+    "25.0 + 24.0 * ((CAST(CONCAT('0x', substr(md5('lat:{tag}:' || "
+    "CAST({key} AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5) / 4294967296.0)"
+)
+_C16_LON_SQL = (
+    "-124.0 + 57.0 * ((CAST(CONCAT('0x', substr(md5('lon:{tag}:' || "
+    "CAST({key} AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5) / 4294967296.0)"
+)
+
+
+def _c16_coord(tag: str, axis: str, key: str) -> F.Column:
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{axis}:{tag}:"), F.col(key).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / 4294967296.0
+    return (25.0 + 24.0 * u) if axis == "lat" else (-124.0 + 57.0 * u)
+
+
+_C16_HAVERSINE_SQL = """
+    2.0 * 6371.0 * asin(sqrt(
+      pow(sin(radians(({lat2}) - ({lat1})) / 2), 2)
+      + cos(radians({lat1})) * cos(radians({lat2}))
+        * pow(sin(radians(({lon2}) - ({lon1})) / 2), 2)))
+"""
+
+
+@query(
+    "c16_geo_radius_join",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey,
+             {_C16_LAT_SQL.format(tag='c', key='c_custkey')} AS lat,
+             {_C16_LON_SQL.format(tag='c', key='c_custkey')} AS lon
+      FROM customer
+    ),
+    s AS (
+      SELECT s_suppkey,
+             {_C16_LAT_SQL.format(tag='s', key='s_suppkey')} AS lat,
+             {_C16_LON_SQL.format(tag='s', key='s_suppkey')} AS lon
+      FROM supplier
+    )
+    SELECT c.c_custkey, s.s_suppkey,
+           CAST(ROUND(({_C16_HAVERSINE_SQL.format(
+               lat1='c.lat', lon1='c.lon', lat2='s.lat', lon2='s.lon')})
+             * 1000.0) AS BIGINT) AS dist_m
+    FROM c, s
+    WHERE {_C16_HAVERSINE_SQL.format(
+        lat1='c.lat', lon1='c.lon', lat2='s.lat', lon2='s.lon')} < {_C16_R_KM}
+    """,
+)
+def c16_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial radius join: customer × supplier pairs within
+    {_C16_R_KM} km by haversine distance.  The ORACLE does the naive
+    all-pairs check; the Spark plan is the scalable GRID-CELL pattern:
+    each point hashes to a (⌊lat/cell⌋, ⌊lon/cell⌋) cell whose size
+    exceeds the radius in both axes, the supplier side is exploded to
+    its 3×3 neighbor cells, the join is a pure EQUI-join on the cell
+    key, and the exact haversine predicate filters candidates.  At
+    100 TB this is how Sedona/Magellan-class engines shape it: keyed
+    shuffle on cell ids (uniform by construction), never all-pairs —
+    candidate count per cell is bounded by density, not corpus size.
+
+    Boundary-float note: inclusion tests `dist < R` on both engines
+    over IDENTICAL md5-derived coordinates; sin/asin last-ulp drift
+    could only flip a pair within ~1e-9 km of the {_C16_R_KM} km shell
+    — measure-zero in practice (same discipline as k75's ln)."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _c16_coord("c", "lat", "c_custkey").alias("lat"),
+        _c16_coord("c", "lon", "c_custkey").alias("lon"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        _c16_coord("s", "lat", "s_suppkey").alias("lat"),
+        _c16_coord("s", "lon", "s_suppkey").alias("lon"),
+    )
+    cell = lambda col: F.floor(col / _C16_CELL_DEG).cast("long")  # noqa: E731
+    c_cells = cust.select(
+        "c_custkey",
+        F.col("lat").alias("c_lat"),
+        F.col("lon").alias("c_lon"),
+        cell(F.col("lat")).alias("cx"),
+        cell(F.col("lon")).alias("cy"),
+    )
+    neighbor = F.explode(
+        F.expr(
+            "transform(sequence(0, 8), "
+            "i -> struct(i div 3 - 1 as dx, i % 3 - 1 as dy))"
+        )
+    ).alias("n")
+    s_cells = supp.select(
+        "s_suppkey",
+        F.col("lat").alias("s_lat"),
+        F.col("lon").alias("s_lon"),
+        cell(F.col("lat")).alias("sx"),
+        cell(F.col("lon")).alias("sy"),
+        neighbor,
+    ).select(
+        "s_suppkey",
+        "s_lat",
+        "s_lon",
+        (F.col("sx") + F.col("n.dx")).alias("cx"),
+        (F.col("sy") + F.col("n.dy")).alias("cy"),
+    )
+    cand = c_cells.join(s_cells, ["cx", "cy"])
+    rad = lambda c: F.radians(c)  # noqa: E731
+    dist = (
+        2.0
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(rad(F.col("s_lat") - F.col("c_lat")) / 2), 2)
+                + F.cos(rad(F.col("c_lat")))
+                * F.cos(rad(F.col("s_lat")))
+                * F.pow(F.sin(rad(F.col("s_lon") - F.col("c_lon")) / 2), 2)
+            )
+        )
+    )
+    return (
+        cand.withColumn("dist_km", dist)
+        .filter(F.col("dist_km") < _C16_R_KM)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.round(F.col("dist_km") * 1000.0).cast("bigint").alias("dist_m"),
+        )
+    )

@@ -873,3 +873,55 @@ def h19_timezone_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour(nyc).cast("int").alias("hour_nyc"),
         F.hour("ts").cast("int").alias("hour_utc"),
     )
+
+
+# --- H20: generator / table-function surface ----------------------------------
+
+
+@query(
+    "h20_generators",
+    oracle="""
+    WITH p AS (SELECT * FROM part WHERE p_partkey % 20 = 0),
+    seq AS (
+      SELECT p_partkey, 'seq' AS kind,
+             v - 1 AS idx, CAST(v AS VARCHAR) AS val
+      FROM p, unnest(generate_series(1, p_size % 3 + 1)) AS t(v)
+    ),
+    attrs AS (
+      SELECT p_partkey, 'attr' AS kind, 0 AS idx, p_brand AS val FROM p
+      UNION ALL
+      SELECT p_partkey, 'attr' AS kind, 1 AS idx, p_type AS val FROM p
+    )
+    SELECT * FROM seq UNION ALL SELECT * FROM attrs
+    """,
+)
+def h20_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-generator surface: ``posexplode(sequence(...))`` (dynamic
+    per-row fan-out with ordinal position) and ``posexplode(array)``
+    (fixed attribute unpivot) — the lateral-view table functions every
+    wide-to-long reshape uses.  Both are MAP-ONLY whole-stage-codegen
+    generators: zero shuffles, fan-out materialized streamwise (never
+    buffered), so at 100 TB the cost is exactly the output size.
+    The oracle mirrors with ``unnest(generate_series)`` + UNION ALL."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 20 == 0)
+    seq = p.select(
+        "p_partkey",
+        F.lit("seq").alias("kind"),
+        F.posexplode(F.sequence(F.lit(1), F.col("p_size") % 3 + 1)),
+    ).select(
+        "p_partkey",
+        "kind",
+        F.col("pos").cast("bigint").alias("idx"),
+        F.col("col").cast("string").alias("val"),
+    )
+    attrs = p.select(
+        "p_partkey",
+        F.lit("attr").alias("kind"),
+        F.posexplode(F.array("p_brand", "p_type")),
+    ).select(
+        "p_partkey",
+        "kind",
+        F.col("pos").cast("bigint").alias("idx"),
+        F.col("col").alias("val"),
+    )
+    return seq.unionAll(attrs)

@@ -2317,3 +2317,113 @@ def a27_wholefile_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars"
         ),
     )
+
+
+# --- ETL12: Data Vault 2.0 load (hubs / links / satellites) -------------------
+
+
+@query(
+    "etl12_data_vault_load",
+    oracle="""
+    WITH hub_customer AS (
+      SELECT DISTINCT md5('C|' || CAST(o_custkey AS VARCHAR)) AS hk
+      FROM orders
+    ),
+    hub_part AS (
+      SELECT DISTINCT md5('P|' || CAST(l_partkey AS VARCHAR)) AS hk
+      FROM lineitem
+    ),
+    hub_supplier AS (
+      SELECT DISTINCT md5('S|' || CAST(l_suppkey AS VARCHAR)) AS hk
+      FROM lineitem
+    ),
+    link_ops AS (
+      SELECT DISTINCT md5('L|' || CAST(l_orderkey AS VARCHAR) || '|'
+                          || CAST(l_partkey AS VARCHAR) || '|'
+                          || CAST(l_suppkey AS VARCHAR)) AS hk
+      FROM lineitem
+    ),
+    sat_lineitem AS (
+      SELECT md5('L|' || CAST(l_orderkey AS VARCHAR) || '|'
+                 || CAST(l_partkey AS VARCHAR) || '|'
+                 || CAST(l_suppkey AS VARCHAR)) AS hk,
+             md5(CAST(l_quantity AS VARCHAR) || '|'
+                 || CAST(l_extendedprice AS VARCHAR) || '|'
+                 || l_returnflag) AS hashdiff
+      FROM lineitem
+    ),
+    u AS (
+      SELECT 'hub_customer' AS vault_table, hk FROM hub_customer
+      UNION ALL SELECT 'hub_part', hk FROM hub_part
+      UNION ALL SELECT 'hub_supplier', hk FROM hub_supplier
+      UNION ALL SELECT 'link_order_part_supp', hk FROM link_ops
+      UNION ALL SELECT 'sat_lineitem', hashdiff FROM sat_lineitem
+    )
+    SELECT vault_table,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT hk) AS n_distinct,
+           MIN(hk) AS min_hk, MAX(hk) AS max_hk
+    FROM u GROUP BY vault_table
+    """,
+)
+def etl12_data_vault_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Vault 2.0 raw-vault load: business keys become md5 HUB
+    hash-keys, the (order, part, supplier) unit-of-work becomes a LINK
+    hash-key, and the lineitem descriptive attributes become a
+    SATELLITE hashdiff (the change-detection key SCD-style sat loads
+    compare on).  Emitted as a per-vault-table audit row (row count,
+    distinct hash-keys, min/max key) — the load-verification query a
+    vault pipeline runs after every batch.
+
+    Why hash keys at 100 TB: hubs/links join on uniformly-distributed
+    md5 keys — shuffle-balanced by construction, no skew mitigation
+    needed, and satellites append-only (no update-in-place), which is
+    exactly the write pattern object stores want.  Each hub/link is
+    one DISTINCT (keyed shuffle with map-side partials); the union is
+    computed in one pass per source table."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    hub = lambda prefix, col, src: src.select(  # noqa: E731
+        F.md5(F.concat(F.lit(prefix + "|"), F.col(col).cast("string"))).alias("hk")
+    ).distinct()
+    link_key = F.md5(
+        F.concat(
+            F.lit("L|"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("|"),
+            F.col("l_partkey").cast("string"),
+            F.lit("|"),
+            F.col("l_suppkey").cast("string"),
+        )
+    )
+    hashdiff = F.md5(
+        F.concat(
+            F.col("l_quantity").cast("string"),
+            F.lit("|"),
+            F.col("l_extendedprice").cast("string"),
+            F.lit("|"),
+            F.col("l_returnflag"),
+        )
+    )
+    parts = [
+        hub("C", "o_custkey", o).select(F.lit("hub_customer").alias("vault_table"), "hk"),
+        hub("P", "l_partkey", li).select(F.lit("hub_part").alias("vault_table"), "hk"),
+        hub("S", "l_suppkey", li).select(
+            F.lit("hub_supplier").alias("vault_table"), "hk"
+        ),
+        li.select(link_key.alias("hk"))
+        .distinct()
+        .select(F.lit("link_order_part_supp").alias("vault_table"), "hk"),
+        li.select(hashdiff.alias("hk")).select(
+            F.lit("sat_lineitem").alias("vault_table"), "hk"
+        ),
+    ]
+    u = parts[0]
+    for x in parts[1:]:
+        u = u.unionAll(x)
+    return u.groupBy("vault_table").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("hk").alias("n_distinct"),
+        F.min("hk").alias("min_hk"),
+        F.max("hk").alias("max_hk"),
+    )
