@@ -947,3 +947,50 @@ def d25_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(_D25_PAIRS)}, {stack_args}) AS (col_x, col_y, corr_micro)"
         )
     )
+
+
+# --- D26: linear-regression aggregate family ----------------------------------
+
+
+@query(
+    "d26_regr_stats",
+    oracle="""
+    SELECT l_returnflag,
+           regr_count(l_extendedprice, l_quantity) AS regr_n,
+           CAST(ROUND(regr_slope(l_extendedprice, l_quantity) * 1000)
+                AS BIGINT) AS slope_milli,
+           CAST(ROUND(regr_intercept(l_extendedprice, l_quantity) * 1000)
+                AS BIGINT) AS icept_milli,
+           CAST(ROUND(regr_r2(l_extendedprice, l_quantity) * 1000000)
+                AS BIGINT) AS r2_micro,
+           CAST(ROUND(corr(l_extendedprice, l_quantity) * 1000000)
+                AS BIGINT) AS corr_micro
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def d26_regr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-2003 linear-regression aggregate family in one grouped
+    pass: ``regr_count`` / ``regr_slope`` / ``regr_intercept`` /
+    ``regr_r2`` + ``corr`` of extended price on quantity per return
+    flag — the in-database OLS surface BI layers translate trend lines
+    into (reference file:line n/a — empty tree §0.1).
+
+    Each aggregate keeps O(1) moments (n, Σx, Σy, Σxy, Σx², Σy²) with
+    map-side partial merge — one scan, one shuffle on the 3-value group
+    key, no UDF.  Float discipline: both engines' kernels are
+    numerically stable with ~1e-12 relative drift; slope/intercept are
+    emitted as integer milli-units and r²/corr as micro-units
+    (round-then-cast on BOTH engines), putting the rounding boundary
+    ≥1e5 drift-widths away from every value.  At 100 TB the shape is
+    unchanged: partial aggregation absorbs the scan fan-in.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("regr_n"),
+        F.round(F.regr_slope(y, x) * 1000).cast("bigint").alias("slope_milli"),
+        F.round(F.regr_intercept(y, x) * 1000).cast("bigint").alias("icept_milli"),
+        F.round(F.regr_r2(y, x) * 1e6).cast("bigint").alias("r2_micro"),
+        F.round(F.corr(y, x) * 1e6).cast("bigint").alias("corr_micro"),
+    )

@@ -1681,3 +1681,78 @@ def k77_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pruned_md5"),
     )
+
+
+# --- K78: k-anonymity recode over customer quasi-identifiers ------------------
+
+
+@query(
+    "k78_k_anonymity",
+    oracle="""
+    WITH t0 AS (
+      SELECT c_mktsegment AS segment,
+             CAST(c_nationkey AS BIGINT) AS nationkey,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             COUNT(*) AS n
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT segment, nationkey, bal_band, n AS class_size,
+           FALSE AS generalized
+    FROM t0 WHERE n >= 5
+    UNION ALL
+    SELECT segment, nationkey, CAST(-999 AS BIGINT) AS bal_band,
+           SUM(n) AS class_size, TRUE AS generalized
+    FROM t0 WHERE n < 5
+    GROUP BY segment, nationkey
+    """,
+)
+def k78_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity recode (Sweeney 2002) over the customer table's
+    quasi-identifiers — the privacy gate a training-data pipeline runs
+    before releasing user-derived records: every released equivalence
+    class must contain ≥ k individuals.
+
+    QI tier 0 is (mktsegment, nationkey, $1000 account-balance band);
+    classes smaller than k=5 are GENERALIZED one rung up the ladder —
+    the balance band is suppressed (sentinel −999) and the rows re-pool
+    into their (segment, nation) class, the Mondrian-style local recode.
+    A production run recurses until every class meets k or is dropped;
+    one rung suffices to demonstrate the ladder (classes still < k
+    after it carry ``generalized=true`` for the auditor).
+
+    Plan shape: one groupBy on the tier-0 composite key, then a
+    re-aggregation of only the small-class remainder — the second
+    shuffle moves |small classes| rows, not the dataset.  Integer/bool
+    output; no float discipline needed.  At 100 TB both aggregations
+    keep map-side partials and the recode never touches row payloads.
+    """
+    t0 = (
+        load(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").cast("bigint").alias("nationkey"),
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ok = t0.filter(F.col("n") >= 5).select(
+        "segment",
+        "nationkey",
+        "bal_band",
+        F.col("n").alias("class_size"),
+        F.lit(False).alias("generalized"),
+    )
+    small = (
+        t0.filter(F.col("n") < 5)
+        .groupBy("segment", "nationkey")
+        .agg(F.sum("n").alias("class_size"))
+        .select(
+            "segment",
+            "nationkey",
+            F.lit(-999).cast("bigint").alias("bal_band"),
+            "class_size",
+            F.lit(True).alias("generalized"),
+        )
+    )
+    return ok.unionByName(small)

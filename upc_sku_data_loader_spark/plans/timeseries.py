@@ -1206,3 +1206,71 @@ def t14_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.round(F.col("sc") / F.col("ss") * 1e6).cast("bigint").alias("acf_micro"),
     )
+
+
+# --- T15: exact rolling median (robust trend) ---------------------------------
+
+
+@query(
+    "t15_rolling_median",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS day_value
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY user_id, day
+    )
+    SELECT user_id, day,
+           COUNT(*) OVER w AS n_win,
+           ROUND(median(day_value) OVER w, 6) AS roll_med
+    FROM p
+    WINDOW w AS (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def t15_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling 7-row MEDIAN of each user's daily purchase revenue
+    — the robust-trend smoother (median filters shrug off the spikes
+    that wreck t8's EWMA), run as an ordered-set aggregate over a
+    sliding frame.
+
+    The daily series is built with the exact decimal-sum discipline
+    (identical doubles on both engines), so the two engines' medians
+    select/average the *same* doubles — the ROUND(…,6) guard is belt
+    and braces, not load-bearing.  Spark rejects ordered-set
+    aggregates over an explicit frame (INVALID_WINDOW_SPEC_FOR_
+    AGGREGATION_FUNC), so the frame's ≤7 values are gathered with
+    ``collect_list`` + ``array_sort`` and the middle element(s)
+    selected — O(frame log frame) per row on a constant-bound frame.
+    Plan: one keyed agg, then a single window over the (user_id, day)
+    sort — one shuffle total, frames evaluated streamingly within each
+    partition.  At 100 TB per-user partitions are small; skew would
+    sit in the daily agg, not the 7-row frame.
+    """
+    from pyspark.sql import Window
+
+    p = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("day_value")
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
+    arr = F.array_sort(F.collect_list("day_value").over(w))
+    n = F.size(arr)
+    mid = ((n + 1) / 2).cast("int")
+    lo, hi = (n / 2).cast("int"), (n / 2 + 1).cast("int")
+    med = F.when(n % 2 == 1, F.element_at(arr, mid)).otherwise(
+        (F.element_at(arr, lo) + F.element_at(arr, hi)) / 2
+    )
+    return p.select(
+        "user_id",
+        "day",
+        n.alias("n_win"),
+        F.round(med, 6).alias("roll_med"),
+    )
