@@ -71,3 +71,80 @@ def test_t15_median_bounds_and_window(spark, sf_dir):
     )
     first = out.filter(F.col("n_win") == 1).join(p, ["user_id", "day"])
     assert first.filter(F.col("roll_med") != F.col("v")).count() == 0
+
+
+def test_s9_matches_static_form(spark, sf_dir):
+    """EXECUTE IMMEDIATE must be a pure pass-through: same result as
+    running the statement with literals inlined."""
+    out = QUERIES["s9_sql_execute_immediate"](spark, sf_dir)
+    static = spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                 AS sum_price
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderstatus = 'O'
+        GROUP BY o_orderpriority
+        """
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, static.collect()))
+
+
+def test_d27_listagg_sorted_and_distinct(spark, sf_dir):
+    for r in QUERIES["d27_listagg"](spark, sf_dir).collect():
+        names = r["top_names"].split("|")
+        assert names == sorted(names), "WITHIN GROUP order must hold"
+        assert len(names) == len(set(names)), "DISTINCT must hold"
+        assert r["n_rows"] >= len(names)  # DISTINCT may collapse dupes
+
+
+def test_q29_gap_accounting(spark, sf_dir):
+    out = QUERIES["q29_purchase_intervals"](spark, sf_dir).collect()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_cust = orders.select("o_custkey").distinct().count()
+    n_orders = orders.count()
+    # every order beyond a customer's first contributes exactly one gap
+    assert sum(r["n_gaps"] for r in out) == n_orders - n_cust
+    for r in out:
+        assert r["n_repeat_customers"] <= n_cust
+        assert r["median_gap_days"] >= 0
+        assert r["mean_gap_days"] >= 0
+
+
+def test_k79_recovers_original_text(spark, sf_dir):
+    """Stripping must recover the original words: clean_text equals the
+    source text plus the deterministic title/footer tokens."""
+    out = QUERIES["k79_markup_strip"](spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    j = out.join(docs, "doc_id")
+    bad = j.filter(
+        F.col("clean_text")
+        != F.concat(
+            F.lit("doc"),
+            F.col("doc_id").cast("string"),
+            F.lit(" "),
+            F.col("text"),
+            F.lit(" &footer"),
+        )
+    ).count()
+    assert bad == 0
+    # no residual markup anywhere
+    assert j.filter(F.col("clean_text").rlike("[<>]|&nbsp;|&amp;")).count() == 0
+
+
+def test_t16_rows_sum_to_one(spark, sf_dir):
+    out = QUERIES["t16_markov_transitions"](spark, sf_dir)
+    rows = (
+        out.groupBy("prev")
+        .agg(F.sum("prob_micro").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        # micro-unit rounding: each row of the matrix sums to 1 ± |cur| ulps
+        assert abs(r["s"] - 1_000_000) <= 25
+    # transition count conservation: one transition per event beyond each
+    # user's first
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    expected = e.count() - e.select("user_id").distinct().count()
+    assert sum(r["n"] for r in rows) == expected

@@ -994,3 +994,43 @@ def d26_regr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(y, x) * 1e6).cast("bigint").alias("r2_micro"),
         F.round(F.corr(y, x) * 1e6).cast("bigint").alias("corr_micro"),
     )
+
+
+# --- D27: listagg / string_agg ordered-set aggregate --------------------------
+
+
+@query(
+    "d27_listagg",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(DISTINCT c_name, '|' ORDER BY c_name) AS top_names,
+           COUNT(*) AS n_rows
+    FROM customer
+    WHERE c_acctbal > 9900
+    GROUP BY c_mktsegment
+    """,
+)
+def d27_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``LISTAGG(DISTINCT … ) WITHIN GROUP (ORDER BY …)`` (SQL:2016,
+    Spark 4 SPARK-42746) — the ordered string concatenation aggregate
+    report layers use for 'show the members of each group' columns;
+    DuckDB's twin is ``string_agg(DISTINCT … ORDER BY …)``.  The
+    explicit WITHIN GROUP order makes the output deterministic, so the
+    string value itself is hash-comparable cross-engine (same reason
+    d8/k27 sort before serializing).  The high-balance filter keeps
+    per-group strings bounded; at 100 TB an unfiltered listagg is the
+    anti-pattern — concat grows with group size, so production use
+    always pairs it with a selective filter or top-k guard, which is
+    part of what this entry documents.
+    """
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_acctbal") > 9900)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.expr(
+                "listagg(DISTINCT c_name, '|') WITHIN GROUP (ORDER BY c_name)"
+            ).alias("top_names"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

@@ -1695,3 +1695,73 @@ def q28_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Q29: repeat-purchase interval profile ------------------------------------
+
+
+@query(
+    "q29_purchase_intervals",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       CAST(lag(o_orderdate) OVER (
+                              PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS DATE),
+                       CAST(o_orderdate AS DATE)) AS gap
+      FROM orders
+    ),
+    g2 AS (SELECT o_custkey, gap FROM g WHERE gap IS NOT NULL)
+    SELECT c.c_mktsegment,
+           COUNT(DISTINCT g2.o_custkey) AS n_repeat_customers,
+           COUNT(*) AS n_gaps,
+           CAST(median(g2.gap) AS DOUBLE) AS median_gap_days,
+           ROUND(CAST(SUM(g2.gap) AS DOUBLE) / COUNT(*), 6) AS mean_gap_days
+    FROM g2 JOIN customer c ON c.c_custkey = g2.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q29_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence by market segment: per customer, the day
+    gaps between consecutive orders (LAG over the per-customer order
+    history), profiled per segment as repeat-customer count, gap count,
+    exact median gap, and mean gap — the replenishment-cycle readout
+    behind inventory planning and churn models.
+
+    All inputs to the float outputs are exact integers (day diffs), so
+    median (interpolated on ints → x.0/x.5 doubles) and mean (int sum /
+    int count, identical IEEE division both engines) are cross-engine
+    exact without micro-unit armor.  Plan: one shuffle on o_custkey for
+    the LAG window, one broadcast-joined customer dim, one segment agg
+    — the window partition key (custkey) is also the join key, so AQE
+    can reuse the exchange.  At 100 TB per-customer histories stay
+    small; the segment agg is 5 groups with map-side partials.
+    """
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = (
+        o.select(
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate").cast("date")).over(w),
+            ).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        g.join(F.broadcast(c), g.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_repeat_customers"),
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.median("gap").cast("double").alias("median_gap_days"),
+            F.round(
+                F.sum("gap").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_gap_days"),
+        )
+    )

@@ -1756,3 +1756,108 @@ def k78_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ok.unionByName(small)
+
+
+# --- K79: markup stripping (HTML → text extraction) ---------------------------
+
+# Deterministic markup wrapper (same construction on both engines, like
+# k23's fake PII): every doc is rendered as a miniature HTML page whose
+# tag/entity density varies with doc_id, then the extractor must get the
+# original words back out.
+_K79_TAG_RE = r"<[^>]+>"
+_K79_WS_RE = r"\s+"
+
+
+@query(
+    "k79_markup_strip",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, n_chars,
+             '<html><head><title>doc' || CAST(doc_id AS VARCHAR)
+               || '</title><script>var x=' || CAST(doc_id % 97 AS VARCHAR)
+               || ';</script></head><body class="c'
+               || CAST(doc_id % 7 AS VARCHAR) || '"><p>'
+               || replace(text, ' ', CASE WHEN doc_id % 3 = 0
+                                          THEN '&nbsp;' ELSE ' ' END)
+               || '</p><br/>&amp;footer</body></html>' AS html
+      FROM documents
+    ),
+    stripped AS (
+      SELECT doc_id, n_chars,
+             trim(regexp_replace(
+               replace(replace(replace(
+                 regexp_replace(html, '<script>[^<]*</script>', ' ', 'g'),
+                 '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
+               '{_K79_TAG_RE}', ' ', 'g')) AS flat
+      FROM aug
+    )
+    SELECT doc_id,
+           regexp_replace(flat, '{_K79_WS_RE}', ' ', 'g') AS clean_text,
+           len(regexp_replace(flat, '{_K79_WS_RE}', ' ', 'g'))
+             AS n_clean_chars,
+           len(string_split(regexp_replace(flat, '{_K79_WS_RE}', ' ', 'g'),
+                            ' ')) AS n_words
+    FROM stripped
+    """,
+)
+def k79_markup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text extraction — the first stage of every web-crawl
+    pretraining pipeline (trafilatura/jusText's core loop): drop
+    script blocks, decode entities, strip tags, collapse whitespace.
+    The fixture corpus is plain words, so each doc is first wrapped in
+    a deterministic miniature page (title/script/body + entity-encoded
+    spaces varying with doc_id — identical construction on both
+    engines, k23's trick); the extractor then has real markup to
+    remove and its output can be asserted against the original text.
+
+    Pure regexp_replace/replace column expressions in the RE2 ∩
+    java.util.regex common subset — map-only, JVM-side, zero shuffle;
+    at 100 TB this is the canonical embarrassingly-parallel scan.
+    """
+    d = load(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("<html><head><title>doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("</title><script>var x="),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit(';</script></head><body class="c'),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit('"><p>'),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.replace(F.col("text"), F.lit(" "), F.lit("&nbsp;")),
+            ).otherwise(F.col("text")),
+            F.lit("</p><br/>&amp;footer</body></html>"),
+        ).alias("html"),
+    )
+    flat = F.trim(
+        F.regexp_replace(
+            F.replace(
+                F.replace(
+                    F.replace(
+                        F.regexp_replace(
+                            F.col("html"), "<script>[^<]*</script>", " "
+                        ),
+                        F.lit("&nbsp;"),
+                        F.lit(" "),
+                    ),
+                    F.lit("&amp;"),
+                    F.lit("&"),
+                ),
+                F.lit("&lt;"),
+                F.lit("<"),
+            ),
+            _K79_TAG_RE,
+            " ",
+        )
+    )
+    clean = F.regexp_replace(flat, _K79_WS_RE, " ")
+    return aug.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).alias("n_clean_chars"),
+        F.size(F.split(clean, " ")).cast("bigint").alias("n_words"),
+    )

@@ -341,3 +341,50 @@ def s8_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY net_bucket_10k
         """
     )
+
+
+# --- S9: dynamic SQL via EXECUTE IMMEDIATE (Spark 4, SPARK-44751) -------------
+
+# The statement text arrives as a *value* (string), not as parsed SQL —
+# the dynamic-SQL entry point stored-procedure-style applications use.
+# Parameters bind positionally through USING, so the dynamic text stays
+# injection-safe; Spark folds them to literals before optimization and
+# the parquet filter still pushes down.
+_S9_DYNAMIC = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         AS sum_price
+FROM orders
+WHERE o_orderdate >= ? AND o_orderstatus = ?
+GROUP BY o_orderpriority
+"""
+
+_S9_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         AS sum_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderstatus = 'O'
+GROUP BY o_orderpriority
+"""
+
+
+@query("s9_sql_execute_immediate", oracle=_S9_ORACLE)
+def s9_sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic SQL: ``EXECUTE IMMEDIATE sqlString USING args`` (Spark 4,
+    SPARK-44751) — the statement text is itself data (bound via a
+    session variable), with positional USING parameters, exactly how a
+    stored-procedure-style application issues runtime-built queries.
+    The oracle is the same statement with the literals spliced in: the
+    dynamic dispatch layer is what's under test, and it must be a pure
+    pass-through — same plan, same pushed parquet filters, same result
+    as the static form (s1).  Scale: dispatch is driver-side string
+    handling; execution is the ordinary distributed plan."""
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE s9_stmt STRING")
+    spark.sql("SET VAR s9_stmt = ?", args=[_S9_DYNAMIC])
+    return spark.sql(
+        "EXECUTE IMMEDIATE s9_stmt USING TIMESTAMP '1996-01-01', 'O'"
+    )

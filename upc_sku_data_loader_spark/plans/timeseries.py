@@ -1274,3 +1274,60 @@ def t15_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_win"),
         F.round(med, 6).alias("roll_med"),
     )
+
+
+# --- T16: first-order Markov transition matrix --------------------------------
+
+
+@query(
+    "t16_markov_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    c AS (
+      SELECT prev, event_type AS cur, COUNT(*) AS n
+      FROM s WHERE prev IS NOT NULL
+      GROUP BY prev, cur
+    )
+    SELECT prev, cur, n,
+           CAST(ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev)
+                      * 1000000) AS BIGINT) AS prob_micro
+    FROM c
+    """,
+)
+def t16_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the per-user event
+    stream: P(next event type | current event type), estimated from
+    LAG pairs — the behavioral model behind next-action prediction and
+    anomaly scoring on clickstreams.
+
+    Probabilities are exact-integer counts divided once (identical
+    IEEE division both engines) and emitted as micro-units.  Plan: one
+    shuffle on user_id for the LAG window, one keyed count agg (the
+    matrix is |event types|² ≈ tiny), one broadcast-size window for
+    row normalization.  At 100 TB the user-partitioned window is the
+    only data-sized move; the matrix agg collapses map-side.
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    c = s.groupBy("prev", F.col("event_type").alias("cur")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wn = Window.partitionBy("prev")
+    return c.select(
+        "prev",
+        "cur",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wn) * 1e6)
+        .cast("bigint")
+        .alias("prob_micro"),
+    )
