@@ -61,7 +61,14 @@ FLAGSHIP = "d1_agg_hash_grouped"  # TPC-H Q1-style pricing summary (SURVEY §7 P
 # d24_modern_aggs h19_timezone_functions k73_incremental_dedup
 # i17_stream_session_window q25_ab_test_chi2 a26_csv_multiline
 # b16_gs1_prefix_lookup i18_stream_distinct_users k75_drift_psi
-# k76_bpe_roundtrip) — plus whatever r4/r5 driver artifacts flag red.
+# k76_bpe_roundtrip, and the session-4c batch: i19_stream_txn_sink
+# a27_wholefile_text k77_boilerplate_prune d25_corr_matrix t14_acf
+# q26_rfm_segments q27_last_touch_attribution q28_cohort_ltv
+# c16_geo_radius_join h20_generators etl12_data_vault_load
+# d26_regr_stats k78_k_anonymity t15_rolling_median
+# s9_sql_execute_immediate d27_listagg q29_purchase_intervals
+# k79_markup_strip t16_markov_transitions) — plus whatever r4/r5
+# driver artifacts flag red.
 _PRIORITY = [
     # never driver-windowed: deferred composite B-half
     "q16_supplier_part_counts", "q19_disjunctive_predicates",
