@@ -148,3 +148,40 @@ def test_t16_rows_sum_to_one(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     expected = e.count() - e.select("user_id").distinct().count()
     assert sum(r["n"] for r in rows) == expected
+
+
+def test_a28_metadata_file_names_multi_file(spark, tmp_path):
+    """The provenance claim the oracle can't check: _metadata.file_name
+    must equal the real on-disk basename, per row, across many files."""
+    src = spark.range(0, 1000).withColumn("part_id", F.col("id") % 4)
+    out = f"{tmp_path}/multi"
+    src.repartition(4).write.parquet(out)
+    got = (
+        spark.read.parquet(out)
+        .select(F.col("_metadata.file_name").alias("fn"))
+        .distinct()
+        .collect()
+    )
+    import os
+
+    on_disk = {f for f in os.listdir(out) if f.endswith(".parquet")}
+    assert {r["fn"] for r in got} == on_disk
+    assert len(on_disk) >= 2
+
+
+def test_q30_elasticity_bounds(spark, sf_dir):
+    rows = QUERIES["q30_price_elasticity"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_obs"] > 0
+        assert 0 <= r["r2_micro"] <= 1_000_000
+        # log-log slope on bounded data stays in a sane band
+        assert abs(r["elasticity_milli"]) < 100_000
+
+
+def test_h21_roundtrip_always_ok(spark, sf_dir):
+    out = QUERIES["h21_binary_encoding"](spark, sf_dir)
+    assert out.filter(~F.col("b64_roundtrip_ok")).count() == 0
+    # md5 is 32 lowercase hex chars; hex column is 16 (8 bytes)
+    assert out.filter(~F.col("text_md5").rlike("^[0-9a-f]{32}$")).count() == 0
+    assert out.filter(F.length("hx") != 16).count() == 0

@@ -1765,3 +1765,58 @@ def q29_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_gap_days"),
         )
     )
+
+
+# --- Q30: log-log price elasticity by brand -----------------------------------
+
+
+@query(
+    "q30_price_elasticity",
+    oracle="""
+    SELECT p.p_brand,
+           regr_count(LN(l.l_quantity),
+                      LN(l.l_extendedprice / l.l_quantity)) AS n_obs,
+           CAST(ROUND(regr_slope(LN(l.l_quantity),
+                                 LN(l.l_extendedprice / l.l_quantity))
+                      * 1000) AS BIGINT) AS elasticity_milli,
+           CAST(ROUND(regr_r2(LN(l.l_quantity),
+                              LN(l.l_extendedprice / l.l_quantity))
+                      * 1000000) AS BIGINT) AS r2_micro
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+    GROUP BY p.p_brand
+    """,
+)
+def q30_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand per brand: the OLS slope of
+    ln(quantity) on ln(unit price) — the pricing-analytics workhorse
+    (elasticity < −1 ⇒ revenue falls when price rises).  Unit price is
+    derived as extendedprice/quantity; the d26 regression kernel runs
+    per brand after a broadcast part-dim join.
+
+    Float discipline: ln() differs across libm implementations by ≤1
+    ulp (~1e-16 relative); the regression aggregates over thousands of
+    rows keep that at ~1e-12 relative on the slope, and milli/micro
+    integer rounding sits ≥1e6 drift-widths from every boundary.  Plan:
+    broadcast join (part is the small side), one shuffle on p_brand
+    with map-side moment partials — unchanged at 100 TB.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ln_q = F.log(F.col("l_quantity"))
+    ln_p = F.log(F.col("l_extendedprice") / F.col("l_quantity"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.regr_count(ln_q, ln_p).alias("n_obs"),
+            F.round(F.regr_slope(ln_q, ln_p) * 1000)
+            .cast("bigint")
+            .alias("elasticity_milli"),
+            F.round(F.regr_r2(ln_q, ln_p) * 1e6)
+            .cast("bigint")
+            .alias("r2_micro"),
+        )
+    )

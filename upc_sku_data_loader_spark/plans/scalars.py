@@ -925,3 +925,43 @@ def h20_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("col").alias("val"),
     )
     return seq.unionAll(attrs)
+
+
+# --- H21: binary encodings (base64 / hex / md5 round-trips) -------------------
+
+
+@query(
+    "h21_binary_encoding",
+    oracle="""
+    SELECT doc_id,
+           to_base64(CAST(substr(text, 1, 24) AS BLOB)) AS b64,
+           lower(hex(CAST(substr(text, 1, 8) AS BLOB))) AS hx,
+           md5(text) AS text_md5,
+           CAST(decode(from_base64(to_base64(CAST(substr(text, 1, 24)
+                 AS BLOB)))) = substr(text, 1, 24) AS BOOLEAN)
+             AS b64_roundtrip_ok
+    FROM documents
+    """,
+)
+def h21_binary_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary↔text encoding surface: base64 and hex of UTF-8 bytes plus
+    an md5 digest, with an in-query base64 decode round-trip proof —
+    the building blocks of content-addressed storage keys, wire-format
+    debugging, and checksum manifests (k58).  Spark's ``base64``/
+    ``hex``/``md5`` against DuckDB's ``to_base64``/``hex``/``md5``;
+    both encode the same UTF-8 bytes, so the strings match exactly.
+    Map-only column expressions — zero shuffle at any scale.  Output
+    stays StringType/Boolean (BinaryType is banned at the query edge —
+    no cross-engine canonical text form)."""
+    d = load(spark, sf_dir, "documents")
+    head24 = F.substring("text", 1, 24)
+    return d.select(
+        "doc_id",
+        F.base64(F.encode(head24, "UTF-8")).alias("b64"),
+        F.lower(F.hex(F.encode(F.substring("text", 1, 8), "UTF-8"))).alias("hx"),
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+        (
+            F.decode(F.unbase64(F.base64(F.encode(head24, "UTF-8"))), "UTF-8")
+            == head24
+        ).alias("b64_roundtrip_ok"),
+    )

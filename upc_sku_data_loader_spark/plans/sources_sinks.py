@@ -2427,3 +2427,54 @@ def etl12_data_vault_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("hk").alias("min_hk"),
         F.max("hk").alias("max_hk"),
     )
+
+
+# --- A28: hidden file-metadata columns ----------------------------------------
+
+
+@query(
+    "a28_metadata_columns",
+    oracle="""
+    SELECT 'lineitem.parquet' AS file_name,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY file_name
+    """,
+)
+def a28_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden file-metadata columns (`_metadata.file_name`, SPARK-37273)
+    — data-lineage bookkeeping without a path-parsing UDF: every parquet
+    scan can attribute each row to its source file, the hook audit /
+    backfill / bad-file-quarantine jobs key on.  DuckDB's twin is
+    ``read_parquet(..., filename=true)``; the oracle (which runs on the
+    pre-registered view, where the option isn't reachable) states the
+    fixture's known single-file basename literally, and the provenance
+    claim itself — `_metadata.file_name` equals the real on-disk
+    basename for every row — is pinned separately in pytest against a
+    multi-file write.
+
+    The metadata struct is populated by the scan itself (constant per
+    file split — no row-level cost, no shuffle to obtain it); the
+    per-file rollup is one keyed agg.  At 100 TB with thousands of
+    files this exact query is the standard per-file row-count /
+    checksum manifest builder, and partition pruning still applies
+    because `_metadata` adds no read columns.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.select(
+            F.col("_metadata.file_name").alias("file_name"),
+            "l_orderkey",
+            "l_quantity",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.sum(F.col("l_quantity").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
