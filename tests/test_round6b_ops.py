@@ -185,3 +185,17 @@ def test_h21_roundtrip_always_ok(spark, sf_dir):
     # md5 is 32 lowercase hex chars; hex column is 16 (8 bytes)
     assert out.filter(~F.col("text_md5").rlike("^[0-9a-f]{32}$")).count() == 0
     assert out.filter(F.length("hx") != 16).count() == 0
+
+
+def test_k80_zipf_slope_negative_and_r2_high(spark, sf_dir):
+    r = QUERIES["k80_zipf_fit"](spark, sf_dir).collect()[0]
+    assert r["n_terms"] > 10
+    # freq must decrease with rank: slope strictly negative
+    assert r["zipf_slope_milli"] < 0
+    assert 0 <= r["r2_micro"] <= 1_000_000
+    # the fixture corpus draws terms near-uniformly, so the fit is WEAK
+    # (r² ≪ natural text's) — exactly the synthetic-corpus signature
+    # this gate exists to flag; pin that property so a fixture change
+    # that breaks the discrimination shows up here.
+    assert r["r2_micro"] < 500_000
+    assert r["max_freq"] >= 1

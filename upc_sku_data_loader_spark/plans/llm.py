@@ -1736,3 +1736,75 @@ def k73_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_jaccard",
         )
     )
+
+
+# --- K80: Zipf-law fit of the corpus term-frequency distribution --------------
+
+
+@query(
+    "k80_zipf_fit",
+    oracle="""
+    WITH tf AS (
+      SELECT t.term, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS term
+            FROM documents) t
+      WHERE t.term <> ''
+      GROUP BY t.term
+    ),
+    ranked AS (
+      SELECT freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rnk
+      FROM tf
+    )
+    SELECT COUNT(*) AS n_terms,
+           CAST(ROUND(regr_slope(LN(CAST(freq AS DOUBLE)),
+                                 LN(CAST(rnk AS DOUBLE))) * 1000)
+                AS BIGINT) AS zipf_slope_milli,
+           CAST(ROUND(regr_r2(LN(CAST(freq AS DOUBLE)),
+                              LN(CAST(rnk AS DOUBLE))) * 1000000)
+                AS BIGINT) AS r2_micro,
+           MAX(freq) AS max_freq
+    FROM ranked
+    """,
+)
+def k80_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law conformance of the corpus: OLS slope of ln(term freq)
+    on ln(rank) — natural text sits near slope −1; synthetic, spammy,
+    or template-generated corpora bend away from it, which makes this
+    single-row statistic a cheap whole-corpus quality gate (the
+    Gopher/CCNet audits eyeball exactly this curve).
+
+    Plan: token explode → term-frequency agg (the k7 shape, map-side
+    partials), a global rank window ordered by (freq DESC, term) —
+    deterministic ties — then one regression agg over (ln rank,
+    ln freq).  The rank window is the one global-sort stage; at 100 TB
+    the vocabulary (post-Zipf, ~millions of terms) is orders of
+    magnitude smaller than the corpus, so the sort is on the SMALL
+    derived table, not the data.  ln() cross-engine drift (≤1 ulp) is
+    crushed by milli/micro integer rounding.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = tf.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), "term"))
+        .alias("rnk"),
+    )
+    ln_f = F.log(F.col("freq").cast("double"))
+    ln_r = F.log(F.col("rnk").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(ln_f, ln_r) * 1000)
+        .cast("bigint")
+        .alias("zipf_slope_milli"),
+        F.round(F.regr_r2(ln_f, ln_r) * 1e6).cast("bigint").alias("r2_micro"),
+        F.max("freq").alias("max_freq"),
+    )
