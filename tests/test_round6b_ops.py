@@ -199,3 +199,40 @@ def test_k80_zipf_slope_negative_and_r2_high(spark, sf_dir):
     # that breaks the discrimination shows up here.
     assert r["r2_micro"] < 500_000
     assert r["max_freq"] >= 1
+
+
+def test_k81_fertility_at_least_one(spark, sf_dir):
+    for r in QUERIES["k81_tokenizer_fertility"](spark, sf_dir).collect():
+        # the BPE-ish regex never merges across whitespace, so fertility >= 1
+        assert r["fertility_micro"] >= 1_000_000
+        assert r["n_bpe_tokens"] >= r["n_words"] > 0
+
+
+def test_q31_growth_math(spark, sf_dir):
+    rows = QUERIES["q31_yoy_growth"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["revenue"] > 0
+        assert r["yoy_growth_micro"] > -1_000_000  # can't lose >100%
+
+
+def test_c17_overlap_pairs_are_real_overlaps(spark, sf_dir):
+    out = QUERIES["c17_interval_overlap_join"](spark, sf_dir)
+    # symmetric-dedup: a < b ordering admits each pair once
+    assert out.filter(F.col("orderkey_a") >= F.col("orderkey_b")).count() == 0
+    # overlap length is within (0, 15] days for 14-day windows
+    assert out.filter(
+        (F.col("overlap_days") < 1) | (F.col("overlap_days") > 15)
+    ).count() == 0
+    # spot-check one pair against raw dates
+    r = out.orderBy("custkey", "orderkey_a", "orderkey_b").first()
+    if r:
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        d = {
+            x["o_orderkey"]: x["o_orderdate"].date()
+            for x in o.filter(
+                F.col("o_orderkey").isin([r["orderkey_a"], r["orderkey_b"]])
+            ).collect()
+        }
+        da, db = d[r["orderkey_a"]], d[r["orderkey_b"]]
+        assert abs((da - db).days) <= 14

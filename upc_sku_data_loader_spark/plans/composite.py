@@ -1820,3 +1820,68 @@ def q30_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r2_micro"),
         )
     )
+
+
+# --- Q31: year-over-year revenue growth by brand ------------------------------
+
+
+@query(
+    "q31_yoy_growth",
+    oracle="""
+    WITH yearly AS (
+      SELECT p.p_brand,
+             CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS yr,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand, yr
+    )
+    SELECT p_brand, yr, revenue,
+           CAST(ROUND((revenue / lag(revenue) OVER (PARTITION BY p_brand
+                                                    ORDER BY yr) - 1)
+                      * 1000000) AS BIGINT) AS yoy_growth_micro
+    FROM yearly
+    QUALIFY lag(revenue) OVER (PARTITION BY p_brand ORDER BY yr) IS NOT NULL
+    """,
+)
+def q31_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per brand — the BI staple: yearly
+    discounted revenue per brand (exact decimal sums), then a LAG
+    window over the short per-brand year series with growth emitted in
+    micro-units (the division runs on identical doubles both engines).
+    Plan: broadcast part join, one shuffle on (brand, year) for the
+    agg, then a window over the TINY yearly table (|brands|×|years|
+    rows) — the window input is aggregated data, not the fact stream,
+    which is the shape that survives 100 TB.
+    """
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    yearly = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", F.year("l_shipdate").cast("bigint").alias("yr"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return (
+        yearly.withColumn("prev", prev)
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "p_brand",
+            "yr",
+            "revenue",
+            F.round((F.col("revenue") / F.col("prev") - 1) * 1e6)
+            .cast("bigint")
+            .alias("yoy_growth_micro"),
+        )
+    )

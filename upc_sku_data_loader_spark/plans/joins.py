@@ -791,3 +791,75 @@ def c16_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dist_km") * 1000.0).cast("bigint").alias("dist_m"),
         )
     )
+
+
+# --- C17: interval self-overlap join ------------------------------------------
+
+
+@query(
+    "c17_interval_overlap_join",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_orderdate AS DATE) AS d0,
+             CAST(o_orderdate AS DATE) + INTERVAL 14 DAY AS d1
+      FROM orders
+    )
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS orderkey_a,
+           b.o_orderkey AS orderkey_b,
+           date_diff('day',
+                     greatest(a.d0, b.d0),
+                     least(CAST(a.d1 AS DATE), CAST(b.d1 AS DATE)))
+             + 1 AS overlap_days
+    FROM iv a JOIN iv b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+    WHERE a.d0 <= CAST(b.d1 AS DATE) AND b.d0 <= CAST(a.d1 AS DATE)
+    """,
+)
+def c17_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL×INTERVAL overlap self-join — the temporal-join shape
+    (kdb `wj`, ClickHouse/QuestDB interval joins) that c8's as-of
+    (point→interval) doesn't cover: each order opens a 14-day
+    fulfillment window, and pairs of the SAME customer's windows that
+    overlap are flagged with their overlap length — the order-split /
+    duplicate-submission detector.
+
+    Scale design: the overlap predicate alone is quadratic, so the
+    join is keyed on o_custkey first (equi-join, hash-shuffled) and
+    the interval predicate + key ordering run as post-join filters
+    within per-customer groups (bounded: a customer has few orders in
+    any 14-day span).  An unkeyed variant would need the c10-style
+    bucket-grid; with a natural partition key present, using it IS the
+    100 TB answer.  Day arithmetic only — integer-exact output.
+    """
+    o = load(spark, sf_dir, "orders")
+    iv = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d0"),
+        F.date_add(F.col("o_orderdate").cast("date"), 14).alias("d1"),
+    )
+    a = iv.alias("a")
+    b = iv.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.col("a.d0") <= F.col("b.d1"))
+            & (F.col("b.d0") <= F.col("a.d1")),
+        )
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("orderkey_a"),
+            F.col("b.o_orderkey").alias("orderkey_b"),
+            (
+                F.datediff(
+                    F.least(F.col("a.d1"), F.col("b.d1")),
+                    F.greatest(F.col("a.d0"), F.col("b.d0")),
+                )
+                + 1
+            ).cast("bigint").alias("overlap_days"),
+        )
+    )

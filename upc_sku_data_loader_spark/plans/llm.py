@@ -1808,3 +1808,51 @@ def k80_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(ln_f, ln_r) * 1e6).cast("bigint").alias("r2_micro"),
         F.max("freq").alias("max_freq"),
     )
+
+
+# --- K81: tokenizer fertility by language -------------------------------------
+
+
+@query(
+    "k81_tokenizer_fertility",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(len(regexp_extract_all(text, '{TXT.TOKEN_REGEX}')))
+             AS n_bpe_tokens,
+           SUM(len(string_split(text, ' '))) AS n_words,
+           CAST(ROUND(CAST(SUM(len(regexp_extract_all(text,
+                  '{TXT.TOKEN_REGEX}'))) AS DOUBLE)
+                 / SUM(len(string_split(text, ' '))) * 1000000) AS BIGINT)
+             AS fertility_micro
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def k81_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (tokens emitted per whitespace word) by
+    language — the multilingual-tokenizer efficiency metric (fertility
+    ≫ 1 for a language means its text costs proportionally more
+    context window, the standard argument for rebalancing BPE merges).
+    Reuses k12's BPE-ish token regex; per-language exact-integer sums
+    and one identical IEEE division, micro-unit emitted.  Plan: one
+    map-only token count + one 5-group agg with map-side partials —
+    scale-free.
+    """
+    d = load(spark, sf_dir, "documents")
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(TXT.TOKEN_REGEX), 0))
+    n_words = F.size(TXT.tokens("text"))
+    return (
+        d.select("lang", n_bpe.alias("nb"), n_words.alias("nw"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nb").alias("n_bpe_tokens"),
+            F.sum("nw").alias("n_words"),
+            F.round(
+                F.sum("nb").cast("double") / F.sum("nw") * 1e6
+            )
+            .cast("bigint")
+            .alias("fertility_micro"),
+        )
+    )
