@@ -236,3 +236,23 @@ def test_c17_overlap_pairs_are_real_overlaps(spark, sf_dir):
         }
         da, db = d[r["orderkey_a"]], d[r["orderkey_b"]]
         assert abs((da - db).days) <= 14
+
+
+def test_etl13_fixtures_are_conformant_and_orphans_detected(spark, sf_dir, tmp_path):
+    out = {r["relation"]: r for r in QUERIES["etl13_fk_conformance"](spark, sf_dir).collect()}
+    assert len(out) == 3
+    for r in out.values():
+        assert r["n_orphans"] == 0, "driver fixtures are FK-conformant"
+        assert r["n_rows"] > 0
+    # the audit must actually DETECT orphans: corrupt a copy of part
+    import shutil, os
+
+    d = f"{tmp_path}/sf"
+    os.makedirs(d)
+    for t in ["lineitem", "part", "supplier", "orders", "customer", "events"]:
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+    half = spark.read.parquet(f"{sf_dir}/part.parquet").filter(F.col("p_partkey") % 2 == 0)
+    half.write.mode("overwrite").parquet(f"{d}/part.parquet")
+    out2 = {r["relation"]: r for r in QUERIES["etl13_fk_conformance"](spark, d).collect()}
+    assert out2["lineitem.l_partkey->part"]["n_orphans"] > 0
+    assert out2["orders.o_custkey->customer"]["n_orphans"] == 0

@@ -2478,3 +2478,70 @@ def a28_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_qty"),
         )
     )
+
+
+# --- ETL13: referential-integrity conformance audit ---------------------------
+
+
+@query(
+    "etl13_fk_conformance",
+    oracle="""
+    SELECT 'lineitem.l_partkey->part' AS relation,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE p.p_partkey IS NULL) AS n_orphans
+    FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier' AS relation,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE s.s_suppkey IS NULL) AS n_orphans
+    FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    UNION ALL
+    SELECT 'orders.o_custkey->customer' AS relation,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS n_orphans
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def etl13_fk_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the load-gate every warehouse runs
+    before publishing a batch: count fact rows whose foreign keys have
+    no matching dimension row (orphans), per relationship.  Zero
+    orphans on the conformant fixtures is itself the assertion; a
+    late-arriving-dimension feed (etl9) or CDC race (etl6) shows up
+    here as n_orphans > 0 before it corrupts downstream joins.
+
+    Plan: each relationship is a LEFT JOIN against a BROADCAST dim
+    with a conditional count — no data-sized shuffle (the fact side
+    streams through map-side against the broadcast hash table), then a
+    3-row union.  At 100 TB this is the cheapest possible full-FK
+    sweep: one pass per relationship, no sort, no exchange of fact
+    rows.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+
+    def audit(fact, fk, dim, pk, name):
+        d = dim.select(pk)
+        return (
+            fact.select(fk)
+            .join(F.broadcast(d), fact[fk] == d[pk], "left")
+            .agg(
+                F.lit(name).alias("relation"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(F.when(F.col(pk).isNull(), 1)).alias("n_orphans"),
+            )
+            .select("relation", "n_rows", "n_orphans")
+        )
+
+    return (
+        audit(li, "l_partkey", load(spark, sf_dir, "part"), "p_partkey",
+              "lineitem.l_partkey->part")
+        .unionByName(
+            audit(li, "l_suppkey", load(spark, sf_dir, "supplier"),
+                  "s_suppkey", "lineitem.l_suppkey->supplier")
+        )
+        .unionByName(
+            audit(o, "o_custkey", load(spark, sf_dir, "customer"),
+                  "c_custkey", "orders.o_custkey->customer")
+        )
+    )
