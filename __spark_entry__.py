@@ -67,8 +67,11 @@ FLAGSHIP = "d1_agg_hash_grouped"  # TPC-H Q1-style pricing summary (SURVEY §7 P
 # c16_geo_radius_join h20_generators etl12_data_vault_load
 # d26_regr_stats k78_k_anonymity t15_rolling_median
 # s9_sql_execute_immediate d27_listagg q29_purchase_intervals
-# k79_markup_strip t16_markov_transitions) — plus whatever r4/r5
-# driver artifacts flag red.
+# k79_markup_strip t16_markov_transitions a28_metadata_columns
+# q30_price_elasticity h21_binary_encoding k80_zipf_fit
+# k81_tokenizer_fertility q31_yoy_growth c17_interval_overlap_join
+# etl13_fk_conformance) — plus whatever r4/r5 driver artifacts flag
+# red.
 _PRIORITY = [
     # never driver-windowed: deferred composite B-half
     "q16_supplier_part_counts", "q19_disjunctive_predicates",
