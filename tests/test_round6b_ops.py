@@ -256,3 +256,56 @@ def test_etl13_fixtures_are_conformant_and_orphans_detected(spark, sf_dir, tmp_p
     out2 = {r["relation"]: r for r in QUERIES["etl13_fk_conformance"](spark, d).collect()}
     assert out2["lineitem.l_partkey->part"]["n_orphans"] > 0
     assert out2["orders.o_custkey->customer"]["n_orphans"] == 0
+
+
+def test_b17_expansion_rules_and_check_digit(spark, sf_dir):
+    out = QUERIES["b17_upce_expand"](spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    from upc_sku_data_loader_spark.functions.upc import gtin_check_digit  # noqa
+
+    for r in rows[:200]:
+        upce, upca = r["upce"], r["upca"]
+        assert len(upce) == 6 and len(upca) == 12
+        assert upca[0] == "0"  # number system 0
+        # hand-expand and compare
+        d = upce
+        last = d[5]
+        if last in "012":
+            body6 = d[0:2] + last + "0000" + d[2:5]
+        elif last == "3":
+            body6 = d[0:3] + "00000" + d[3:5]
+        elif last == "4":
+            body6 = d[0:4] + "00000" + d[4]
+        else:
+            body6 = d[0:5] + "0000" + last
+        assert upca[1:11] == body6
+        # GS1 check digit over the 11-digit body
+        body = upca[:11]
+        total = sum(
+            int(c) * (3 if (12 - i) % 2 == 1 else 1)
+            for i, c in enumerate(body, start=1)
+        )
+        assert int(upca[11]) == (10 - total % 10) % 10
+
+
+def test_d28_geomean_below_arithmetic_mean(spark, sf_dir):
+    # AM–GM: geometric mean <= arithmetic mean of unit prices per group
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_quantity") > 0
+    )
+    am = {
+        r["l_returnflag"]: r["am"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.avg(F.col("l_extendedprice") / F.col("l_quantity")).alias("am"))
+        .collect()
+    }
+    for r in QUERIES["d28_geomean"](spark, sf_dir).collect():
+        gm = r["geomean_unit_price_milli"] / 1000.0
+        assert 0 < gm <= am[r["l_returnflag"]] + 1e-6
+
+
+def test_q32_gini_in_unit_interval_and_scale_invariant(spark, sf_dir):
+    r = QUERIES["q32_spend_gini"](spark, sf_dir).collect()[0]
+    assert 0 <= r["gini_micro"] <= 1_000_000
+    assert r["n_customers"] > 0 and r["total_spend"] > 0

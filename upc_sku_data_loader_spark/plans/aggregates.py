@@ -1034,3 +1034,47 @@ def d27_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+# --- D28: geometric mean (log-space aggregate) --------------------------------
+
+
+@query(
+    "d28_geomean",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(ROUND(EXP(
+             CAST(SUM(CAST(ROUND(LN(l_extendedprice / l_quantity), 6)
+                           AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+           ) * 1000) AS BIGINT) AS geomean_unit_price_milli
+    FROM lineitem
+    WHERE l_quantity > 0
+    GROUP BY l_returnflag
+    """,
+)
+def d28_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean of unit price per return flag — the
+    multiplicative average price indices use (arithmetic means
+    overweight expensive items), computed as exp(mean(ln x)) since no
+    engine ships a product() that survives 10⁵ factors without
+    overflow.  Float discipline: each ln is rounded to 6 dp (1-ulp
+    cross-engine libm drift crushed), the log-sum runs as an EXACT
+    decimal aggregate (order-independent), and the final exp runs on
+    an identical double both sides before milli-unit emission.  One
+    scan, one 3-group agg with map-side partials — scale-free.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    ln6 = F.round(F.log(F.col("l_extendedprice") / F.col("l_quantity")), 6)
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.exp(
+                F.sum(ln6.cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1))
+            )
+            * 1000
+        )
+        .cast("bigint")
+        .alias("geomean_unit_price_milli"),
+    )

@@ -1885,3 +1885,74 @@ def q31_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("yoy_growth_micro"),
         )
     )
+
+
+# --- Q32: Gini coefficient of customer spend ----------------------------------
+
+
+@query(
+    "q32_spend_gini",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS s
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT s, ROW_NUMBER() OVER (ORDER BY s, o_custkey) AS i FROM spend
+    )
+    SELECT COUNT(*) AS n_customers,
+           CAST(SUM(CAST(s AS DECIMAL(30,6))) AS DOUBLE) AS total_spend,
+           CAST(ROUND((
+             2.0 * CAST(SUM(CAST(i AS DECIMAL(38,6))
+                            * CAST(s AS DECIMAL(30,6))) AS DOUBLE)
+               / (COUNT(*) * CAST(SUM(CAST(s AS DECIMAL(30,6))) AS DOUBLE))
+             - (COUNT(*) + 1.0) / COUNT(*)
+           ) * 1000000) AS BIGINT) AS gini_micro
+    FROM ranked
+    """,
+)
+def q32_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend concentration — the
+    inequality measure behind 'how top-heavy is our revenue?' (0 =
+    perfectly even, →1 = one whale), via the rank formulation
+    G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending-sorted spend.
+
+    Exactness: per-customer spend is an exact decimal sum; Σx and
+    Σi·x run as exact decimal aggregates (order-independent), so both
+    engines divide identical doubles — micro-unit emission is belt and
+    braces.  Plan: one shuffle for the per-customer agg, then a global
+    rank window over the CUSTOMER-sized table (not the fact stream)
+    and a 1-row agg; the q24/k80 pattern — the only global sort is on
+    aggregated data.  At 100 TB swap the single-partition rank for the
+    k32 two-level prefix-sum if the customer dimension itself explodes.
+    """
+    from pyspark.sql.window import Window
+
+    spend = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("s")
+        )
+    )
+    ranked = spend.select(
+        "s",
+        F.row_number().over(Window.orderBy("s", "o_custkey")).alias("i"),
+    )
+    sum_s = F.sum(F.col("s").cast("decimal(30,6)")).cast("double")
+    sum_is = F.sum(
+        F.col("i").cast("decimal(38,6)") * F.col("s").cast("decimal(30,6)")
+    ).cast("double")
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.alias("n_customers"),
+        sum_s.alias("total_spend"),
+        F.round(
+            (2.0 * sum_is / (n * sum_s) - (n + 1.0) / n) * 1e6
+        )
+        .cast("bigint")
+        .alias("gini_micro"),
+    )

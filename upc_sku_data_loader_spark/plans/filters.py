@@ -636,3 +636,89 @@ def b16_gs1_prefix_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("region", F.lit("unassigned")).alias("issuing_region"),
         )
     )
+
+
+# --- B17: UPC-E → UPC-A expansion ---------------------------------------------
+
+# GS1 zero-suppression inverse: UPC-E data digits D1..D6 expand to the
+# UPC-A 10-digit body by the last-digit rule —
+#   D6 ∈ {0,1,2}: D1 D2 D6 0 0 | 0 0 D3 D4 D5
+#   D6 = 3:       D1 D2 D3 0 0 | 0 0 0 D4 D5
+#   D6 = 4:       D1 D2 D3 D4 0 | 0 0 0 0 D5
+#   D6 ∈ {5..9}:  D1 D2 D3 D4 D5 | 0 0 0 0 D6
+# with number system 0 prepended and a freshly computed GS1 check digit.
+
+_B17_BODY_SQL = """
+CASE
+  WHEN substring(upce, 6, 1) IN ('0','1','2') THEN
+    substring(upce, 1, 2) || substring(upce, 6, 1) || '0000'
+      || substring(upce, 3, 3)
+  WHEN substring(upce, 6, 1) = '3' THEN
+    substring(upce, 1, 3) || '00' || '000' || substring(upce, 4, 2)
+  WHEN substring(upce, 6, 1) = '4' THEN
+    substring(upce, 1, 4) || '0' || '0000' || substring(upce, 5, 1)
+  ELSE
+    substring(upce, 1, 5) || '0000' || substring(upce, 6, 1)
+END
+"""
+
+
+@query(
+    "b17_upce_expand",
+    oracle=f"""
+    WITH src AS (
+      SELECT p_partkey,
+             lpad(CAST((p_partkey * 48271) % 1000000 AS VARCHAR), 6, '0')
+               AS upce
+      FROM part
+    ),
+    body AS (
+      SELECT p_partkey, upce,
+             '0' || {_B17_BODY_SQL.strip()} AS upca_body
+      FROM src
+    )
+    SELECT p_partkey, upce,
+           upca_body || CAST({gtin_check_digit_sql('upca_body', 11)} AS VARCHAR)
+             AS upca,
+           substring(upce, 6, 1) AS suppression_class
+    FROM body
+    """,
+)
+def b17_upce_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPC-E (8-digit zero-suppressed) → UPC-A (12-digit) expansion —
+    the GS1 decompression every POS/catalog ingest runs before keying
+    on the full UPC (the reference's namesake domain, alongside
+    b9/b10/b13/b16).  The fixtures carry no UPC-E column, so a
+    deterministic 6-digit code is synthesized from p_partkey (same
+    arithmetic both engines, the b9 pattern), expanded by the
+    last-digit rule, prefixed with number system 0, and finished with
+    a recomputed GS1 check digit (functions/upc.py helper + its SQL
+    twin).  Pure CASE/substring column expressions — map-only,
+    whole-stage-codegen'd, scale-free.
+    """
+    p = load(spark, sf_dir, "part")
+    src = p.select(
+        "p_partkey",
+        F.lpad(((F.col("p_partkey") * 48271) % 1000000).cast("string"), 6, "0")
+        .alias("upce"),
+    )
+    d = lambda i, n=1: F.substring("upce", i, n)  # noqa: E731
+    body6 = (
+        F.when(
+            d(6).isin("0", "1", "2"),
+            F.concat(d(1, 2), d(6), F.lit("0000"), d(3, 3)),
+        )
+        .when(d(6) == "3", F.concat(d(1, 3), F.lit("00000"), d(4, 2)))
+        .when(d(6) == "4", F.concat(d(1, 4), F.lit("00000"), d(5, 1)))
+        .otherwise(F.concat(d(1, 5), F.lit("0000"), d(6)))
+    )
+    body = src.withColumn("upca_body", F.concat(F.lit("0"), body6))
+    return body.select(
+        "p_partkey",
+        "upce",
+        F.concat(
+            F.col("upca_body"),
+            gtin_check_digit("upca_body", 11).cast("string"),
+        ).alias("upca"),
+        F.substring("upce", 6, 1).alias("suppression_class"),
+    )
