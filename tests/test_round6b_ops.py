@@ -309,3 +309,24 @@ def test_q32_gini_in_unit_interval_and_scale_invariant(spark, sf_dir):
     r = QUERIES["q32_spend_gini"](spark, sf_dir).collect()[0]
     assert 0 <= r["gini_micro"] <= 1_000_000
     assert r["n_customers"] > 0 and r["total_spend"] > 0
+
+
+def test_k82_partition_of_events(spark, sf_dir):
+    rows = QUERIES["k82_ip_cidr_filter"](spark, sf_dir).collect()
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert sum(r["n_events"] for r in rows) == e.count()
+    for r in rows:
+        assert r["n_blocked"] + r["n_kept"] == r["n_events"]
+        assert r["n_blocked"] >= 0 and r["n_kept"] >= 0
+
+
+def test_q33_classes_partition_and_order(spark, sf_dir):
+    out = {r["abc_class"]: r for r in QUERIES["q33_abc_classification"](spark, sf_dir).collect()}
+    assert set(out) == {"A", "B", "C"}
+    # A captures ~80% of revenue with far fewer parts than C
+    tot = sum(r["class_revenue"] for r in out.values())
+    assert out["A"]["class_revenue"] <= 0.8 * tot + out["A"]["class_revenue"] / out["A"]["n_parts"]
+    assert out["A"]["class_revenue"] / tot > 0.5
+    # class revenue per part strictly decreases A > B > C
+    per = {k: v["class_revenue"] / v["n_parts"] for k, v in out.items()}
+    assert per["A"] > per["B"] > per["C"]

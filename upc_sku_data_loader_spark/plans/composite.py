@@ -1956,3 +1956,101 @@ def q32_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gini_micro"),
     )
+
+
+# --- Q33: ABC inventory classification ----------------------------------------
+
+
+@query(
+    "q33_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, revenue,
+             CAST(SUM(CAST(revenue AS DECIMAL(30,6))) OVER (
+                    ORDER BY revenue DESC, l_partkey
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_rev,
+             CAST(SUM(CAST(revenue AS DECIMAL(30,6))) OVER () AS DOUBLE)
+               AS tot_rev
+      FROM rev
+    ),
+    classed AS (
+      SELECT l_partkey,
+             CASE WHEN cum_rev <= 0.8 * tot_rev THEN 'A'
+                  WHEN cum_rev <= 0.95 * tot_rev THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             revenue
+      FROM ranked
+    )
+    SELECT abc_class,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(revenue AS DECIMAL(30,6))) AS DOUBLE)
+             AS class_revenue
+    FROM classed
+    GROUP BY abc_class
+    """,
+)
+def q33_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification — the ops-management standard:
+    parts sorted by revenue, class A until 80 % of cumulative revenue,
+    B until 95 %, C for the tail, reported as class sizes + revenue.
+    Extends q24's Pareto share with the canonical three-way cut.
+
+    Exactness: per-part revenue and every cumulative/total sum run as
+    exact decimal aggregates over deterministic (revenue DESC,
+    partkey) order, so the 0.8/0.95 threshold comparisons see
+    identical doubles on both engines — no rounding needed anywhere.
+    Plan: one shuffle for the per-part agg, then windows over the
+    PART-sized table (q24/q32 pattern; two-level prefix sum is the
+    swap-in if the part dimension explodes).
+    """
+    from pyspark.sql.window import Window
+
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w_cum = (
+        Window.orderBy(F.col("revenue").desc(), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "l_partkey",
+        "revenue",
+        F.sum(F.col("revenue").cast("decimal(30,6)"))
+        .over(w_cum)
+        .cast("double")
+        .alias("cum_rev"),
+        F.sum(F.col("revenue").cast("decimal(30,6)"))
+        .over(w_all)
+        .cast("double")
+        .alias("tot_rev"),
+    )
+    classed = ranked.select(
+        "revenue",
+        F.when(F.col("cum_rev") <= 0.8 * F.col("tot_rev"), "A")
+        .when(F.col("cum_rev") <= 0.95 * F.col("tot_rev"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.col("revenue").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("class_revenue"),
+    )

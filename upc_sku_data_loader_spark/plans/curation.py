@@ -1861,3 +1861,76 @@ def k79_markup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean).alias("n_clean_chars"),
         F.size(F.split(clean, " ")).cast("bigint").alias("n_words"),
     )
+
+
+# --- K82: IP → CIDR membership filter (datacenter/bot range pruning) ----------
+
+# Synthetic source IP per event (deterministic from event_id on both
+# engines, the k23 pattern): octets (10, id%223+1, id//7%256, id%254+1).
+# Block ranges: 10.0.0.0/16 and 10.64.0.0/10 — "datacenter" CIDRs; the
+# membership test is pure integer arithmetic (ip32 >> (32-prefix)), no
+# inet extension needed on either engine.
+
+
+@query(
+    "k82_ip_cidr_filter",
+    oracle="""
+    WITH ips AS (
+      SELECT event_id, event_type,
+             CAST(10 * 16777216
+                  + (event_id % 223 + 1) * 65536
+                  + ((event_id // 7) % 256) * 256
+                  + (event_id % 254 + 1) AS BIGINT) AS ip32
+      FROM events
+    ),
+    flagged AS (
+      SELECT event_type,
+             (ip32 // 65536) = (10 * 256 + 0) AS in_10_0_16,
+             (ip32 // 4194304) = ((10 * 16777216 + 64 * 65536)
+                                  // 4194304) AS in_10_64_10
+      FROM ips
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(*) FILTER (WHERE in_10_0_16 OR in_10_64_10)
+             AS n_blocked,
+           COUNT(*) FILTER (WHERE NOT (in_10_0_16 OR in_10_64_10))
+             AS n_kept
+    FROM flagged
+    GROUP BY event_type
+    """,
+)
+def k82_ip_cidr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIDR-range membership filter — the crawl-curation step that
+    drops traffic/documents originating from datacenter or bot IP
+    ranges before they pollute a training corpus (Common Crawl
+    pipelines carry exactly such blocklists).  IPs are synthesized
+    deterministically per event (no IP column in the fixtures — the
+    k23 pattern), packed to 32-bit integers, and tested against CIDR
+    prefixes with integer division (ip32 >> (32−prefix) == net>>…) —
+    no inet extension, identical arithmetic both engines, map-only
+    then one small agg.  At 100 TB the blocklist generalizes to a
+    broadcast table of (net, prefix) ranges joined on the prefix
+    buckets; two literal CIDRs keep the oracle exact here.
+    """
+    e = load(spark, sf_dir, "events")
+    ip32 = (
+        F.lit(10 * 16777216)
+        + (F.col("event_id") % 223 + 1) * 65536
+        + ((F.col("event_id") / 7).cast("bigint") % 256) * 256
+        + (F.col("event_id") % 254 + 1)
+    ).cast("bigint")
+    in_10_0_16 = (ip32 / 65536).cast("bigint") == (10 * 256 + 0)
+    in_10_64_10 = (ip32 / 4194304).cast("bigint") == (
+        (10 * 16777216 + 64 * 65536) // 4194304
+    )
+    blocked = in_10_0_16 | in_10_64_10
+    return (
+        e.select("event_type", blocked.alias("b"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("b"), 1)).alias("n_blocked"),
+            F.count(F.when(~F.col("b"), 1)).alias("n_kept"),
+        )
+    )
