@@ -330,3 +330,18 @@ def test_q33_classes_partition_and_order(spark, sf_dir):
     # class revenue per part strictly decreases A > B > C
     per = {k: v["class_revenue"] / v["n_parts"] for k, v in out.items()}
     assert per["A"] > per["B"] > per["C"]
+
+
+def test_t17_km_is_monotone_decreasing_in_unit_interval(spark, sf_dir):
+    rows = (
+        QUERIES["t17_survival_km"](spark, sf_dir)
+        .orderBy("duration_days")
+        .collect()
+    )
+    assert rows, "purchase stream must produce churn events"
+    prev = 1_000_000
+    for r in rows:
+        assert 0 <= r["survival_micro"] <= prev, "S(t) is non-increasing"
+        assert r["n_churned"] >= 1
+        assert r["n_at_risk"] >= r["n_churned"]
+        prev = r["survival_micro"]

@@ -85,6 +85,8 @@ BNLJ_OK = {
     "t14_acf",
     # 1-row corpus-max-date broadcast
     "q26_rfm_segments",
+    # 1-row observation-cutoff broadcast (KM censoring bound)
+    "t17_survival_km",
 }
 
 # Python execution is the operator's contract (UDF-tier demos) or its

@@ -1331,3 +1331,124 @@ def t16_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("prob_micro"),
     )
+
+
+# --- T17: Kaplan–Meier retention/survival curve --------------------------------
+
+# Churn definition: a user whose last PURCHASE precedes the purchase
+# stream's final observed day by more than 3 days has churned (the
+# rarer purchase stream — unlike raw events, where every fixture user
+# stays active to the cutoff — yields real churn);
+# everyone else is right-CENSORED at the observation cutoff — the
+# textbook KM setup.  Duration = days from the user's first event to
+# their last (churned) or to the cutoff (censored).
+
+
+@query(
+    "t17_survival_km",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    bounds AS (
+      SELECT CAST(date_trunc('day', MAX(ts)) AS DATE) AS cutoff FROM p
+    ),
+    users AS (
+      SELECT user_id,
+             CAST(date_trunc('day', MIN(ts)) AS DATE) AS d0,
+             CAST(date_trunc('day', MAX(ts)) AS DATE) AS d1
+      FROM p GROUP BY user_id
+    ),
+    durations AS (
+      SELECT u.user_id,
+             CASE WHEN date_diff('day', u.d1, b.cutoff) > 3
+                  THEN date_diff('day', u.d0, u.d1)
+                  ELSE date_diff('day', u.d0, b.cutoff) END AS t,
+             date_diff('day', u.d1, b.cutoff) > 3 AS churned
+      FROM users u CROSS JOIN bounds b
+    ),
+    risk AS (
+      SELECT t,
+             COUNT(*) FILTER (WHERE churned) AS d,
+             (SELECT COUNT(*) FROM durations d2 WHERE d2.t >= d1.t) AS n_at_risk
+      FROM durations d1
+      GROUP BY t
+      HAVING COUNT(*) FILTER (WHERE churned) > 0
+    ),
+    km AS (
+      SELECT t, d, n_at_risk,
+             CAST(SUM(CAST(ROUND(LN(1.0 - CAST(d AS DOUBLE) / n_at_risk), 6)
+                           AS DECIMAL(30,6)))
+                  OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               AS log_s
+      FROM risk
+    )
+    SELECT t AS duration_days, d AS n_churned, n_at_risk,
+           CAST(ROUND(EXP(log_s) * 1000000) AS BIGINT) AS survival_micro
+    FROM km
+    """,
+)
+def t17_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of PURCHASE retention: S(t) =
+    Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over churn-event times, with users still
+    active near the observation cutoff right-censored — the estimator
+    behind every retention curve and churn model readout.
+
+    Exactness: dᵢ/nᵢ are exact integer ratios (identical doubles both
+    engines); each factor enters log-space rounded to 6 dp, the
+    cumulative product becomes an EXACT decimal running sum of logs
+    (the d28 trick, order pinned by duration), and one exp + micro
+    rounding closes it.  Plan: per-user bounds agg (one shuffle), a
+    1-row cutoff broadcast, the at-risk counts via a descending
+    cumulative sum over the DURATION-sized table, and a tiny ordered
+    window — no data-sized sort.  (The oracle's correlated n_at_risk
+    subquery is the readable form; the Spark side uses the equivalent
+    suffix-sum window.)
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    users = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("d0"),
+        F.date_trunc("day", F.max("ts")).cast("date").alias("d1"),
+    )
+    cutoff = e.agg(
+        F.date_trunc("day", F.max("ts")).cast("date").alias("cutoff")
+    )
+    dur = users.crossJoin(F.broadcast(cutoff)).select(
+        F.when(
+            F.datediff("cutoff", "d1") > 3, F.datediff("d1", "d0")
+        )
+        .otherwise(F.datediff("cutoff", "d0"))
+        .alias("t"),
+        (F.datediff("cutoff", "d1") > 3).alias("churned"),
+    )
+    per_t = dur.groupBy("t").agg(
+        F.count(F.when(F.col("churned"), 1)).alias("d"),
+        F.count(F.lit(1)).alias("n_t"),
+    )
+    # n_at_risk(t) = Σ_{t' >= t} n_t'  — suffix sum over the tiny per-t table
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = (
+        per_t.withColumn("n_at_risk", F.sum("n_t").over(w_desc))
+        .filter(F.col("d") > 0)
+        .drop("n_t")
+    )
+    w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    log_factor = F.round(
+        F.log(1.0 - F.col("d").cast("double") / F.col("n_at_risk")), 6
+    )
+    km = risk.withColumn(
+        "log_s",
+        F.sum(log_factor.cast("decimal(30,6)")).over(w_asc).cast("double"),
+    )
+    return km.select(
+        F.col("t").alias("duration_days"),
+        F.col("d").alias("n_churned"),
+        "n_at_risk",
+        F.round(F.exp("log_s") * 1e6).cast("bigint").alias("survival_micro"),
+    )
