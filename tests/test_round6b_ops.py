@@ -345,3 +345,23 @@ def test_t17_km_is_monotone_decreasing_in_unit_interval(spark, sf_dir):
         assert r["n_churned"] >= 1
         assert r["n_at_risk"] >= r["n_churned"]
         prev = r["survival_micro"]
+
+
+def test_d29_agrees_with_builtin_population_estimators(spark, sf_dir):
+    # Spark's own skewness()/kurtosis() are the population estimators —
+    # the exact-decimal reconstruction must agree to micro precision.
+    ref = {
+        r["event_type"]: r
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(
+            F.skewness("value").alias("sk"), F.kurtosis("value").alias("ku")
+        )
+        .collect()
+    }
+    for r in QUERIES["d29_higher_moments"](spark, sf_dir).collect():
+        assert abs(r["skew_micro"] - round(ref[r["event_type"]]["sk"] * 1e6)) <= 5
+        assert (
+            abs(r["excess_kurtosis_micro"] - round(ref[r["event_type"]]["ku"] * 1e6))
+            <= 5
+        )

@@ -1078,3 +1078,79 @@ def d28_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("geomean_unit_price_milli"),
     )
+
+
+# --- D29: higher moments (skewness / excess kurtosis) --------------------------
+
+# Spark's skewness/kurtosis are population estimators; DuckDB's carry
+# sample bias corrections — the built-ins can never hash-match. Both
+# sides therefore compute from the SAME exact decimal power sums
+# (Σx, Σx², Σx³, Σx⁴; per-row powers are identical IEEE doubles), so
+# every derived value divides identical doubles.  The textbook
+# cancellation risk of raw power sums is voided here because the sums
+# are EXACT decimals, not accumulated doubles.
+
+
+@query(
+    "d29_higher_moments",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(value * value * value AS DECIMAL(38,6)))
+                  AS DOUBLE) AS s3,
+             CAST(SUM(CAST(value * value * value * value AS DECIMAL(38,6)))
+                  AS DOUBLE) AS s4
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(ROUND(
+             ((s3 - 3 * (s1 / n) * s2) / n + 2 * POW(s1 / n, 3))
+             / POW(s2 / n - POW(s1 / n, 2), 1.5) * 1000000) AS BIGINT)
+             AS skew_micro,
+           CAST(ROUND(
+             (((s4 - 4 * (s1 / n) * s3 + 6 * POW(s1 / n, 2) * s2) / n
+               - 3 * POW(s1 / n, 4))
+              / POW(s2 / n - POW(s1 / n, 2), 2) - 3) * 1000000) AS BIGINT)
+             AS excess_kurtosis_micro
+    FROM m
+    """,
+)
+def d29_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis of event values per
+    type — distribution-shape diagnostics (heavy tails flag bot
+    traffic; skew drift flags instrumentation bugs) computed one-pass
+    from exact decimal power sums with map-side partial merge.  See
+    the module comment: the power sums are exact, so the central-
+    moment algebra runs on bit-identical doubles on both engines and
+    the classic cancellation hazard of the raw-sums formulation does
+    not apply.  One scan, one 5-group shuffle — scale-free.
+    """
+    e = load(spark, sf_dir, "events")
+    v = F.col("value")
+
+    def psum(expr, name):
+        return F.sum(expr.cast("decimal(38,6)")).cast("double").alias(name)
+
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        psum(v, "s1"),
+        psum(v * v, "s2"),
+        psum(v * v * v, "s3"),
+        psum(v * v * v * v, "s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mu = s1 / n
+    var = s2 / n - F.pow(mu, 2)
+    skew = ((s3 - 3 * mu * s2) / n + 2 * F.pow(mu, 3)) / F.pow(var, 1.5)
+    kurt = (
+        (s4 - 4 * mu * s3 + 6 * F.pow(mu, 2) * s2) / n - 3 * F.pow(mu, 4)
+    ) / F.pow(var, 2) - 3
+    return m.select(
+        "event_type",
+        "n",
+        F.round(skew * 1e6).cast("bigint").alias("skew_micro"),
+        F.round(kurt * 1e6).cast("bigint").alias("excess_kurtosis_micro"),
+    )
