@@ -70,7 +70,9 @@ FLAGSHIP = "d1_agg_hash_grouped"  # TPC-H Q1-style pricing summary (SURVEY §7 P
 # k79_markup_strip t16_markov_transitions a28_metadata_columns
 # q30_price_elasticity h21_binary_encoding k80_zipf_fit
 # k81_tokenizer_fertility q31_yoy_growth c17_interval_overlap_join
-# etl13_fk_conformance) — plus whatever r4/r5 driver artifacts flag
+# etl13_fk_conformance b17_upce_expand d28_geomean q32_spend_gini
+# k82_ip_cidr_filter q33_abc_classification t17_survival_km
+# d29_higher_moments) — plus whatever r4/r5 driver artifacts flag
 # red.
 _PRIORITY = [
     # never driver-windowed: deferred composite B-half
