@@ -365,3 +365,27 @@ def test_d29_agrees_with_builtin_population_estimators(spark, sf_dir):
             abs(r["excess_kurtosis_micro"] - round(ref[r["event_type"]]["ku"] * 1e6))
             <= 5
         )
+
+
+def test_k83_metrics_identities(spark, sf_dir):
+    rows = QUERIES["k83_langid_metrics"](spark, sf_dir).collect()
+    docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["actual_n"] for r in rows) == docs_n
+    assert sum(r["pred_n"] for r in rows) == docs_n
+    assert sum(r["tp"] for r in rows) <= docs_n
+    for r in rows:
+        assert 0 <= r["precision_micro"] <= 1_000_000
+        assert 0 <= r["recall_micro"] <= 1_000_000
+        # F1 lies between min and max of precision/recall (harmonic mean)
+        lo = min(r["precision_micro"], r["recall_micro"])
+        hi = max(r["precision_micro"], r["recall_micro"])
+        assert lo - 2 <= r["f1_micro"] <= hi + 2
+
+
+def test_t18_peaks_are_strict_maxima(spark, sf_dir):
+    out = QUERIES["t18_peak_detection"](spark, sf_dir)
+    assert out.filter(F.col("prominence_milli") <= 0).count() == 0
+    # no two consecutive days can both be strict peaks
+    days = sorted(r["day"] for r in out.collect())
+    for a, b in zip(days, days[1:]):
+        assert (b - a).days >= 2

@@ -1856,3 +1856,114 @@ def k81_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("fertility_micro"),
         )
     )
+
+
+# --- K83: language-ID classifier metrics (precision / recall / F1) ------------
+
+
+@query(
+    "k83_langid_metrics",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+               FROM documents),
+    pred AS (
+      SELECT lang AS actual_lang, {{argmax}} AS pred_lang FROM t
+    ),
+    cm AS (
+      SELECT actual_lang, pred_lang, COUNT(*) AS n
+      FROM pred GROUP BY actual_lang, pred_lang
+    ),
+    per AS (
+      SELECT l.lang,
+             COALESCE((SELECT n FROM cm
+                       WHERE actual_lang = l.lang AND pred_lang = l.lang),
+                      0) AS tp,
+             COALESCE((SELECT SUM(n) FROM cm WHERE pred_lang = l.lang), 0)
+               AS pred_n,
+             COALESCE((SELECT SUM(n) FROM cm WHERE actual_lang = l.lang), 0)
+               AS actual_n
+      FROM (SELECT DISTINCT lang FROM documents) l
+    )
+    SELECT lang, tp, pred_n, actual_n,
+           CAST(ROUND(CASE WHEN pred_n > 0
+                           THEN CAST(tp AS DOUBLE) / pred_n ELSE 0 END
+                      * 1000000) AS BIGINT) AS precision_micro,
+           CAST(ROUND(CASE WHEN actual_n > 0
+                           THEN CAST(tp AS DOUBLE) / actual_n ELSE 0 END
+                      * 1000000) AS BIGINT) AS recall_micro,
+           CAST(ROUND(CASE WHEN tp > 0
+                           THEN 2.0 * tp / (pred_n + actual_n) ELSE 0 END
+                      * 1000000) AS BIGINT) AS f1_micro
+    FROM per
+    """.replace("{argmax}", _argmax_lang_sql("toks")),
+)
+def k83_langid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 of the k10 language
+    identifier against the labeled corpus — the classifier-evaluation
+    readout every curation pipeline publishes next to its filters
+    (F1 = 2·tp / (pred_n + actual_n), the harmonic form that avoids
+    the 0/0 edge).  All metrics are exact-integer ratios divided once
+    (identical doubles both engines), micro-unit emitted.  Plan: one
+    map-only prediction pass, a |langs|² confusion agg, then marginal
+    sums over the TINY matrix (broadcast-scale) — the fact stream is
+    touched exactly once.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        TXT.tokens("text").alias("toks"),
+    )
+    scores = {
+        lang: TXT.lexicon_score(F.col("toks"), TXT.LANG_LEXICONS[lang])
+        for lang in _LANGS
+    }
+    greatest = F.greatest(*scores.values())
+    pred = F.when(scores[_LANGS[0]] == greatest, _LANGS[0])
+    for lang in _LANGS[1:]:
+        pred = pred.when(scores[lang] == greatest, lang)
+    cm = (
+        t.select("actual_lang", pred.alias("pred_lang"))
+        .groupBy("actual_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    langs = d.select(F.col("lang")).distinct()
+    tp = cm.filter(F.col("actual_lang") == F.col("pred_lang")).select(
+        F.col("actual_lang").alias("lang"), F.col("n").alias("tp")
+    )
+    pred_m = cm.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.sum("n").alias("pred_n")
+    )
+    act_m = cm.groupBy(F.col("actual_lang").alias("lang")).agg(
+        F.sum("n").alias("actual_n")
+    )
+    per = (
+        langs.join(tp, "lang", "left")
+        .join(pred_m, "lang", "left")
+        .join(act_m, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("pred_n", F.lit(0)).alias("pred_n"),
+            F.coalesce("actual_n", F.lit(0)).alias("actual_n"),
+        )
+    )
+    prec = F.when(
+        F.col("pred_n") > 0, F.col("tp").cast("double") / F.col("pred_n")
+    ).otherwise(0.0)
+    rec = F.when(
+        F.col("actual_n") > 0, F.col("tp").cast("double") / F.col("actual_n")
+    ).otherwise(0.0)
+    f1 = F.when(
+        F.col("tp") > 0,
+        2.0 * F.col("tp") / (F.col("pred_n") + F.col("actual_n")),
+    ).otherwise(0.0)
+    return per.select(
+        "lang",
+        "tp",
+        "pred_n",
+        "actual_n",
+        F.round(prec * 1e6).cast("bigint").alias("precision_micro"),
+        F.round(rec * 1e6).cast("bigint").alias("recall_micro"),
+        F.round(f1 * 1e6).cast("bigint").alias("f1_micro"),
+    )

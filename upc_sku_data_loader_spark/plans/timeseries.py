@@ -1452,3 +1452,79 @@ def t17_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_at_risk",
         F.round(F.exp("log_s") * 1e6).cast("bigint").alias("survival_micro"),
     )
+
+
+# --- T18: local-maximum peak detection -----------------------------------------
+
+
+@query(
+    "t18_peak_detection",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS rev
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY day
+    ),
+    neigh AS (
+      SELECT day, rev,
+             lag(rev)  OVER (ORDER BY day) AS prev_rev,
+             lead(rev) OVER (ORDER BY day) AS next_rev
+      FROM daily
+    )
+    SELECT day, rev,
+           CAST(ROUND((rev - GREATEST(prev_rev, next_rev)) * 1000)
+                AS BIGINT) AS prominence_milli
+    FROM neigh
+    WHERE prev_rev IS NOT NULL AND next_rev IS NOT NULL
+      AND rev > prev_rev AND rev > next_rev
+    """,
+)
+def t18_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict local-maximum peak detection on the daily purchase-
+    revenue series — the alerting primitive behind 'what spiked?'
+    dashboards: a day is a peak when its revenue exceeds BOTH
+    neighbors (endpoints excluded — one-sided evidence is not a
+    peak), reported with its prominence over the taller neighbor.
+    Daily sums are exact decimals (identical doubles both engines), so
+    the strict comparisons and the subtraction agree bit-for-bit;
+    milli-unit emission guards nothing but is kept for schema
+    consistency.  Plan: one keyed day-agg, one window over the
+    DAY-count-sized series — the t4/q31 aggregated-window shape.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    w = Window.orderBy("day")
+    neigh = daily.select(
+        "day",
+        "rev",
+        F.lag("rev").over(w).alias("prev_rev"),
+        F.lead("rev").over(w).alias("next_rev"),
+    )
+    return (
+        neigh.filter(
+            F.col("prev_rev").isNotNull()
+            & F.col("next_rev").isNotNull()
+            & (F.col("rev") > F.col("prev_rev"))
+            & (F.col("rev") > F.col("next_rev"))
+        )
+        .select(
+            "day",
+            "rev",
+            F.round(
+                (F.col("rev") - F.greatest("prev_rev", "next_rev")) * 1000
+            )
+            .cast("bigint")
+            .alias("prominence_milli"),
+        )
+    )
