@@ -389,3 +389,20 @@ def test_t18_peaks_are_strict_maxima(spark, sf_dir):
     days = sorted(r["day"] for r in out.collect())
     for a, b in zip(days, days[1:]):
         assert (b - a).days >= 2
+
+
+def test_q34_backlog_conservation(spark, sf_dir):
+    out = QUERIES["q34_open_order_backlog"](spark, sf_dir)
+    rows = out.orderBy("day").collect()
+    assert rows
+    # backlog is the prefix sum of net changes and never negative
+    run = 0
+    for r in rows:
+        run += r["net_change"]
+        assert r["open_orders"] == run
+        assert r["open_orders"] >= 0
+    # all orders eventually close: final backlog is zero
+    assert rows[-1]["open_orders"] == 0
+    # peak backlog can't exceed total orders
+    n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert max(r["open_orders"] for r in rows) <= n

@@ -2054,3 +2054,59 @@ def q33_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("class_revenue"),
     )
+
+
+# --- Q34: open-order backlog over time (interval counting) ---------------------
+
+
+@query(
+    "q34_open_order_backlog",
+    oracle="""
+    WITH deltas AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, 1 AS delta
+      FROM orders
+      UNION ALL
+      SELECT CAST(o_orderdate AS DATE) + INTERVAL 15 DAY, -1
+      FROM orders
+    ),
+    per_day AS (
+      SELECT CAST(day AS DATE) AS day, SUM(delta) AS net
+      FROM deltas GROUP BY day
+    )
+    SELECT day,
+           CAST(SUM(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS open_orders,
+           CAST(net AS BIGINT) AS net_change
+    FROM per_day
+    QUALIFY SUM(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) > 0
+       OR net != 0
+    """,
+)
+def q34_open_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog time series — how many orders are in flight
+    each day, with each order open for a 14-day fulfillment window.
+    Computed by the sweep-line/delta decomposition: +1 at the open
+    day, −1 the day after close, one keyed agg, then a prefix sum —
+    the O(n) shape that replaces the quadratic 'count intervals
+    covering each day' join, and the standard trick for concurrency /
+    inventory / occupancy curves.  Integer-exact throughout.  Plan:
+    one shuffle on day (map-side partials absorb the 2× fan-out), one
+    window over the DAY-sized table; at 100 TB swap the single-
+    partition prefix sum for the k32 two-level variant.
+    """
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d")
+    )
+    deltas = o.select(F.col("d").alias("day"), F.lit(1).alias("delta")).unionAll(
+        o.select(F.date_add("d", 15).alias("day"), F.lit(-1).alias("delta"))
+    )
+    per_day = deltas.groupBy("day").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    out = per_day.select(
+        "day",
+        F.sum("net").over(w).cast("bigint").alias("open_orders"),
+        F.col("net").cast("bigint").alias("net_change"),
+    )
+    return out.filter((F.col("open_orders") > 0) | (F.col("net_change") != 0))
