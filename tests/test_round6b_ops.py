@@ -406,3 +406,28 @@ def test_q34_backlog_conservation(spark, sf_dir):
     # peak backlog can't exceed total orders
     n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     assert max(r["open_orders"] for r in rows) <= n
+
+
+def test_etl14_scd3_one_row_per_user_matching_latest(spark, sf_dir):
+    out = QUERIES["etl14_scd3_prior_value"](spark, sf_dir)
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert out.count() == e.select("user_id").distinct().count()
+    assert out.groupBy("user_id").count().filter("count > 1").count() == 0
+    # current_type matches the true latest event; n_changes = event count
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", F.col("event_type").alias("expect_type"))
+    )
+    j = out.join(latest, "user_id")
+    assert j.filter(F.col("current_type") != F.col("expect_type")).count() == 0
+    counts = e.groupBy("user_id").count()
+    j2 = out.join(counts, "user_id")
+    assert j2.filter(F.col("n_changes") != F.col("count")).count() == 0
+    # a user with >1 events has a prior_type
+    assert j2.filter((F.col("count") > 1) & F.col("prior_type").isNull()).count() == 0

@@ -2545,3 +2545,70 @@ def etl13_fk_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "c_custkey", "orders.o_custkey->customer")
         )
     )
+
+
+# --- ETL14: slowly-changing dimension type 3 ------------------------------------
+
+
+@query(
+    "etl14_scd3_prior_value",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC)
+               AS prior_type,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+      FROM events
+    )
+    SELECT user_id,
+           event_type AS current_type,
+           prior_type,
+           ROUND(value, 4) AS current_value,
+           ts AS changed_at,
+           n_changes
+    FROM ordered
+    WHERE rn = 1
+    """,
+)
+def etl14_scd3_prior_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 3: one row per entity carrying
+    the CURRENT attribute value plus the immediately-PRIOR one —
+    completing the repo's SCD family (type 1 overwrite = etl3's merge,
+    type 2 full history = etl_scd2_history).  Type 3 is what
+    reporting marts use when only 'before vs after the latest change'
+    matters and history tables are too heavy.
+
+    Built from the same event stream: the newest record per user wins
+    (rn = 1 over ts DESC, event_id DESC ties), `lead` in the same
+    descending order supplies the prior value, and the change count
+    rides along for auditing.  One window shuffle on user_id — the
+    dimension is produced with no self-join, the 100 TB-safe shape.
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ordered = e.select(
+        "user_id",
+        "event_type",
+        "value",
+        "ts",
+        F.row_number().over(w).alias("rn"),
+        F.lead("event_type").over(w).alias("prior_type"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id"))
+        .alias("n_changes"),
+    )
+    return ordered.filter(F.col("rn") == 1).select(
+        "user_id",
+        F.col("event_type").alias("current_type"),
+        "prior_type",
+        F.round("value", 4).alias("current_value"),
+        F.col("ts").alias("changed_at"),
+        "n_changes",
+    )
