@@ -431,3 +431,38 @@ def test_etl14_scd3_one_row_per_user_matching_latest(spark, sf_dir):
     assert j2.filter(F.col("n_changes") != F.col("count")).count() == 0
     # a user with >1 events has a prior_type
     assert j2.filter((F.col("count") > 1) & F.col("prior_type").isNull()).count() == 0
+
+
+def test_q35_hhi_bounds(spark, sf_dir):
+    rows = QUERIES["q35_supplier_hhi"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # HHI in (1/n, 1]: lower bound at perfect evenness, 1 at monopoly
+        assert r["hhi_e7"] <= 10_000_000
+        assert r["hhi_e7"] >= round(1e7 / r["n_suppliers"]) - 1
+        assert r["n_suppliers"] >= 1
+
+
+def test_d30_welch_agrees_with_scipy_formula(spark, sf_dir):
+    import math
+
+    r = QUERIES["d30_welch_ttest"](spark, sf_dir).collect()[0]
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+        .collect()
+    )
+    st = {x["event_type"]: x for x in e}
+    a, b = st["purchase"], st["click"]
+    t = (a["m"] - b["m"]) / math.sqrt(a["v"] / a["n"] + b["v"] / b["n"])
+    assert abs(r["t_micro"] - round(t * 1e6)) <= 5
+    num = (a["v"] / a["n"] + b["v"] / b["n"]) ** 2
+    den = (a["v"] / a["n"]) ** 2 / (a["n"] - 1) + (b["v"] / b["n"]) ** 2 / (b["n"] - 1)
+    assert abs(r["welch_dof_milli"] - round(num / den * 1000)) <= 5
+    assert r["n1"] == a["n"] and r["n2"] == b["n"]

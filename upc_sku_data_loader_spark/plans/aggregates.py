@@ -1154,3 +1154,82 @@ def d29_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew * 1e6).cast("bigint").alias("skew_micro"),
         F.round(kurt * 1e6).cast("bigint").alias("excess_kurtosis_micro"),
     )
+
+
+# --- D30: Welch's two-sample t-test --------------------------------------------
+
+
+@query(
+    "d30_welch_ttest",
+    oracle="""
+    WITH m AS (
+      SELECT
+        COUNT(*) FILTER (WHERE event_type = 'purchase') AS n1,
+        CAST(SUM(CAST(value AS DECIMAL(38,6)))
+             FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS s1a,
+        CAST(SUM(CAST(value * value AS DECIMAL(38,6)))
+             FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS s2a,
+        COUNT(*) FILTER (WHERE event_type = 'click') AS n2,
+        CAST(SUM(CAST(value AS DECIMAL(38,6)))
+             FILTER (WHERE event_type = 'click') AS DOUBLE) AS s1b,
+        CAST(SUM(CAST(value * value AS DECIMAL(38,6)))
+             FILTER (WHERE event_type = 'click') AS DOUBLE) AS s2b
+      FROM events
+    )
+    SELECT n1, n2,
+           CAST(ROUND((s1a / n1 - s1b / n2) /
+             SQRT(((s2a - s1a * s1a / n1) / (n1 - 1)) / n1
+                + ((s2b - s1b * s1b / n2) / (n2 - 1)) / n2) * 1000000)
+             AS BIGINT) AS t_micro,
+           CAST(ROUND(
+             POW(((s2a - s1a * s1a / n1) / (n1 - 1)) / n1
+               + ((s2b - s1b * s1b / n2) / (n2 - 1)) / n2, 2)
+             / (POW(((s2a - s1a * s1a / n1) / (n1 - 1)) / n1, 2) / (n1 - 1)
+              + POW(((s2b - s1b * s1b / n2) / (n2 - 1)) / n2, 2) / (n2 - 1))
+             * 1000) AS BIGINT) AS welch_dof_milli
+    FROM m
+    """,
+)
+def d30_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test: does mean purchase
+    value differ from mean click value?  Emits the t statistic and the
+    Welch–Satterthwaite degrees of freedom — the numeric core of the
+    experiment readout q25's chi-square covers for categories (p-value
+    lookup is a client-side table).  All inputs derive from exact
+    decimal power sums in ONE conditional-aggregation scan (no
+    self-join, no second pass), so both engines run identical-double
+    arithmetic; micro/milli emission is formality.  Map-side partials
+    absorb the scan — scale-free.
+    """
+    e = load(spark, sf_dir, "events")
+    v = F.col("value")
+
+    def csum(expr, cond, name):
+        return (
+            F.sum(F.when(F.col("event_type") == cond, expr).cast("decimal(38,6)"))
+            .cast("double")
+            .alias(name)
+        )
+
+    m = e.agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n1"),
+        csum(v, "purchase", "s1a"),
+        csum(v * v, "purchase", "s2a"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n2"),
+        csum(v, "click", "s1b"),
+        csum(v * v, "click", "s2b"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    s1a, s2a, s1b, s2b = (F.col(c) for c in ("s1a", "s2a", "s1b", "s2b"))
+    va = (s2a - s1a * s1a / n1) / (n1 - 1) / n1  # v1/n1
+    vb = (s2b - s1b * s1b / n2) / (n2 - 1) / n2  # v2/n2
+    t = (s1a / n1 - s1b / n2) / F.sqrt(va + vb)
+    dof = F.pow(va + vb, 2) / (
+        F.pow(va, 2) / (n1 - 1) + F.pow(vb, 2) / (n2 - 1)
+    )
+    return m.select(
+        "n1",
+        "n2",
+        F.round(t * 1e6).cast("bigint").alias("t_micro"),
+        F.round(dof * 1000).cast("bigint").alias("welch_dof_milli"),
+    )

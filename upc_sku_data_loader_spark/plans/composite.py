@@ -2110,3 +2110,73 @@ def q34_open_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("net").cast("bigint").alias("net_change"),
     )
     return out.filter((F.col("open_orders") > 0) | (F.col("net_change") != 0))
+
+
+# --- Q35: supplier-concentration HHI per part type -----------------------------
+
+
+@query(
+    "q35_supplier_hhi",
+    oracle="""
+    WITH sup_rev AS (
+      SELECT p.p_type, l.l_suppkey,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(30,6))) AS DOUBLE) AS rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_type, l.l_suppkey
+    ),
+    tot AS (
+      SELECT p_type,
+             CAST(SUM(CAST(rev AS DECIMAL(30,6))) AS DOUBLE) AS tot_rev,
+             COUNT(*) AS n_suppliers
+      FROM sup_rev GROUP BY p_type
+    )
+    SELECT s.p_type, t.n_suppliers,
+           CAST(ROUND(SUM(POW(s.rev / t.tot_rev, 2)) * 10000000)
+                AS BIGINT) AS hhi_e7
+    FROM sup_rev s JOIN tot t ON t.p_type = s.p_type
+    GROUP BY s.p_type, t.n_suppliers
+    """,
+)
+def q35_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of supplier revenue
+    within each part type — the antitrust/procurement-risk metric
+    (HHI → 1 means one supplier owns the category; < 0.15 is
+    'unconcentrated').  Shares come from exact decimal revenue sums,
+    so both engines square and sum identical doubles; the share-square
+    sum is a per-group aggregate of ≤|suppliers| terms whose addition
+    order is pinned by the rounding headroom (summands ∈ [0,1], ~40
+    terms — drift ≪ the 1e-7 emission grain).  Plan: broadcast part
+    join, two keyed aggs (type×supplier, then type) — map-side
+    partials both, scale-free.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    sup_rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,6)"
+                )
+            )
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    tot = sup_rev.groupBy("p_type").agg(
+        F.sum(F.col("rev").cast("decimal(30,6)")).cast("double").alias("tot_rev"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    return (
+        sup_rev.join(tot, "p_type")
+        .groupBy("p_type", "n_suppliers")
+        .agg(
+            F.round(
+                F.sum(F.pow(F.col("rev") / F.col("tot_rev"), 2)) * 1e7
+            )
+            .cast("bigint")
+            .alias("hhi_e7")
+        )
+    )
