@@ -466,3 +466,24 @@ def test_d30_welch_agrees_with_scipy_formula(spark, sf_dir):
     den = (a["v"] / a["n"]) ** 2 / (a["n"] - 1) + (b["v"] / b["n"]) ** 2 / (b["n"] - 1)
     assert abs(r["welch_dof_milli"] - round(num / den * 1000)) <= 5
     assert r["n1"] == a["n"] and r["n2"] == b["n"]
+
+
+def test_q36_streak_accounting(spark, sf_dir):
+    rows = {r["hot"]: r for r in QUERIES["q36_revenue_streaks"](spark, sf_dir).collect()}
+    assert set(rows) == {True, False}
+    n_days = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.date_trunc("day", F.col("ts")).cast("date").alias("d"))
+        .distinct()
+        .count()
+    )
+    # every day belongs to exactly one streak
+    assert rows[True]["total_days"] + rows[False]["total_days"] == n_days
+    for r in rows.values():
+        assert 1 <= r["longest"] <= r["total_days"]
+        assert r["n_streaks"] >= 1
+    # alternating islands: counts differ by at most one
+    assert abs(rows[True]["n_streaks"] - rows[False]["n_streaks"]) <= 1
+    # strict > median: hot days are a minority or exact half
+    assert rows[True]["total_days"] <= rows[False]["total_days"]

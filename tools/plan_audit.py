@@ -87,6 +87,8 @@ BNLJ_OK = {
     "q26_rfm_segments",
     # 1-row observation-cutoff broadcast (KM censoring bound)
     "t17_survival_km",
+    # 1-row corpus-median broadcast (streak threshold)
+    "q36_revenue_streaks",
 }
 
 # Python execution is the operator's contract (UDF-tier demos) or its

@@ -2180,3 +2180,83 @@ def q35_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hhi_e7")
         )
     )
+
+
+# --- Q36: above-median revenue streaks (gaps and islands) ----------------------
+
+
+@query(
+    "q36_revenue_streaks",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS rev
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY day
+    ),
+    med AS (SELECT median(rev) AS med_rev FROM daily),
+    flagged AS (
+      SELECT day, rev > m.med_rev AS hot,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn
+      FROM daily CROSS JOIN med m
+    ),
+    islands AS (
+      SELECT hot, rn - ROW_NUMBER() OVER (PARTITION BY hot ORDER BY day)
+               AS grp,
+             day
+      FROM flagged
+    ),
+    streaks AS (
+      SELECT hot, grp, COUNT(*) AS len,
+             MIN(day) AS streak_start, MAX(day) AS streak_end
+      FROM islands GROUP BY hot, grp
+    )
+    SELECT hot,
+           COUNT(*) AS n_streaks,
+           MAX(len) AS longest,
+           SUM(len) AS total_days
+    FROM streaks
+    GROUP BY hot
+    """,
+)
+def q36_revenue_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot/cold streak profile of daily purchase revenue — the
+    gaps-and-islands pattern (rn − rn-within-class = island id) applied
+    to 'how many consecutive above-median days have we strung
+    together?'.  The island trick turns consecutive-run detection into
+    two ROW_NUMBERs and a groupBy — no self-join, no recursion, which
+    is what keeps it linear at any scale.  Median comes from the exact
+    decimal daily sums (identical doubles both engines, the t15
+    pairing), comparisons are strict, everything downstream is integer.
+    Plan: day-agg shuffle, a 1-row median broadcast, two windows over
+    the DAY-sized series, final 2-row agg.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    med = daily.agg(F.median("rev").alias("med_rev"))
+    flagged = daily.crossJoin(F.broadcast(med)).select(
+        "day",
+        (F.col("rev") > F.col("med_rev")).alias("hot"),
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+    )
+    islands = flagged.withColumn(
+        "grp",
+        F.col("rn")
+        - F.row_number().over(Window.partitionBy("hot").orderBy("day")),
+    )
+    streaks = islands.groupBy("hot", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("hot").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest"),
+        F.sum("len").alias("total_days"),
+    )
