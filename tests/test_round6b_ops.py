@@ -487,3 +487,14 @@ def test_q36_streak_accounting(spark, sf_dir):
     assert abs(rows[True]["n_streaks"] - rows[False]["n_streaks"]) <= 1
     # strict > median: hot days are a minority or exact half
     assert rows[True]["total_days"] <= rows[False]["total_days"]
+
+
+def test_d31_ci_brackets_point_estimate(spark, sf_dir):
+    r = QUERIES["d31_bootstrap_ci"](spark, sf_dir).collect()[0]
+    assert r["n_replicates"] == 20
+    # the bootstrap CI must bracket the point estimate and be ordered
+    assert r["ci_lo_milli"] <= r["point_mean_milli"] <= r["ci_hi_milli"]
+    assert r["ci_lo_milli"] < r["ci_hi_milli"]
+    # CI width is a small fraction of the mean for N≥500 docs
+    width = r["ci_hi_milli"] - r["ci_lo_milli"]
+    assert width < r["point_mean_milli"] * 0.5

@@ -89,6 +89,8 @@ BNLJ_OK = {
     "t17_survival_km",
     # 1-row corpus-median broadcast (streak threshold)
     "q36_revenue_streaks",
+    # 1-row point-estimate broadcast onto the B-row replicate table
+    "d31_bootstrap_ci",
 }
 
 # Python execution is the operator's contract (UDF-tier demos) or its

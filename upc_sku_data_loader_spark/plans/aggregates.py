@@ -1233,3 +1233,116 @@ def d30_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t * 1e6).cast("bigint").alias("t_micro"),
         F.round(dof * 1000).cast("bigint").alias("welch_dof_milli"),
     )
+
+
+# --- D31: bootstrap confidence interval (deterministic resampling) -------------
+
+_D31_B = 20  # bootstrap replicates
+
+
+@query(
+    "d31_bootstrap_ci",
+    oracle=f"""
+    WITH indexed AS (
+      SELECT n_chars,
+             ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM documents
+    ),
+    grid AS (
+      SELECT b.b, i.i,
+             1 + CAST(CONCAT('0x', substr(md5(CAST(b.b AS VARCHAR) || ':'
+                     || CAST(i.i AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % (SELECT MAX(n) FROM indexed) AS pick
+      FROM (SELECT unnest(generate_series(1, {_D31_B})) AS b) b
+      CROSS JOIN (SELECT unnest(generate_series(1,
+                    (SELECT MAX(n) FROM indexed))) AS i) i
+    ),
+    reps AS (
+      SELECT g.b,
+             CAST(SUM(x.n_chars) AS DOUBLE) / COUNT(*) AS rep_mean
+      FROM grid g JOIN indexed x ON x.rn = g.pick
+      GROUP BY g.b
+    )
+    SELECT COUNT(*) AS n_replicates,
+           CAST(ROUND((SELECT CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)
+                       FROM documents) * 1000) AS BIGINT)
+             AS point_mean_milli,
+           CAST(ROUND(quantile_cont(rep_mean, 0.025) * 1000) AS BIGINT)
+             AS ci_lo_milli,
+           CAST(ROUND(quantile_cont(rep_mean, 0.975) * 1000) AS BIGINT)
+             AS ci_hi_milli
+    FROM reps
+    """,
+)
+def d31_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap 95 % confidence interval for mean document length —
+    distribution-free uncertainty quantification, the resampling
+    workhorse analytics teams reach for when normality is doubtful.
+    {_D31_B} replicates each redraw N docs WITH REPLACEMENT; the draw
+    index is md5(b:i)-derived (the k28 trick), so BOTH engines select
+    the exact same resample — no engine RNG, fully hash-checkable,
+    and at cluster scale the draw grid is generated executor-side.
+
+    Exactness: replicate means are integer sums / counts (identical
+    doubles), and the percentile-over-{_D31_B}-replicates uses the
+    shared linear-interpolation definition (d10/t3 pairing).  Plan:
+    the B×N grid is a map-only generate + one hash join on the row
+    index + a B-group agg — linear in B·N with no all-pairs anywhere.
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    indexed = d.select(
+        "n_chars",
+        F.row_number().over(Window.orderBy("doc_id")).alias("rn"),
+    )
+    n_docs = d.count()  # driver scalar: bounds the generated grid only
+    grid = (
+        spark.range(1, _D31_B + 1)
+        .toDF("b")
+        .select(
+            "b",
+            F.explode(F.sequence(F.lit(1), F.lit(n_docs))).alias("i"),
+        )
+        .select(
+            "b",
+            (
+                1
+                + F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(":", F.col("b"), F.col("i"))
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % n_docs
+            ).alias("pick"),
+        )
+    )
+    reps = (
+        grid.join(indexed, grid.pick == indexed.rn)
+        .groupBy("b")
+        .agg(
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+                "rep_mean"
+            )
+        )
+    )
+    point = d.agg(
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("pm")
+    )
+    return reps.crossJoin(F.broadcast(point)).agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.round(F.first("pm") * 1000).cast("bigint").alias("point_mean_milli"),
+        F.round(F.expr("percentile(rep_mean, 0.025)") * 1000)
+        .cast("bigint")
+        .alias("ci_lo_milli"),
+        F.round(F.expr("percentile(rep_mean, 0.975)") * 1000)
+        .cast("bigint")
+        .alias("ci_hi_milli"),
+    )
