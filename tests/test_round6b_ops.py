@@ -498,3 +498,23 @@ def test_d31_ci_brackets_point_estimate(spark, sf_dir):
     # CI width is a small fraction of the mean for N≥500 docs
     width = r["ci_hi_milli"] - r["ci_lo_milli"]
     assert width < r["point_mean_milli"] * 0.5
+
+
+def test_q37_sla_accounting(spark, sf_dir):
+    rows = QUERIES["q37_ship_sla"](spark, sf_dir).collect()
+    li_n = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert sum(r["n_lines"] for r in rows) == li_n
+    for r in rows:
+        assert 0 <= r["n_within_7d"] <= r["n_lines"]
+        assert 0 <= r["sla_attain_micro"] <= 1_000_000
+        assert r["worst_lag_days"] >= 0
+
+
+def test_t19_fano_positive_and_poisson_scale(spark, sf_dir):
+    rows = QUERIES["t19_fano_burstiness"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["fano_micro"] > 0
+        assert r["n_days"] >= 2
+        # uniform synthetic arrivals are Poisson-ish: Fano within [0.1, 10]
+        assert 100_000 <= r["fano_micro"] <= 10_000_000

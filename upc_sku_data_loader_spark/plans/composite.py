@@ -2260,3 +2260,61 @@ def q36_revenue_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").alias("longest"),
         F.sum("len").alias("total_days"),
     )
+
+
+# --- Q37: shipping SLA attainment by order priority ----------------------------
+
+
+@query(
+    "q37_ship_sla",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           COUNT(*) FILTER (
+             WHERE date_diff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE)) <= 7)
+             AS n_within_7d,
+           CAST(ROUND(CAST(COUNT(*) FILTER (
+                 WHERE date_diff('day', CAST(o.o_orderdate AS DATE),
+                                 CAST(l.l_shipdate AS DATE)) <= 7)
+               AS DOUBLE) / COUNT(*) * 1000000) AS BIGINT)
+             AS sla_attain_micro,
+           CAST(MAX(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE))) AS BIGINT)
+             AS worst_lag_days
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q37_ship_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-SLA attainment: share of lineitems shipped within 7
+    days of order placement, by order priority — the fulfillment KPI
+    ops teams page on, with the worst-case lag for the postmortem.
+    Integer day arithmetic + one exact ratio per group.  Plan: the
+    fact-fact join runs on the orderkey both sides are clustered by
+    (shuffle hash join, AQE-coalesced), then a 5-group conditional
+    agg with map-side partials.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(F.when(lag <= 7, 1)).alias("n_within_7d"),
+            F.round(
+                F.count(F.when(lag <= 7, 1)).cast("double")
+                / F.count(F.lit(1))
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("sla_attain_micro"),
+            F.max(lag).cast("bigint").alias("worst_lag_days"),
+        )
+    )

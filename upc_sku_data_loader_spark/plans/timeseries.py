@@ -1528,3 +1528,61 @@ def t18_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("prominence_milli"),
         )
     )
+
+
+# --- T19: burstiness (Fano factor) of daily event counts -----------------------
+
+
+@query(
+    "t19_fano_burstiness",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS c
+      FROM events GROUP BY event_type, day
+    ),
+    m AS (
+      SELECT event_type,
+             COUNT(*) AS n_days,
+             SUM(c) AS s1,
+             SUM(c * c) AS s2
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n_days, s1 AS n_events,
+           CAST(ROUND(
+             ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_days)
+              / (n_days - 1))
+             / (CAST(s1 AS DOUBLE) / n_days) * 1000000) AS BIGINT)
+             AS fano_micro
+    FROM m
+    """,
+)
+def t19_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of each event stream: the Fano factor (sample
+    variance / mean of DAILY counts).  A Poisson-like stream sits at
+    1; ≫1 flags bursty bot traffic or batching artifacts, ≪1 flags
+    rate-limited/throttled feeds — a one-number stream-health gate.
+    Counts are exact integers, so s1/s2 are exact bigint sums and both
+    engines divide identical doubles; micro emission is formality.
+    Plan: (type, day) count agg then a 5-group moment agg — two
+    map-side-partial shuffles, scale-free.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    n, s1, s2 = F.col("n_days"), F.col("s1"), F.col("s2")
+    var = (s2.cast("double") - s1.cast("double") * s1 / n) / (n - 1)
+    mean = s1.cast("double") / n
+    return m.select(
+        "event_type",
+        "n_days",
+        F.col("s1").alias("n_events"),
+        F.round(var / mean * 1e6).cast("bigint").alias("fano_micro"),
+    )
