@@ -518,3 +518,23 @@ def test_t19_fano_positive_and_poisson_scale(spark, sf_dir):
         assert r["n_days"] >= 2
         # uniform synthetic arrivals are Poisson-ish: Fano within [0.1, 10]
         assert 100_000 <= r["fano_micro"] <= 10_000_000
+
+
+def test_k84_degree_identities(spark, sf_dir):
+    rows = sorted(
+        QUERIES["k84_degree_distribution"](spark, sf_dir).collect(),
+        key=lambda r: -r["degree"],
+    )
+    assert rows
+    # handshake lemma: sum(degree * n_nodes) = 2 * |E| (graph may hold
+    # fewer than the 500-edge sparsification cap at small sf)
+    from upc_sku_data_loader_spark.plans.graphs import _edges
+
+    n_edges = _edges(spark, sf_dir).count()
+    assert 0 < n_edges <= 500
+    assert sum(r["degree"] * r["n_nodes"] for r in rows) == 2 * n_edges
+    # CCDF is the running sum in descending-degree order
+    run = 0
+    for r in rows:
+        run += r["n_nodes"]
+        assert r["n_nodes_at_least"] == run

@@ -248,3 +248,56 @@ def k72_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return non_edges.orderBy(
         F.col("ra_micro").desc(), F.col("common_neighbors").desc(), "u", "v"
     ).limit(_N_LINKS)
+
+
+# --- K84: degree distribution (count-of-counts) --------------------------------
+
+
+@query(
+    "k84_degree_distribution",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    deg AS (
+      SELECT node, COUNT(*) AS degree
+      FROM (SELECT u AS node FROM edges
+            UNION ALL SELECT v AS node FROM edges)
+      GROUP BY node
+    )
+    SELECT degree,
+           COUNT(*) AS n_nodes,
+           CAST(SUM(COUNT(*)) OVER (ORDER BY degree DESC
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS n_nodes_at_least
+    FROM deg
+    GROUP BY degree
+    """,
+)
+def k84_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-supply graph: for each degree
+    value, how many nodes have it, plus the complementary cumulative
+    count (nodes with degree ≥ d) — the count-of-COUNTS double
+    aggregation behind power-law/hub diagnostics on link graphs (web
+    curation reads this curve to spot spam farms: organic link graphs
+    are heavy-tailed, farms are spike-shaped).
+
+    Plan: shared sparsified edge build (graphs.py module doc), then
+    endpoint explode → per-node degree agg → per-degree count agg —
+    two keyed shuffles of ever-shrinking tables, and the CCDF window
+    runs over the DISTINCT-DEGREE-sized result.  Integer-only output.
+    """
+    from pyspark.sql import Window
+
+    edges = _edges(spark, sf_dir)
+    nodes = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    dist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    w = Window.orderBy(F.col("degree").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return dist.select(
+        "degree",
+        "n_nodes",
+        F.sum("n_nodes").over(w).cast("bigint").alias("n_nodes_at_least"),
+    )
