@@ -538,3 +538,20 @@ def test_k84_degree_identities(spark, sf_dir):
     for r in rows:
         run += r["n_nodes"]
         assert r["n_nodes_at_least"] == run
+
+
+def test_k85_oov_bounds_and_total(spark, sf_dir):
+    out = QUERIES["k85_oov_rate"](spark, sf_dir)
+    assert out.filter(
+        (F.col("n_oov") < 0) | (F.col("n_oov") > F.col("n_tokens"))
+    ).count() == 0
+    assert out.filter(
+        (F.col("oov_micro") < 0) | (F.col("oov_micro") > 1_000_000)
+    ).count() == 0
+    # doc count preserved; token totals match a direct count
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert out.count() == docs.count()
+    direct = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("s")
+    ).collect()[0]["s"]
+    assert out.agg(F.sum("n_tokens")).collect()[0][0] == direct

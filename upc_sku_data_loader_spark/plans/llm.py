@@ -1967,3 +1967,85 @@ def k83_langid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rec * 1e6).cast("bigint").alias("recall_micro"),
         F.round(f1 * 1e6).cast("bigint").alias("f1_micro"),
     )
+
+
+# --- K85: out-of-vocabulary rate against a top-V vocabulary --------------------
+
+_K85_V = 1000  # vocabulary budget
+
+
+@query(
+    "k85_oov_rate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, COUNT(*) AS freq,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS rk
+        FROM toks GROUP BY term
+      ) WHERE rk <= {_K85_V}
+    ),
+    per_doc AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_tokens,
+             COUNT(*) FILTER (WHERE v.term IS NULL) AS n_oov
+      FROM toks t LEFT JOIN vocab v ON v.term = t.term
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, n_oov,
+           CAST(ROUND(CAST(n_oov AS DOUBLE) / n_tokens * 1000000)
+                AS BIGINT) AS oov_micro
+    FROM per_doc
+    """,
+)
+def k85_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-{_K85_V} vocabulary — the tokenizer-coverage audit that pairs
+    with k81's fertility: docs with high OOV under the production
+    vocab will fragment into byte-fallback tokens and waste context
+    window, so curation pipelines gate or re-route them.
+
+    Vocabulary selection is deterministic (freq DESC, term ties) and
+    the rate is an exact integer ratio.  Plan: one token explode
+    feeding BOTH the vocab build (vocabulary-sized agg + top-V rank)
+    and the per-doc membership LEFT JOIN against the BROADCAST vocab
+    — at 100 TB the vocab side stays tiny post-Zipf while the token
+    stream is touched twice (or once with a cached explode).
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "term",
+            F.row_number()
+            .over(Window.orderBy(F.col("freq").desc(), "term"))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= _K85_V)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.round(F.col("n_oov").cast("double") / F.col("n_tokens") * 1e6)
+        .cast("bigint")
+        .alias("oov_micro"),
+    )
