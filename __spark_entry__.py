@@ -72,8 +72,10 @@ FLAGSHIP = "d1_agg_hash_grouped"  # TPC-H Q1-style pricing summary (SURVEY §7 P
 # k81_tokenizer_fertility q31_yoy_growth c17_interval_overlap_join
 # etl13_fk_conformance b17_upce_expand d28_geomean q32_spend_gini
 # k82_ip_cidr_filter q33_abc_classification t17_survival_km
-# d29_higher_moments) — plus whatever r4/r5 driver artifacts flag
-# red.
+# d29_higher_moments etl14_scd3_prior_value q35_supplier_hhi
+# d30_welch_ttest q36_revenue_streaks d31_bootstrap_ci q37_ship_sla
+# t19_fano_burstiness k84_degree_distribution k85_oov_rate) — plus
+# whatever r4/r5 driver artifacts flag red.
 _PRIORITY = [
     # never driver-windowed: deferred composite B-half
     "q16_supplier_part_counts", "q19_disjunctive_predicates",
