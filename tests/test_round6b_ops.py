@@ -555,3 +555,20 @@ def test_k85_oov_bounds_and_total(spark, sf_dir):
         F.sum(F.size(F.split("text", " "))).alias("s")
     ).collect()[0]["s"]
     assert out.agg(F.sum("n_tokens")).collect()[0][0] == direct
+
+
+def test_q38_final_cumulative_equals_distinct_customers(spark, sf_dir):
+    rows = (
+        QUERIES["q38_cumulative_uniques"](spark, sf_dir)
+        .orderBy("week_start")
+        .collect()
+    )
+    assert rows
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_cust = o.select("o_custkey").distinct().count()
+    assert rows[-1]["cumulative_uniques"] == n_cust
+    run = 0
+    for r in rows:
+        run += r["new_customers"]
+        assert r["cumulative_uniques"] == run
+        assert r["new_customers"] >= 1

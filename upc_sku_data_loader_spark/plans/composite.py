@@ -2318,3 +2318,58 @@ def q37_ship_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(lag).cast("bigint").alias("worst_lag_days"),
         )
     )
+
+
+# --- Q38: cumulative unique customers per week ---------------------------------
+
+
+@query(
+    "q38_cumulative_uniques",
+    oracle="""
+    WITH first_seen AS (
+      SELECT o_custkey,
+             MIN(date_trunc('week', CAST(o_orderdate AS DATE))) AS wk
+      FROM orders GROUP BY o_custkey
+    ),
+    per_week AS (
+      SELECT CAST(wk AS DATE) AS week_start,
+             COUNT(*) AS new_customers
+      FROM first_seen GROUP BY wk
+    )
+    SELECT week_start, new_customers,
+           CAST(SUM(new_customers) OVER (ORDER BY week_start
+                                         ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cumulative_uniques
+    FROM per_week
+    """,
+)
+def q38_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative unique customers over time — the growth curve every
+    dashboard opens with, computed the scalable way: a running COUNT
+    DISTINCT is re-expressed as 'count each customer once, in their
+    FIRST week, then prefix-sum' (the first-seen decomposition).  The
+    naive windowed COUNT(DISTINCT) is unsupported/quadratic in most
+    engines; this form is two keyed aggs + one window over the
+    WEEK-COUNT-sized series, all integer-exact.  The same shape backs
+    i18's streaming exact-distinct recipe — this is its batch twin.
+    """
+    from pyspark.sql import Window
+
+    first_seen = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.min(
+                F.date_trunc("week", F.col("o_orderdate").cast("date"))
+            ).alias("wk")
+        )
+    )
+    per_week = first_seen.groupBy(
+        F.col("wk").cast("date").alias("week_start")
+    ).agg(F.count(F.lit(1)).alias("new_customers"))
+    w = Window.orderBy("week_start").rowsBetween(Window.unboundedPreceding, 0)
+    return per_week.select(
+        "week_start",
+        "new_customers",
+        F.sum("new_customers").over(w).cast("bigint").alias("cumulative_uniques"),
+    )
