@@ -15,6 +15,7 @@ everything written there is deterministically rebuilt per run.
 from __future__ import annotations
 
 import functools
+import os
 import shutil
 import sqlite3
 from pathlib import Path
@@ -225,7 +226,9 @@ def a6_jdbc_sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver; parallelism = DataFrame partitions (one JDBC connection
     each), batched inserts under the hood.
     """
-    db = _scratch(sf_dir, "derby_a6_db")
+    # PID-scoped path: embedded Derby holds a single-process boot lock,
+    # so concurrent verify/pytest runs must not share a database dir.
+    db = _scratch(sf_dir, f"derby_a6_db_{os.getpid()}")
     url = f"jdbc:derby:{db};create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     src = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
@@ -2087,7 +2090,8 @@ def a25_jdbc_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-stripe aggregate proves the stripes tile the keyspace
     exactly (no row lost or double-read at the bounds).  Decimal-exact
     sums make the proof order-independent."""
-    db = _scratch(sf_dir, "derby_a25_db")
+    # PID-scoped for the same single-process Derby boot lock as a6.
+    db = _scratch(sf_dir, f"derby_a25_db_{os.getpid()}")
     url = f"jdbc:derby:{db};create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     src = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
