@@ -572,3 +572,23 @@ def test_q38_final_cumulative_equals_distinct_customers(spark, sf_dir):
         run += r["new_customers"]
         assert r["cumulative_uniques"] == run
         assert r["new_customers"] >= 1
+
+
+def test_t20_theil_sen_pair_count_and_robustness(spark, sf_dir):
+    r = QUERIES["t20_theil_sen"](spark, sf_dir).collect()[0]
+    n = r["n_days"]
+    assert r["n_pairs"] == n * (n - 1) // 2
+    # fitted line must pass through the data's vertical band
+    daily_rev = [
+        x["rev"]
+        for x in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("rev")
+        )
+        .collect()
+    ]
+    lo, hi = min(daily_rev), max(daily_rev)
+    icept = r["intercept_milli"] / 1000.0
+    assert lo - (hi - lo) <= icept <= hi + (hi - lo)

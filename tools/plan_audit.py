@@ -91,6 +91,8 @@ BNLJ_OK = {
     "q36_revenue_streaks",
     # 1-row point-estimate broadcast onto the B-row replicate table
     "d31_bootstrap_ci",
+    # 1-row min-day/fitted-slope broadcasts + day-sized pair self-join
+    "t20_theil_sen",
 }
 
 # Python execution is the operator's contract (UDF-tier demos) or its

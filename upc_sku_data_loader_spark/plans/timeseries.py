@@ -1586,3 +1586,90 @@ def t19_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s1").alias("n_events"),
         F.round(var / mean * 1e6).cast("bigint").alias("fano_micro"),
     )
+
+
+# --- T20: Theil–Sen robust trend estimator -------------------------------------
+
+
+@query(
+    "t20_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS rev
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY day
+    ),
+    o AS (SELECT MIN(day) AS d0 FROM daily),
+    idx AS (
+      SELECT date_diff('day', o.d0, d.day) AS i, d.rev
+      FROM daily d CROSS JOIN o
+    ),
+    slopes AS (
+      SELECT (b.rev - a.rev) / (b.i - a.i) AS m
+      FROM idx a JOIN idx b ON a.i < b.i
+    ),
+    fit AS (SELECT median(m) AS slope FROM slopes),
+    icept AS (
+      SELECT median(rev - f.slope * i) AS intercept
+      FROM idx CROSS JOIN fit f
+    )
+    SELECT (SELECT COUNT(*) FROM idx) AS n_days,
+           (SELECT COUNT(*) FROM slopes) AS n_pairs,
+           CAST(ROUND((SELECT slope FROM fit) * 1000000) AS BIGINT)
+             AS slope_micro,
+           CAST(ROUND((SELECT intercept FROM icept) * 1000) AS BIGINT)
+             AS intercept_milli
+    """,
+)
+def t20_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily purchase revenue: the MEDIAN of
+    all pairwise slopes (and the matching median intercept) — the
+    estimator that shrugs off the outlier days that wreck OLS (d26's
+    kernel), standard in monitoring pipelines for exactly that reason.
+
+    The O(n²) pair set is over the DAY-count-sized series (n days →
+    n(n−1)/2 pairs; 365 days ≈ 66 k pairs), never the event stream —
+    the same aggregated-domain discipline as q32/q33/k80; day sums are
+    exact decimals so both engines take medians of identical doubles.
+    Plan: day agg, 1-row min-day + fitted-slope broadcasts, one
+    day-keyed self-join, two tiny median aggs.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    o = daily.agg(F.min("day").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(o)).select(
+        F.datediff("day", "d0").alias("i"), "rev"
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    slopes = a.join(b, F.col("a.i") < F.col("b.i")).select(
+        ((F.col("b.rev") - F.col("a.rev")) / (F.col("b.i") - F.col("a.i"))).alias("m")
+    )
+    fit = slopes.agg(
+        F.median("m").alias("slope"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    icept = (
+        idx.crossJoin(F.broadcast(fit))
+        .agg(
+            F.median(F.col("rev") - F.col("slope") * F.col("i")).alias(
+                "intercept"
+            ),
+            F.first("slope").alias("slope"),
+            F.first("n_pairs").alias("n_pairs"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+    return icept.select(
+        "n_days",
+        "n_pairs",
+        F.round(F.col("slope") * 1e6).cast("bigint").alias("slope_micro"),
+        F.round(F.col("intercept") * 1000).cast("bigint").alias("intercept_milli"),
+    )
