@@ -592,3 +592,25 @@ def test_t20_theil_sen_pair_count_and_robustness(spark, sf_dir):
     lo, hi = min(daily_rev), max(daily_rev)
     icept = r["intercept_milli"] / 1000.0
     assert lo - (hi - lo) <= icept <= hi + (hi - lo)
+
+
+def test_etl15_skew_identities(spark, sf_dir):
+    r = QUERIES["etl15_skew_report"](spark, sf_dir).collect()[0]
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert r["n_rows"] == o.count()
+    assert r["n_keys"] == o.select("o_custkey").distinct().count()
+    assert r["p50_rows"] <= r["p99_rows"] <= r["max_rows_per_key"]
+    # skew ratio = max / mean >= 1 by definition
+    assert r["skew_ratio_milli"] >= 1000
+
+
+def test_q39_entropy_bands_bounded(spark, sf_dir):
+    import math
+
+    rows = QUERIES["q39_behavior_entropy"](spark, sf_dir).collect()
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert sum(r["n_users"] for r in rows) == e.select("user_id").distinct().count()
+    assert sum(r["n_events"] for r in rows) == e.count()
+    max_band = math.floor(math.log2(5) / 0.25)
+    for r in rows:
+        assert 0 <= r["entropy_band"] <= max_band

@@ -2373,3 +2373,69 @@ def q38_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_customers",
         F.sum("new_customers").over(w).cast("bigint").alias("cumulative_uniques"),
     )
+
+
+# --- Q39: behavioral entropy per user ------------------------------------------
+
+
+@query(
+    "q39_behavior_entropy",
+    oracle="""
+    WITH mix AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (
+      SELECT user_id, SUM(c) AS n FROM mix GROUP BY user_id
+    ),
+    ent AS (
+      SELECT m.user_id,
+             CAST(SUM(CAST(ROUND(
+               -(CAST(m.c AS DOUBLE) / t.n) * LN(CAST(m.c AS DOUBLE) / t.n)
+               / LN(2), 6) AS DECIMAL(30,6))) AS DOUBLE) AS h,
+             MAX(t.n) AS n_events
+      FROM mix m JOIN tot t USING (user_id)
+      GROUP BY m.user_id
+    )
+    SELECT CAST(FLOOR(h / 0.25) AS BIGINT) AS entropy_band,
+           COUNT(*) AS n_users,
+           SUM(n_events) AS n_events
+    FROM ent
+    GROUP BY entropy_band
+    """,
+)
+def q39_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user: Shannon entropy (bits) of each
+    user's event-type mix, reported as a 0.25-bit banded histogram —
+    the engagement-breadth feature behind 'explorers vs single-action
+    bots' segmentation (a user who only ever clicks scores 0; a
+    uniform 5-type mix scores log₂5 ≈ 2.32).
+
+    Float discipline: each −p·log₂p term is rounded to 6 dp (1-ulp ln
+    drift crushed) and the per-user sum runs as an EXACT decimal
+    aggregate (d28's trick), so banding compares identical doubles.
+    Plan: (user, type) count agg → per-user entropy agg → tiny band
+    agg; three map-side-partial shuffles of shrinking tables.
+    """
+    mix = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = mix.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    term = F.round(-p * F.log(p) / F.log(F.lit(2.0)), 6)
+    ent = (
+        mix.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.sum(term.cast("decimal(30,6)")).cast("double").alias("h"),
+            F.max("n").alias("n_events"),
+        )
+    )
+    return ent.groupBy(
+        F.floor(F.col("h") / 0.25).cast("bigint").alias("entropy_band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("n_events"),
+    )

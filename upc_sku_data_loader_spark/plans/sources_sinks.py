@@ -2616,3 +2616,56 @@ def etl14_scd3_prior_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("changed_at"),
         "n_changes",
     )
+
+
+# --- ETL15: join-key skew diagnostics ------------------------------------------
+
+
+@query(
+    "etl15_skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY o_custkey
+    )
+    SELECT COUNT(*) AS n_keys,
+           SUM(c) AS n_rows,
+           MAX(c) AS max_rows_per_key,
+           CAST(ROUND(CAST(MAX(c) AS DOUBLE)
+                      / (CAST(SUM(c) AS DOUBLE) / COUNT(*)) * 1000)
+                AS BIGINT) AS skew_ratio_milli,
+           CAST(quantile_cont(c, 0.5) AS DOUBLE) AS p50_rows,
+           CAST(quantile_cont(c, 0.99) AS DOUBLE) AS p99_rows
+    FROM per_key
+    """,
+)
+def etl15_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for the orders→customer key — the
+    report you run BEFORE picking a join strategy at 100 TB: max rows
+    per key vs the mean (the skew ratio that decides between a plain
+    hash join, AQE skew splitting, and c13-style salting), plus the
+    p50/p99 of the per-key distribution.  A ratio near 1 means uniform
+    keys; ≫10 means one hot key will straggle an entire stage.
+    Integer counts → exact ratios; percentiles share the linear-
+    interpolation definition.  Plan: one keyed count agg + a 1-row
+    stats agg over the KEY-sized table — the diagnostic costs one
+    shuffle, which is exactly what it saves when it steers the join.
+    """
+    per_key = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_rows_per_key"),
+        F.round(
+            F.max("c").cast("double")
+            / (F.sum("c").cast("double") / F.count(F.lit(1)))
+            * 1000
+        )
+        .cast("bigint")
+        .alias("skew_ratio_milli"),
+        F.expr("percentile(c, 0.5)").cast("double").alias("p50_rows"),
+        F.expr("percentile(c, 0.99)").cast("double").alias("p99_rows"),
+    )
