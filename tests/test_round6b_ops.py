@@ -614,3 +614,51 @@ def test_q39_entropy_bands_bounded(spark, sf_dir):
     max_band = math.floor(math.log2(5) / 0.25)
     for r in rows:
         assert 0 <= r["entropy_band"] <= max_band
+
+
+def test_k86_backoff_tiers_on_heldout_doc(spark, tmp_path):
+    """Construct a corpus where one doc holds an UNSEEN trigram whose
+    backoff bigram IS seen, exercising the 0.4 tier — and check scores
+    stay in (0, 1]."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "a b c a b c a b c",   # trigram (a,b,c) frequent
+                "x b c x b c",          # (x,b,c) frequent
+                "a b d",                # (a,b,d) unseen; bigram (b,d) unseen;
+                                        # unigram d seen once → 0.16 tier
+            ],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [17, 11, 5],
+        }
+    )
+    pdf.to_parquet(f"{tmp_path}/documents.parquet")
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["k86_trigram_backoff"](spark, str(tmp_path)).collect()
+    }
+    assert rows[1]["n_trigrams"] == 7
+    # doc 3 has exactly one trigram and it's unseen-at-order-3
+    assert rows[3]["n_trigrams"] == 1
+    assert 0 < rows[3]["backoff_micro"] < rows[1]["backoff_micro"]
+    for r in rows.values():
+        assert 0 < r["backoff_micro"] <= 1_000_000
+
+
+def test_b18_isbn_check_digits(spark, sf_dir):
+    rows = QUERIES["b18_isbn_convert"](spark, sf_dir).collect()
+    assert rows
+    for r in rows[:200]:
+        i10, i13 = r["isbn10"], r["isbn13"]
+        assert len(i10) == 10 and len(i13) == 13
+        assert i13.startswith("978") and i13[3:12] == i10[:9]
+        # ISBN-10: sum of digit*weight(10..1) ≡ 0 mod 11 (X = 10)
+        vals = [10 if c == "X" else int(c) for c in i10]
+        assert sum(v * w for v, w in zip(vals, range(10, 0, -1))) % 11 == 0
+        # ISBN-13: standard EAN mod-10
+        total = sum(int(c) * (3 if i % 2 == 1 else 1) for i, c in enumerate(i13[:12]))
+        assert int(i13[12]) == (10 - total % 10) % 10

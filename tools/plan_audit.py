@@ -93,6 +93,8 @@ BNLJ_OK = {
     "d31_bootstrap_ci",
     # 1-row min-day/fitted-slope broadcasts + day-sized pair self-join
     "t20_theil_sen",
+    # 1-row corpus-total broadcast (k55's shape one order higher)
+    "k86_trigram_backoff",
 }
 
 # Python execution is the operator's contract (UDF-tier demos) or its

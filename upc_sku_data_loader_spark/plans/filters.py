@@ -722,3 +722,82 @@ def b17_upce_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("upca"),
         F.substring("upce", 6, 1).alias("suppression_class"),
     )
+
+
+# --- B18: ISBN-10 ↔ ISBN-13 (Bookland EAN) conversion -------------------------
+
+
+@query(
+    "b18_isbn_convert",
+    oracle=f"""
+    WITH src AS (
+      SELECT p_partkey,
+             lpad(CAST((p_partkey * 37117) % 1000000000 AS VARCHAR), 9, '0')
+               AS body9
+      FROM part
+    ),
+    ten AS (
+      SELECT p_partkey, body9,
+             (11 - ((CAST(substring(body9, 1, 1) AS INT) * 10
+                   + CAST(substring(body9, 2, 1) AS INT) * 9
+                   + CAST(substring(body9, 3, 1) AS INT) * 8
+                   + CAST(substring(body9, 4, 1) AS INT) * 7
+                   + CAST(substring(body9, 5, 1) AS INT) * 6
+                   + CAST(substring(body9, 6, 1) AS INT) * 5
+                   + CAST(substring(body9, 7, 1) AS INT) * 4
+                   + CAST(substring(body9, 8, 1) AS INT) * 3
+                   + CAST(substring(body9, 9, 1) AS INT) * 2) % 11)) % 11
+               AS cd10
+      FROM src
+    ),
+    thirteen AS (
+      SELECT p_partkey, body9, cd10,
+             '978' || body9 AS body12
+      FROM ten
+    )
+    SELECT p_partkey,
+           body9 || CASE WHEN cd10 = 10 THEN 'X'
+                         ELSE CAST(cd10 AS VARCHAR) END AS isbn10,
+           body12 || CAST({gtin_check_digit_sql('body12', 12)} AS VARCHAR)
+             AS isbn13
+    FROM thirteen
+    """,
+)
+def b18_isbn_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISBN-10 → ISBN-13 (Bookland EAN) conversion — the sibling codec
+    to the UPC family (b9/b10/b13/b17): a 9-digit registration body
+    takes a mod-11 check digit (10 rendered as 'X') for ISBN-10, and
+    the same body prefixed '978' takes the standard GS1 mod-10 check
+    for ISBN-13 — the exact transformation bibliographic feeds apply
+    at ingest.  Bodies are synthesized deterministically from
+    p_partkey (the b9 pattern).  The mod-11 weighted sum is spelled
+    out positionally (9 fixed terms — whole-stage-codegen'd integer
+    math), the EAN check reuses functions/upc.py's shared twin.
+    Map-only, scale-free.
+    """
+    p = load(spark, sf_dir, "part")
+    src = p.select(
+        "p_partkey",
+        F.lpad(
+            ((F.col("p_partkey") * 37117) % 1000000000).cast("string"), 9, "0"
+        ).alias("body9"),
+    )
+    wsum = sum(
+        (
+            F.substring("body9", i, 1).cast("int") * (11 - i)
+            for i in range(1, 10)
+        ),
+        F.lit(0),
+    )
+    cd10 = (11 - (wsum % 11)) % 11
+    body12 = F.concat(F.lit("978"), F.col("body9"))
+    return src.select(
+        "p_partkey",
+        F.concat(
+            F.col("body9"),
+            F.when(cd10 == 10, "X").otherwise(cd10.cast("string")),
+        ).alias("isbn10"),
+        F.concat(
+            body12, gtin_check_digit(body12, 12).cast("string")
+        ).alias("isbn13"),
+    )

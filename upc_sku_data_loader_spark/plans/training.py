@@ -1754,3 +1754,125 @@ def k76_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_words") == F.col("n_roundtrip_exact")).alias("lossless"),
         )
     )
+
+
+# --- K86: trigram stupid-backoff scorer ---------------------------------------
+
+
+@query(
+    "k86_trigram_backoff",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    tg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+      FROM d, UNNEST(generate_series(1, n - 2)) AS s(i)
+      WHERE n >= 3
+    ),
+    c3 AS (SELECT w1, w2, w3, COUNT(*) AS c FROM tg GROUP BY w1, w2, w3),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c FROM tg GROUP BY w1, w2),
+    c2b AS (SELECT w2, w3, COUNT(*) AS c FROM tg GROUP BY w2, w3),
+    c1 AS (SELECT w2, COUNT(*) AS c FROM tg GROUP BY w2),
+    c1b AS (SELECT w3, COUNT(*) AS c FROM tg GROUP BY w3),
+    nn AS (SELECT COUNT(*) AS total FROM tg),
+    scored AS (
+      SELECT tg.doc_id,
+             ROUND(CASE
+               WHEN c3.c IS NOT NULL
+                 THEN CAST(c3.c AS DOUBLE) / c2.c
+               WHEN c2b.c IS NOT NULL
+                 THEN 0.4 * CAST(c2b.c AS DOUBLE) / c1.c
+               ELSE 0.16 * CAST(c1b.c AS DOUBLE) / nn.total
+             END, 6) AS s
+      FROM tg
+      LEFT JOIN c3 ON c3.w1 = tg.w1 AND c3.w2 = tg.w2 AND c3.w3 = tg.w3
+      JOIN c2 ON c2.w1 = tg.w1 AND c2.w2 = tg.w2
+      LEFT JOIN c2b ON c2b.w2 = tg.w2 AND c2b.w3 = tg.w3
+      JOIN c1 ON c1.w2 = tg.w2
+      JOIN c1b ON c1b.w3 = tg.w3
+      CROSS JOIN nn
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_trigrams,
+           CAST(ROUND(CAST(SUM(CAST(s AS DECIMAL(30,6))) AS DOUBLE)
+                      / COUNT(*) * 1000000) AS BIGINT) AS backoff_micro
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def k86_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 'stupid backoff' scorer (Brants et al. 2007, the LM
+    Google used for web-scale MT): S(w₃|w₁w₂) = c₃/c₂ when the trigram
+    was seen, else 0.4·c₂(w₂w₃)/c₁(w₂), else 0.4²·c₁(w₃)/N — no
+    normalization, which is exactly why it scales.  Completes the
+    per-doc LM-quality ladder (k35 unigram, k55 bigram): trigram
+    context separates fluent word ORDER from locally-plausible soup.
+
+    Within-corpus trigram hit rate is near-1, so the backoff tiers
+    mostly exercise the seen path on the fixtures — the unseen tiers
+    are exercised in pytest with a held-out construction.  All ratios
+    are exact-integer divisions rounded at 6 dp, summed as exact
+    decimals.  Plan: one adjacent-triple explode, Zipf-sized count
+    tables broadcast back onto the trigram stream, one per-doc agg —
+    the k55 shape one order higher.
+    """
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .withColumn("n", F.size("t"))
+    )
+    tg = (
+        d.filter(F.col("n") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, n - 2), "
+                    "i -> struct(t[i-1] as w1, t[i] as w2, t[i+1] as w3))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.w1", "g.w2", "g.w3")
+    )
+    c3 = tg.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    c2 = tg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c2b = (
+        tg.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("c2b"))
+    )
+    c1 = tg.groupBy("w2").agg(F.count(F.lit(1)).alias("c1"))
+    c1b = tg.groupBy("w3").agg(F.count(F.lit(1)).alias("c1b"))
+    nn = tg.agg(F.count(F.lit(1)).alias("total"))
+    s = F.round(
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3").cast("double") / F.col("c2"),
+        )
+        .when(
+            F.col("c2b").isNotNull(),
+            0.4 * F.col("c2b").cast("double") / F.col("c1"),
+        )
+        .otherwise(0.16 * F.col("c1b").cast("double") / F.col("total")),
+        6,
+    )
+    scored = (
+        tg.join(F.broadcast(c3), ["w1", "w2", "w3"], "left")
+        .join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c2b), ["w2", "w3"], "left")
+        .join(F.broadcast(c1), ["w2"])
+        .join(F.broadcast(c1b), ["w3"])
+        .crossJoin(F.broadcast(nn))
+        .select("doc_id", s.alias("s"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.round(
+            F.sum(F.col("s").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1))
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("backoff_micro"),
+    )
