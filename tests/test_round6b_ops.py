@@ -662,3 +662,41 @@ def test_b18_isbn_check_digits(spark, sf_dir):
         # ISBN-13: standard EAN mod-10
         total = sum(int(c) * (3 if i % 2 == 1 else 1) for i, c in enumerate(i13[:12]))
         assert int(i13[12]) == (10 - total % 10) % 10
+
+
+def test_k87_l_diversity_identities(spark, sf_dir):
+    out = QUERIES["k87_l_diversity"](spark, sf_dir)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    assert out.agg(F.sum("class_size")).collect()[0][0] == c.count()
+    n_segments = c.select("c_mktsegment").distinct().count()
+    bad = out.filter(
+        (F.col("l_distinct") < 1)
+        | (F.col("l_distinct") > n_segments)
+        | (F.col("l_distinct") > F.col("class_size"))
+    ).count()
+    assert bad == 0
+    # flag consistency
+    assert out.filter(F.col("meets_l3") != (F.col("l_distinct") >= 3)).count() == 0
+
+
+def test_d32_weighted_median_splits_weight(spark, sf_dir):
+    out = {r["l_returnflag"]: r for r in QUERIES["d32_weighted_median"](spark, sf_dir).collect()}
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 0)
+        .select(
+            "l_returnflag",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("p"),
+            "l_quantity",
+        )
+    )
+    for flag, r in out.items():
+        m = r["weighted_median_price"]
+        below = li.filter(
+            (F.col("l_returnflag") == flag) & (F.col("p") <= m)
+        ).agg(F.sum("l_quantity")).collect()[0][0]
+        total = li.filter(F.col("l_returnflag") == flag).agg(
+            F.sum("l_quantity")
+        ).collect()[0][0]
+        # weight at or below the weighted median covers >= half the total
+        assert below >= total / 2 * 0.999

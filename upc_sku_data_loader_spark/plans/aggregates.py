@@ -1346,3 +1346,83 @@ def d31_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ci_hi_milli"),
     )
+
+
+# --- D32: exact weighted median ------------------------------------------------
+
+
+@query(
+    "d32_weighted_median",
+    oracle="""
+    WITH pricew AS (
+      SELECT l_returnflag, l_extendedprice / l_quantity AS unit_price,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS w
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY l_returnflag, unit_price
+    ),
+    cum AS (
+      SELECT l_returnflag, unit_price, w,
+             CAST(SUM(CAST(w AS DECIMAL(30,6))) OVER (
+               PARTITION BY l_returnflag ORDER BY unit_price
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cw,
+             CAST(SUM(CAST(w AS DECIMAL(30,6))) OVER (
+               PARTITION BY l_returnflag) AS DOUBLE) AS tw
+      FROM pricew
+    )
+    SELECT l_returnflag,
+           ROUND(MIN(CASE WHEN cw >= tw / 2 THEN unit_price END), 6)
+             AS weighted_median_price,
+           CAST(COUNT(*) AS BIGINT) AS n_price_points
+    FROM cum
+    GROUP BY l_returnflag
+    """,
+)
+def d32_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED median unit price per return flag — the
+    'median dollar' statistic (half the volume trades below it), which
+    no engine ships built-in: implemented as the cumulative-weight
+    crossing point (first price whose running weight reaches half the
+    total).  Weights aggregate exactly in decimal, the running/total
+    sums run as exact decimal window aggregates over the PRICE-LEVEL
+    table (collapsed first — the cardinality discipline), and the
+    crossing pick is a MIN over identical doubles.  Plan: one keyed
+    agg, two windows on the collapsed table, one final agg.
+    """
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    pricew = li.groupBy(
+        "l_returnflag",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("w")
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("unit_price")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = pricew.select(
+        "l_returnflag",
+        "unit_price",
+        F.sum(F.col("w").cast("decimal(30,6)"))
+        .over(w_cum)
+        .cast("double")
+        .alias("cw"),
+        F.sum(F.col("w").cast("decimal(30,6)"))
+        .over(w_all)
+        .cast("double")
+        .alias("tw"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.round(
+            F.min(
+                F.when(F.col("cw") >= F.col("tw") / 2, F.col("unit_price"))
+            ),
+            6,
+        ).alias("weighted_median_price"),
+        F.count(F.lit(1)).cast("bigint").alias("n_price_points"),
+    )

@@ -1934,3 +1934,51 @@ def k82_ip_cidr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(~F.col("b"), 1)).alias("n_kept"),
         )
     )
+
+
+# --- K87: l-diversity audit over released classes ------------------------------
+
+
+@query(
+    "k87_l_diversity",
+    oracle="""
+    WITH classes AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             COUNT(*) AS class_size,
+             COUNT(DISTINCT c_mktsegment) AS l_distinct
+      FROM customer
+      GROUP BY 1, 2
+    )
+    SELECT nationkey, bal_band, class_size, l_distinct,
+           l_distinct >= 3 AS meets_l3
+    FROM classes
+    """,
+)
+def k87_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala 2007) — k-anonymity's (k78)
+    stronger sibling: a released equivalence class is safe only if its
+    SENSITIVE attribute (market segment here) takes ≥ l distinct
+    values, otherwise class membership alone leaks the sensitive value
+    (the 'homogeneity attack' k-anonymity misses).  QI classes are
+    (nation, $1000 balance band); each reports its size, distinct
+    sensitive count, and the l=3 verdict.  One groupBy with a
+    COUNT(DISTINCT) — Spark plans it as the standard two-phase expand
+    + partial agg; integer/bool output.  At 100 TB: identical shape,
+    the distinct-count expand absorbed map-side.
+    """
+    c = load(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct("c_mktsegment").alias("l_distinct"),
+    )
+    return classes.select(
+        "nationkey",
+        "bal_band",
+        "class_size",
+        "l_distinct",
+        (F.col("l_distinct") >= 3).alias("meets_l3"),
+    )
