@@ -32,75 +32,59 @@ FLAGSHIP = "d1_agg_hash_grouped"  # TPC-H Q1-style pricing summary (SURVEY §7 P
 # the window stay regression-guarded by ``tools/parity.py`` (a strict
 # local replica of the same check, run over all entries).
 #
-# Round-5 window (round 4's driver artifacts never landed in the repo —
-# CORRECTNESS_r04.json is absent — so the rotation hedges both ways):
-# the 23 entries never inside ANY window yet go first (deferred composite
-# B-half + all round-4 additions), then re-checks of the round-3 failures
-# (k24/k36 restructured integer-exact in r4; events-tier fixed by the
-# µs/ns dispatch), then the riskiest round-4-window entries
-# (serialization-heavy / newest code) in case r4's verify never ran.
-# Rows-only k14/k16/i10 stay outside the window per the contract test
-# (each has a hash-checked twin registered: k14b_simhash_md5 /
-# k16b_ann_ivf_seeded / i12-i15 batch-oracled kin).  New round-5
-# operators are inserted into the tail as they land, displacing fills.
+# Round-5 window (r4 artifacts landed: 45/50 pass; the 5 hash-fails were
+# all HUGEINT-typed oracles, root-caused by the r4 judge and fixed this
+# round by CAST(... AS BIGINT) at each oracle's output edge — see
+# tools/oracle_types.py):
+#   slots 1-5   the 5 r4 hash-fails, re-validating the HUGEINT fix;
+#   slots 6-26  the 21 never-windowed entries whose oracles carried the
+#               same latent HUGEINT/UINTEGER defect (now cast);
+#   slots 27-50 24 more never-windowed entries spread across the
+#               streaming/join/SQL/timeseries/dedup families.
+# 45 of 50 are first-time names; rows-only k14/k16/i10 stay outside the
+# window per the contract test (hash-checked twins: k14b_simhash_md5 /
+# k16b_ann_ivf_seeded / i12-i15).
 #
-# Round-6 rotation TODO (after this round's CORRECTNESS lands): swap in
-# the late-round-5 batch, all parity-green but never driver-windowed —
-# k62_cluster_best_keeper k63_dsir_importance k64_ccnet_buckets
-# k67_span_corruption k68_bpe_merges k69_bpe_encode
-# k70_contrastive_triplets t10_cusum_changepoint etl9_late_dim_backfill
-# etl10_lambda_merge a21_parquet_bloom_write a22_managed_table
-# a23_glob_recursive_read c15_join_fuzzy d22_count_min_sketch
-# f5_keyset_pagination j10_pandas_iter_udf s7_sql_scripting
-# e11_win_ignore_nulls b14_sentinel_normalize — plus the round-6 batch
-# (k71_triangle_count k72_link_prediction k73_incremental_dedup
-# q23_basket_lift t11_holt_trend t12_naive_backtest s8_sql_udf
-# i16_stream_outer_join etl11_write_audit_publish a24_fixed_width_source
-# d23_agg_mode j11_polymorphic_udtf a25_jdbc_partitioned_read
-# q24_pareto_share t13_seasonal_adjust k74_quality_model_score
-# d24_modern_aggs h19_timezone_functions k73_incremental_dedup
-# i17_stream_session_window q25_ab_test_chi2 a26_csv_multiline
-# b16_gs1_prefix_lookup i18_stream_distinct_users k75_drift_psi
-# k76_bpe_roundtrip, and the session-4c batch: i19_stream_txn_sink
-# a27_wholefile_text k77_boilerplate_prune d25_corr_matrix t14_acf
-# q26_rfm_segments q27_last_touch_attribution q28_cohort_ltv
-# c16_geo_radius_join h20_generators etl12_data_vault_load
-# d26_regr_stats k78_k_anonymity t15_rolling_median
-# s9_sql_execute_immediate d27_listagg q29_purchase_intervals
-# k79_markup_strip t16_markov_transitions a28_metadata_columns
-# q30_price_elasticity h21_binary_encoding k80_zipf_fit
-# k81_tokenizer_fertility q31_yoy_growth c17_interval_overlap_join
-# etl13_fk_conformance b17_upce_expand d28_geomean q32_spend_gini
-# k82_ip_cidr_filter q33_abc_classification t17_survival_km
-# d29_higher_moments etl14_scd3_prior_value q35_supplier_hhi
-# d30_welch_ttest q36_revenue_streaks d31_bootstrap_ci q37_ship_sla
-# t19_fano_burstiness k84_degree_distribution k85_oov_rate) — plus
-# whatever r4/r5 driver artifacts flag red.
+# Window ledger after this round: 188 distinct names driver-windowed
+# (r1-r4) + 45 first-time here = 233; ~106 never-windowed remain.
+#
+# Round-6 planned window (sources/ETL/scalar-lib tier, 50):
+# a15 a16 a17 a21 a22 a23 a24 a25 a26 a27 a28
+# etl3 etl4 etl5 etl9 etl10 etl11 etl12 etl13 etl14
+# h13 h16 h17 h18 h19 h20 h21  b13 b16 b17 b18
+# d14 d19 d20 d23 d25 d27 d28 d29 d30 d31
+# f5 e9 e11 j10 j11  q2 q9 q11 q15
+#
+# Round-7 planned window (analytics/k-tail/timeseries tier, 50):
+# q17 q18 q23 q24 q26 q27 q28 q29 q31 q32 q33 q34 q35 q37 q38
+# k60 k74 k75 k77 k79 k82 k87 k11 k12 k13 k15b k17 k4b k17b k22
+# k15d k80 k85 k62 k67 k64 k70 k86
+# t2 t3 t4 t6 t11 t12 t13  i19
+# (spill t14 t15 t16 t17 t18 t20 + any r5/r6 reds into round 8.)
 _PRIORITY = [
-    # never driver-windowed: deferred composite B-half
-    "q16_supplier_part_counts", "q19_disjunctive_predicates",
-    "q20_dominant_suppliers", "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    # never driver-windowed: round-4 additions (newest code first)
-    "k44_dup_ngram_coverage", "k45_contamination_score",
-    "k46_source_token_budget", "k47_coreset_fps", "k48_length_buckets",
-    "k49_curriculum_interleave", "k14b_simhash_md5", "k16b_ann_ivf_seeded",
-    "t7_asof_interpolated", "g6_setop_all", "d21_bitmap_distinct",
-    "etl6_cdc_apply", "j8_pandas_window_udaf", "s5_sql_parameterized",
-    "a18_partition_pruned_read", "a16b_python_stream_source",
-    "h12_bitwise", "k15c_multimodal_resize",
-    # re-checks: round-3 failures + rewritten rank numbering
+    # slots 1-5: r4 hash-fails, oracles now CAST to BIGINT
     "k24_quality_repetition", "k36_chunk_dedup_global",
-    "q_event_funnel", "q_cohort_retention", "etl_scd2_history",
-    "s1_sql_passthrough", "k40_shard_assign",
-    # round-5 additions (new code — highest driver-check priority)
-    "k50_bm25_topk", "k51_pmi_collocations", "k52_token_entropy",
-    "k53_random_projection", "t8_ewma", "h14_collation_group",
-    "etl7_dq_expectations", "e10_win_range_interval", "t9_mad_outliers",
-    "etl8_snapshot_diff", "k54_containment_pairs", "s6_sql_pipe_syntax",
-    "h15_try_functions", "a19_csv_malformed", "k55_bigram_logprob",
-    "a20_compressed_json", "j9_apply_in_arrow", "k56_curation_scorecard",
-    "k58_shard_manifest", "k61_pretrain_pipeline",
+    "k56_curation_scorecard", "k58_shard_manifest", "k61_pretrain_pipeline",
+    # slots 6-26: never-windowed entries with the same (fixed) oracle defect
+    "d24_modern_aggs", "d26_regr_stats", "q12_ship_delay_classes",
+    "q25_ab_test_chi2", "q30_price_elasticity", "q36_revenue_streaks",
+    "q39_behavior_entropy", "b14_sentinel_normalize", "k19_curation_pipeline",
+    "k21_train_split", "k63_dsir_importance", "k68_bpe_merges",
+    "k69_bpe_encode", "k72_link_prediction", "k76_bpe_roundtrip",
+    "k78_k_anonymity", "k81_tokenizer_fertility", "k83_langid_metrics",
+    "etl15_skew_report", "s8_sql_udf", "t19_fano_burstiness",
+    # slots 27-50: never-windowed family spread
+    "i13_stream_sliding_window", "i15_stream_dedup_watermarked",
+    "i16_stream_outer_join", "i17_stream_session_window",
+    "i18_stream_distinct_users",
+    "c14_join_bloom_filtered", "c15_join_fuzzy", "c16_geo_radius_join",
+    "c17_interval_overlap_join",
+    "s2_sql_cte_window", "s3_sql_recursive_cte", "s4_sql_lateral_topk",
+    "s7_sql_scripting", "s9_sql_execute_immediate",
+    "t1_resample_gapfill", "t5_sessionize_batch", "t10_cusum_changepoint",
+    "k41_semdedup", "k42_kmeans", "k43_graph_pagerank",
+    "k71_triangle_count", "k73_incremental_dedup",
+    "d22_count_min_sketch", "d32_weighted_median",
 ]
 
 

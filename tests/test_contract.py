@@ -122,6 +122,31 @@ def test_all_oracles_are_valid_duckdb_sql(sf_dir):
             raise AssertionError(f"oracle {name} failed in DuckDB: {e}") from e
 
 
+def test_no_banned_duckdb_oracle_output_types(sf_dir):
+    """Every oracle's *DuckDB result column types* must stay inside the
+    driver-proven-safe set (the mirror of test_no_unhashable_output_columns
+    for the oracle side — the gap VERDICT.md r4 #2 flagged).
+
+    Root cause of ALL five r4 driver hash-fails: DuckDB types
+    ``SUM(BIGINT)`` as HUGEINT (int128), which the driver's pandas/Arrow
+    fetch materializes as float64 (``160.0``) while Spark emits BIGINT
+    (``160``) — hash mismatch even though fetchall()-based local parity
+    sees plain ints and passes. Judge's r4 sweep: the 5 windowed
+    HUGEINT-oracle queries were exactly the 5 failures (perfect
+    separation, r3+r4). Fix pattern: ``CAST(SUM(x) AS BIGINT)`` at the
+    oracle's output edge. UINTEGER (``regr_count``) and DECIMAL are
+    banned for the same unexercised-render-path reason.
+    """
+    from tools.oracle_types import sweep
+
+    offenders = sweep(sf_dir)
+    assert not offenders, (
+        "oracles emitting driver-unsafe DuckDB types "
+        "(CAST(... AS BIGINT) at the output edge): "
+        + ", ".join(f"{n}.{c}->{t}" for n, c, t in offenders)
+    )
+
+
 def test_plan_audit_allowlists_reference_real_queries():
     """tools/plan_audit.py's allowlists must track the registry — a
     renamed query would silently stop being audited under its intended

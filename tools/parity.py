@@ -97,6 +97,26 @@ def compare_one(name: str, spark, con, sf_dir: str) -> dict:
         out["status"] = "ROWS_ONLY" if len(srecs) >= 0 else "FAIL"
         return out
     t0 = time.time()
+    # Type-gate the oracle side BEFORE value comparison: the driver's
+    # pandas/Arrow fetch renders HUGEINT/UINTEGER/DECIMAL differently
+    # than our fetchall() (r4 verdict: this gap hid the cause of every
+    # driver hash-fail behind a local PASS). Keep in sync with
+    # tools/oracle_types.SAFE and the contract test.
+    from tools.oracle_types import SAFE as _SAFE_DUCK_TYPES
+
+    rel = con.sql(sql)
+    bad_types = [
+        f"{c}->{t}"
+        for c, t in zip(rel.columns, rel.types)
+        if str(t) not in _SAFE_DUCK_TYPES
+    ]
+    if bad_types:
+        out["status"] = "FAIL_ORACLE_TYPE"
+        out["detail"] = (
+            "driver-unsafe DuckDB output types (CAST at oracle edge): "
+            + ", ".join(bad_types)
+        )
+        return out
     cur = con.execute(sql)
     ocols_raw = [d[0] for d in cur.description]
     orecs = cur.fetchall()

@@ -856,7 +856,7 @@ def d23_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d24_modern_aggs",
     oracle="""
     SELECT o_orderpriority,
-           count_if(o_totalprice > 150000.0) AS n_big,
+           CAST(count_if(o_totalprice > 150000.0) AS BIGINT) AS n_big,
            bool_and(o_totalprice > 0.0) AS all_positive,
            bool_or(o_totalprice > 400000.0) AS any_jumbo,
            max_by(o_orderkey, o_totalprice ORDER BY o_orderkey) AS top_order,
@@ -956,7 +956,7 @@ def d25_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d26_regr_stats",
     oracle="""
     SELECT l_returnflag,
-           regr_count(l_extendedprice, l_quantity) AS regr_n,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS regr_n,
            CAST(ROUND(regr_slope(l_extendedprice, l_quantity) * 1000)
                 AS BIGINT) AS slope_milli,
            CAST(ROUND(regr_intercept(l_extendedprice, l_quantity) * 1000)

@@ -915,10 +915,10 @@ def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN DATEDIFF('day', o.o_orderdate, l.l_shipdate) <= 60
                 THEN 'NORMAL'
                 ELSE 'SLOW' END AS delay_class,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
@@ -1390,8 +1390,8 @@ _Q25_CRIT_MICRO = 3_841_459
         SUM(CASE WHEN variant = 1 AND converted = 0 THEN 1 ELSE 0 END) AS d
       FROM units
     )
-    SELECT a + b AS n_control, a AS conv_control,
-           c + d AS n_treatment, c AS conv_treatment,
+    SELECT CAST(a + b AS BIGINT) AS n_control, CAST(a AS BIGINT) AS conv_control,
+           CAST(c + d AS BIGINT) AS n_treatment, CAST(c AS BIGINT) AS conv_treatment,
            CAST((CAST(a + b + c + d AS HUGEINT)
                  * (a * d - b * c) * (a * d - b * c) * 1000000)
                 // (CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d))
@@ -1774,8 +1774,8 @@ def q29_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q30_price_elasticity",
     oracle="""
     SELECT p.p_brand,
-           regr_count(LN(l.l_quantity),
-                      LN(l.l_extendedprice / l.l_quantity)) AS n_obs,
+           CAST(regr_count(LN(l.l_quantity),
+                LN(l.l_extendedprice / l.l_quantity)) AS BIGINT) AS n_obs,
            CAST(ROUND(regr_slope(LN(l.l_quantity),
                                  LN(l.l_extendedprice / l.l_quantity))
                       * 1000) AS BIGINT) AS elasticity_milli,
@@ -2214,7 +2214,7 @@ def q35_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT hot,
            COUNT(*) AS n_streaks,
            MAX(len) AS longest,
-           SUM(len) AS total_days
+           CAST(SUM(len) AS BIGINT) AS total_days
     FROM streaks
     GROUP BY hot
     """,
@@ -2399,7 +2399,7 @@ def q38_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(FLOOR(h / 0.25) AS BIGINT) AS entropy_band,
            COUNT(*) AS n_users,
-           SUM(n_events) AS n_events
+           CAST(SUM(n_events) AS BIGINT) AS n_events
     FROM ent
     GROUP BY entropy_band
     """,

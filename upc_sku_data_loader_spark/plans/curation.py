@@ -133,7 +133,7 @@ def k23_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM b GROUP BY doc_id, gram),
     bt AS (SELECT doc_id, MAX(cnt) AS top_bigram_cnt FROM bc GROUP BY doc_id)
     SELECT wt.doc_id,
-           wt.n_words,
+           CAST(wt.n_words AS BIGINT) AS n_words,
            CAST(((wt.n_words - wt.n_distinct) * 2000000 + wt.n_words)
                 // (2 * wt.n_words) AS BIGINT) AS dup_word_frac_micro,
            CAST((wt.top_cnt * 2000000 + wt.n_words)
@@ -1091,7 +1091,7 @@ _K56_STOPWORDS = ("the", "a", "of", "and", "to")  # fixture-vocab function words
       FROM cnt JOIN tot USING (doc_id)
       GROUP BY cnt.doc_id
     )
-    SELECT doc_id, n_tokens, entropy,
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, entropy,
            (CASE WHEN n_tokens < 10 OR n_tokens > 1000 THEN 1 ELSE 0 END
             + CASE WHEN n_types * 10 < 3 * n_tokens THEN 2 ELSE 0 END
             + CASE WHEN c_stop * 20 < n_tokens THEN 4 ELSE 0 END
@@ -1305,7 +1305,7 @@ def k60_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT split,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS n_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
            bit_xor(CAST(CONCAT('0x', substr(h, 1, 15)) AS BIGINT))
              AS content_checksum
     FROM surv
@@ -1702,7 +1702,7 @@ def k77_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t0 WHERE n >= 5
     UNION ALL
     SELECT segment, nationkey, CAST(-999 AS BIGINT) AS bal_band,
-           SUM(n) AS class_size, TRUE AS generalized
+           CAST(SUM(n) AS BIGINT) AS class_size, TRUE AS generalized
     FROM t0 WHERE n < 5
     GROUP BY segment, nationkey
     """,

@@ -501,9 +501,9 @@ def b13_gtin_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT COALESCE(source_norm, '∅NULL') AS source_norm,
            COUNT(*) AS n_rows,
-           SUM(CASE WHEN source_norm IS NULL THEN 1 ELSE 0 END) AS n_nulled,
-           SUM(CASE WHEN source_norm IS NOT NULL AND raw <> source_norm
-                    THEN 1 ELSE 0 END) AS n_trimmed
+           CAST(SUM(CASE WHEN source_norm IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulled,
+           CAST(SUM(CASE WHEN source_norm IS NOT NULL AND raw <> source_norm
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_trimmed
     FROM norm
     GROUP BY 1
     """,

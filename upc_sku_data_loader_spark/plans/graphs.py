@@ -198,7 +198,7 @@ def k71_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT c.u, c.v,
              COUNT(*) AS common_neighbors,
-             SUM(1000000 // d.degree) AS ra_micro
+             CAST(SUM(1000000 // d.degree) AS BIGINT) AS ra_micro
       FROM cn_cand c JOIN deg d ON d.node = c.z
       GROUP BY c.u, c.v
     ),

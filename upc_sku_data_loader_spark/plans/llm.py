@@ -819,7 +819,7 @@ def k18_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            COUNT(*) AS n_docs_kept,
-           SUM(n_tokens) AS n_tokens_total,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
            ROUND(AVG(unique_ratio), 6) AS avg_unique_ratio
     FROM deduped
     GROUP BY lang
@@ -927,7 +927,7 @@ def _md5_bucket(col):
                 WHEN bucket < 95 THEN 'val'
                 ELSE 'test' END AS split,
            COUNT(*) AS n_docs,
-           SUM(CAST(n_chars AS BIGINT)) AS n_chars_total
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS n_chars_total
     FROM b
     GROUP BY 1, 2
     """,
@@ -1818,9 +1818,9 @@ def k80_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len(regexp_extract_all(text, '{TXT.TOKEN_REGEX}')))
-             AS n_bpe_tokens,
-           SUM(len(string_split(text, ' '))) AS n_words,
+           CAST(SUM(len(regexp_extract_all(text, '{TXT.TOKEN_REGEX}')))
+                  AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
            CAST(ROUND(CAST(SUM(len(regexp_extract_all(text,
                   '{TXT.TOKEN_REGEX}'))) AS DOUBLE)
                  / SUM(len(string_split(text, ' '))) * 1000000) AS BIGINT)
@@ -1878,9 +1878,9 @@ def k81_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
              COALESCE((SELECT n FROM cm
                        WHERE actual_lang = l.lang AND pred_lang = l.lang),
                       0) AS tp,
-             COALESCE((SELECT SUM(n) FROM cm WHERE pred_lang = l.lang), 0)
+             CAST(COALESCE((SELECT SUM(n) FROM cm WHERE pred_lang = l.lang), 0) AS BIGINT)
                AS pred_n,
-             COALESCE((SELECT SUM(n) FROM cm WHERE actual_lang = l.lang), 0)
+             CAST(COALESCE((SELECT SUM(n) FROM cm WHERE actual_lang = l.lang), 0) AS BIGINT)
                AS actual_n
       FROM (SELECT DISTINCT lang FROM documents) l
     )

@@ -193,7 +193,7 @@ _DSIR_TOPK = 100
       WHERE db.lang <> 'en'
       GROUP BY db.doc_id, db.lang
     )
-    SELECT doc_id, lang, n_tokens, logw, rk
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, logw, rk
     FROM (
       SELECT sc.*,
              ROW_NUMBER() OVER (ORDER BY logw DESC, doc_id) AS rk

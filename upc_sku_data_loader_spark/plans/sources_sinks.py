@@ -2628,7 +2628,7 @@ def etl14_scd3_prior_value(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY o_custkey
     )
     SELECT COUNT(*) AS n_keys,
-           SUM(c) AS n_rows,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
            MAX(c) AS max_rows_per_key,
            CAST(ROUND(CAST(MAX(c) AS DOUBLE)
                       / (CAST(SUM(c) AS DOUBLE) / COUNT(*)) * 1000)

@@ -286,7 +286,7 @@ buckets AS (
 )
 SELECT CAST(FLOOR(order_net / 10000.0) AS BIGINT) AS net_bucket_10k,
        COUNT(*) AS n_orders,
-       SUM(n_lines) AS n_lines
+       CAST(SUM(n_lines) AS BIGINT) AS n_lines
 FROM buckets
 GROUP BY net_bucket_10k
 """

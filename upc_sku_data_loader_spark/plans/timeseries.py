@@ -1548,7 +1548,7 @@ def t18_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(c * c) AS s2
       FROM daily GROUP BY event_type
     )
-    SELECT event_type, n_days, s1 AS n_events,
+    SELECT event_type, n_days, CAST(s1 AS BIGINT) AS n_events,
            CAST(ROUND(
              ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_days)
               / (n_days - 1))

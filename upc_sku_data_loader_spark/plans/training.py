@@ -302,7 +302,7 @@ def k35_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ch
     )
     SELECT doc_id, COUNT(*) AS n_chunks,
-           SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            md5(COALESCE(string_agg(chunk, ' ' ORDER BY idx)
                         FILTER (WHERE kept), '')) AS dedup_text_md5
     FROM marked GROUP BY doc_id
@@ -1388,7 +1388,7 @@ def k55_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a.shard_id,
            COUNT(*) AS n_docs,
-           SUM(a.ntok) AS n_tokens,
+           CAST(SUM(a.ntok) AS BIGINT) AS n_tokens,
            bit_xor(CAST(CONCAT('0x', substr(md5(d.text), 1, 15))
                         AS BIGINT)) AS content_checksum
     FROM assigned a JOIN documents d USING (doc_id)
@@ -1499,7 +1499,7 @@ def _bpe_oracle() -> str:
     ctes.append(f"pfinal AS ({_bpe_pairs_sql(f's{_BPE_MERGES}')})")
     merge_rows = "\n    UNION ALL\n".join(
         f"    SELECT {i} AS stage, l AS sym_left, r AS sym_right, "
-        f"cnt AS pair_count, 1 AS rk FROM m{i}"
+        f"CAST(cnt AS BIGINT) AS pair_count, 1 AS rk FROM m{i}"
         for i in range(1, _BPE_MERGES + 1)
     )
     return f"""
@@ -1508,7 +1508,7 @@ def _bpe_oracle() -> str:
     UNION ALL
     SELECT {_BPE_MERGES + 1} AS stage, sym_left, sym_right, pair_count, rk
     FROM (
-      SELECT l AS sym_left, r AS sym_right, cnt AS pair_count,
+      SELECT l AS sym_left, r AS sym_right, CAST(cnt AS BIGINT) AS pair_count,
              ROW_NUMBER() OVER (ORDER BY cnt DESC, l, r) AS rk
       FROM pfinal
     ) WHERE rk <= {_BPE_TOPK}
@@ -1638,8 +1638,8 @@ def _bpe_encode_oracle() -> str:
     )
     SELECT t.doc_id,
            COUNT(*) AS n_words,
-           SUM(wn.nsym) AS n_bpe_tokens,
-           (1000000 * SUM(wn.nsym)) // COUNT(*) AS tokens_per_word_micro
+           CAST(SUM(wn.nsym) AS BIGINT) AS n_bpe_tokens,
+           CAST((1000000 * SUM(wn.nsym)) // COUNT(*) AS BIGINT) AS tokens_per_word_micro
     FROM wtok t JOIN wn ON wn.w = t.w
     GROUP BY t.doc_id
     """
@@ -1706,8 +1706,8 @@ def _bpe_roundtrip_oracle() -> str:
     )
     SELECT t.doc_id,
            COUNT(*) AS n_words,
-           SUM(CASE WHEN d.w_decoded = t.w THEN 1 ELSE 0 END)
-             AS n_roundtrip_exact,
+           CAST(SUM(CASE WHEN d.w_decoded = t.w THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_roundtrip_exact,
            COUNT(*) = SUM(CASE WHEN d.w_decoded = t.w THEN 1 ELSE 0 END)
              AS lossless
     FROM wtok t JOIN decoded d ON d.w = t.w
