@@ -41,6 +41,33 @@ def _scratch(sf_dir: str, name: str) -> str:
     return str(p)
 
 
+def _scratch_pid_db(sf_dir: str, prefix: str) -> str:
+    """PID-scoped embedded-DB dir (Derby holds a single-process boot
+    lock, so concurrent verify/pytest runs must not share a path) with
+    garbage collection: sibling ``{prefix}_<pid>`` dirs whose owning
+    process is gone are removed on entry, so .scratch/ stops
+    accumulating one permanent Derby database per past run.  A live
+    sibling (concurrent run) is left untouched.
+    """
+    import shutil
+
+    path = Path(_scratch(sf_dir, f"{prefix}_{os.getpid()}"))
+    for sib in path.parent.glob(f"{prefix}_*"):
+        try:
+            pid = int(sib.name.rsplit("_", 1)[-1])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # raises if no such process
+        except ProcessLookupError:
+            shutil.rmtree(sib, ignore_errors=True)
+        except PermissionError:
+            pass  # pid exists but owned elsewhere — leave it
+    return str(path)
+
+
 # --- A1: parquet scan (projection + predicate reach the reader) ---------------
 
 
@@ -226,9 +253,7 @@ def a6_jdbc_sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver; parallelism = DataFrame partitions (one JDBC connection
     each), batched inserts under the hood.
     """
-    # PID-scoped path: embedded Derby holds a single-process boot lock,
-    # so concurrent verify/pytest runs must not share a database dir.
-    db = _scratch(sf_dir, f"derby_a6_db_{os.getpid()}")
+    db = _scratch_pid_db(sf_dir, "derby_a6_db")
     url = f"jdbc:derby:{db};create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     src = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
@@ -2090,8 +2115,7 @@ def a25_jdbc_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-stripe aggregate proves the stripes tile the keyspace
     exactly (no row lost or double-read at the bounds).  Decimal-exact
     sums make the proof order-independent."""
-    # PID-scoped for the same single-process Derby boot lock as a6.
-    db = _scratch(sf_dir, f"derby_a25_db_{os.getpid()}")
+    db = _scratch_pid_db(sf_dir, "derby_a25_db")
     url = f"jdbc:derby:{db};create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     src = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
