@@ -8,11 +8,14 @@ same way); per-query time is action-to-completion wall clock of a
 count-style consume (we avoid toPandas so the measurement is engine
 time, not Arrow transfer).
 
-Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and reports
+Each query runs $SPARK_GRAFT_BENCH_REPS times (default 7) and reports
 the per-query MEDIAN; the machine shows ±70% wall-clock variance under
-co-tenant load, so a single sample is noise (round-2 lesson).  The
-spread is published alongside ("spread" = max-min per query) so a noisy
-run is visible in the JSON rather than silently inflating a median.
+co-tenant load, so a single sample is noise (round-2 lesson) and even
+a median-of-3 carries the noise band into the artifact (round-4: q1
+median 2.122s with spread 1.61s vs a low-load measurement of the same
+plan at ~1.0s).  The spread is published alongside ("spread" =
+max-min per query) so a noisy run is visible in the JSON rather than
+silently inflating a median.
 """
 
 from __future__ import annotations
@@ -55,7 +58,7 @@ def main() -> int:
     for t in TABLES:
         load(spark, sf_dir, t).count()
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "7")))
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     for label, qname in HEADLINE.items():
