@@ -48,19 +48,47 @@ FLAGSHIP = "d1_agg_hash_grouped"  # TPC-H Q1-style pricing summary (SURVEY §7 P
 # Window ledger after this round: 188 distinct names driver-windowed
 # (r1-r4) + 45 first-time here = 233; ~106 never-windowed remain.
 #
-# Round-6 planned window (sources/ETL/scalar-lib tier, 50):
-# a15 a16 a17 a21 a22 a23 a24 a25 a26 a27 a28
-# etl3 etl4 etl5 etl9 etl10 etl11 etl12 etl13 etl14
-# h13 h16 h17 h18 h19 h20 h21  b13 b16 b17 b18
-# d14 d19 d20 d23 d25 d27 d28 d29 d30 d31
-# f5 e9 e11 j10 j11  q2 q9 q11 q15
+# Round-6 planned window (sources/ETL/scalar-lib tier, exactly 50 —
+# all parity- and Arrow-replay-green at sf0.01 as of round 5):
+# a15_clustered_write a16_python_datasource a17_xml_source
+# a21_parquet_bloom_write a22_managed_table a23_glob_recursive_read
+# a24_fixed_width_source a25_jdbc_partitioned_read a26_csv_multiline
+# a27_wholefile_text a28_metadata_columns
+# etl3_incremental_merge etl4_partition_overwrite etl5_observed_load
+# etl9_late_dim_backfill etl10_lambda_merge etl11_write_audit_publish
+# etl12_data_vault_load etl13_fk_conformance etl14_scd3_prior_value
+# h13_variant_extract h16_map_hof h17_datetime_extended h18_array_lib
+# h19_timezone_functions h20_generators h21_binary_encoding
+# b13_gtin_convert b16_gs1_prefix_lookup b17_upce_expand b18_isbn_convert
+# d14_agg_approx_percentile d19_hll_merge d20_unpivot d23_agg_mode
+# d25_corr_matrix d27_listagg d28_geomean d29_higher_moments
+# d30_welch_ttest d31_bootstrap_ci
+# f5_keyset_pagination e9_win_percent_cume e11_win_ignore_nulls
+# j10_pandas_iter_udf j11_polymorphic_udtf
+# q2_min_cost_supplier q9_product_type_profit q11_important_part_values
+# q15_top_supplier
 #
-# Round-7 planned window (analytics/k-tail/timeseries tier, 50):
-# q17 q18 q23 q24 q26 q27 q28 q29 q31 q32 q33 q34 q35 q37 q38
-# k60 k74 k75 k77 k79 k82 k87 k11 k12 k13 k15b k17 k4b k17b k22
-# k15d k80 k85 k62 k67 k64 k70 k86
-# t2 t3 t4 t6 t11 t12 t13  i19
-# (spill t14 t15 t16 t17 t18 t20 + any r5/r6 reds into round 8.)
+# Round-7 planned window (analytics/k-tail/timeseries tier, 50 of the
+# remaining 53 hash-checkable never-windowed; spill 3 + any r5/r6 reds
+# into round 8):
+# q17_small_quantity q18_large_volume_customers q23_basket_lift
+# q24_pareto_share q26_rfm_segments q27_last_touch_attribution
+# q28_cohort_ltv q29_purchase_intervals q31_yoy_growth q32_spend_gini
+# q33_abc_classification q34_open_order_backlog q35_supplier_hhi
+# q37_ship_sla q38_cumulative_uniques
+# k11_quality_score k12_token_count_bpe k13_fingerprint
+# k15b_multimodal_frames k15d_multimodal_segments k17_dedup_embedding
+# k17b_dedup_embedding_blocked k4b_knn_join_blocked k22_stratified_sample
+# k60_dataset_card k62_cluster_best_keeper k64_ccnet_buckets
+# k67_span_corruption k70_contrastive_triplets k74_quality_model_score
+# k75_drift_psi k77_boilerplate_prune k79_markup_strip k80_zipf_fit
+# k82_ip_cidr_filter k84_degree_distribution k85_oov_rate
+# k86_trigram_backoff k87_l_diversity
+# t2_zscore_outliers t3_winsorize t4_ohlc_downsample t6_interpolate
+# t11_holt_trend t12_naive_backtest t13_seasonal_adjust t14_acf
+# i19_stream_txn_sink
+# (round-8 spill: t15_rolling_median t16_markov_transitions
+# t17_survival_km t18_peak_detection t20_theil_sen + re-checks.)
 _PRIORITY = [
     # slots 1-5: r4 hash-fails, oracles now CAST to BIGINT
     "k24_quality_repetition", "k36_chunk_dedup_global",

@@ -147,6 +147,29 @@ def test_no_banned_duckdb_oracle_output_types(sf_dir):
     )
 
 
+def test_oracle_type_gate_still_needed():
+    """Pin the DuckDB behaviors the whole oracle-type gate exists for.
+
+    If a DuckDB upgrade ever changes SUM(BIGINT)→BIGINT or
+    regr_count→BIGINT, this test fails and tells us the CAST layer (and
+    the sweep) can be revisited; until then it documents why every
+    SUM at an oracle's output edge must be wrapped.
+    """
+    import duckdb
+
+    from tools.oracle_types import SAFE
+
+    assert str(duckdb.sql("SELECT SUM(1::BIGINT) AS s").types[0]) == "HUGEINT"
+    assert (
+        str(duckdb.sql("SELECT regr_count(1.0, 1.0) AS n").types[0]) == "UINTEGER"
+    )
+    for banned in ("HUGEINT", "UINTEGER", "UBIGINT", "DECIMAL(30,6)"):
+        assert banned not in SAFE
+    # the driver-proven-safe core must stay allowed
+    for ok in ("BIGINT", "DOUBLE", "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP"):
+        assert ok in SAFE
+
+
 def test_plan_audit_allowlists_reference_real_queries():
     """tools/plan_audit.py's allowlists must track the registry — a
     renamed query would silently stop being audited under its intended
