@@ -58,6 +58,14 @@ def main() -> int:
     for t in TABLES:
         load(spark, sf_dir, t).count()
 
+    # Spin up the Python worker pool too: q_embed_knn's mapInPandas pays
+    # ~2-4 s of daemon/worker fork + Arrow init on the session's FIRST
+    # Python-eval stage, which otherwise lands entirely in its first rep
+    # and shows up as a 4 s spread on a 1 s query (round-4 artifact).
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "7")))
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
