@@ -46,6 +46,10 @@ HEADLINE = {
 
 
 def main() -> int:
+    # Sample load BEFORE we start spinning 32 executor threads: the
+    # pre-run 1-min loadavg is the co-tenant signal; by end-of-suite the
+    # number would mostly measure this bench itself.
+    loadavg_start = [round(v, 2) for v in os.getloadavg()]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
@@ -88,6 +92,9 @@ def main() -> int:
         )
 
     total = round(sum(timings.values()), 3)
+    # Record run conditions (r5 verdict #5): a co-tenant-inflated artifact
+    # should self-document so a 2x swing is adjudicable from the JSON alone
+    # (cross-check spreads + loadavg against SCALING.md's low-load medians).
     print(
         json.dumps(
             {
@@ -97,6 +104,7 @@ def main() -> int:
                 "queries": timings,
                 "spread": spread,
                 "reps": reps,
+                "loadavg": loadavg_start,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

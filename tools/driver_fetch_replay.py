@@ -26,6 +26,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import itertools
 import sys
 from pathlib import Path
 
@@ -84,12 +85,22 @@ def main() -> int:
             if not (scols == pcols == fcols):
                 print(f"  cols spark={scols} arrow={pcols} fetchall={fcols}")
             else:
-                for i, (a, b, c) in enumerate(zip(srows, prows, frows)):
+                # zip_longest so a row-COUNT mismatch still prints its first
+                # divergence (plain zip truncates to the shortest list and
+                # could FAIL with no detail at all).
+                print(
+                    f"  rows spark={len(srows)} arrow={len(prows)} "
+                    f"fetchall={len(frows)}"
+                )
+                missing = object()
+                for i, (a, b, c) in enumerate(
+                    itertools.zip_longest(srows, prows, frows, fillvalue=missing)
+                ):
                     if not (a == b == c):
                         print(f"  first diff @sorted-row {i}:")
-                        print(f"    spark   ={a}")
-                        print(f"    arrow   ={b}")
-                        print(f"    fetchall={c}")
+                        print(f"    spark   ={'<absent>' if a is missing else a}")
+                        print(f"    arrow   ={'<absent>' if b is missing else b}")
+                        print(f"    fetchall={'<absent>' if c is missing else c}")
                         break
     print(f"== {len(names) - n_fail} ok, {n_fail} fail ==")
     return 1 if n_fail else 0

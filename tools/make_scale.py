@@ -64,7 +64,10 @@ def build(src: str, factor: int) -> str:
     n_doc = con.sql(f"SELECT MAX(doc_id)+1 FROM read_parquet('{src}/documents.parquet')").fetchone()[0]
     rep("documents", f"SELECT doc_id + {{r}}*{n_doc} AS doc_id, "
                      "CASE WHEN {r} = 0 THEN text ELSE text || ' replica{r}' END AS text, "
-                     "lang, source, n_chars + (CASE WHEN {r} = 0 THEN 0 ELSE 9 END) AS n_chars FROM {src}")
+                     "lang, source, "
+                     # suffix length = len(' replica') + digits of r, not a
+                     # literal 9 (wrong for r >= 10, i.e. --factor > 10)
+                     "n_chars + (CASE WHEN {r} = 0 THEN 0 ELSE 8 + length(CAST({r} AS VARCHAR)) END) AS n_chars FROM {src}")
     n_vec = con.sql(f"SELECT MAX(vec_id)+1 FROM read_parquet('{src}/embeddings.parquet')").fetchone()[0]
     rep("embeddings", f"SELECT vec_id + {{r}}*{n_vec} AS vec_id, embedding, label FROM {{src}}")
     return str(out)
