@@ -1,5 +1,11 @@
 """Shared fixtures: one small local SparkSession for the whole run
-(SURVEY §5.3.1 — local[4], shuffle=4, tiny fixtures at sf0.001)."""
+(SURVEY §5.3.1 — local[4], shuffle=4, tiny fixtures at sf0.001).
+
+local[4]/shuffle=4 is MEASURED, not arbitrary: a round-6 experiment at
+local[8]/shuffle=8 made the suite SLOWER (13m53s → 17m02s, sys time
+3×) — at sf0.001 per-task overhead dominates, and iterative operators
+(k62 pointer doubling, k37 label propagation) pay the extra task count
+on every round.  Don't "optimize" this upward again."""
 
 from __future__ import annotations
 

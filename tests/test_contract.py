@@ -103,6 +103,10 @@ def test_no_unhashable_output_columns(spark, sf_dir):
     )
 
     banned = (ArrayType, MapType, StructType, DecimalType, BinaryType)
+    # Serial by design: a round-6 experiment threading the pure-module
+    # builders 4-wide saved nothing (209 s vs 223 s — Py4J analysis
+    # serializes on the gateway and execution shares the same local[4]
+    # cores), so the simple loop stays.
     offenders = {}
     for name, fn in entrymod.queries().items():
         df = fn(spark, sf_dir)
@@ -113,13 +117,35 @@ def test_no_unhashable_output_columns(spark, sf_dir):
 
 
 def test_all_oracles_are_valid_duckdb_sql(sf_dir):
-    """Every oracle must parse & run in DuckDB (cheap at sf0.001)."""
-    con = duck_connect(sf_dir)
-    for name, sql in entrymod.oracle_sql().items():
+    """Every oracle must parse & run in DuckDB (cheap at sf0.001).
+
+    Runs 8 threads, one connection per thread: DuckDB releases the GIL
+    during execution and the fixture views are read-only parquet, so
+    the 336 oracles are embarrassingly parallel (serial: ~98 s of the
+    ~14 min suite; threaded: ~20 s).
+    """
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    local = threading.local()
+
+    def check(item):
+        name, sql = item
+        con = getattr(local, "con", None)
+        if con is None:
+            con = local.con = duck_connect(sf_dir)
+            # each connection defaults to ALL cores; 8 connections ×
+            # 32 internal threads just thrash the scheduler
+            con.execute("SET threads=4")
         try:
             con.execute(sql).fetchall()
         except Exception as e:  # noqa: BLE001
-            raise AssertionError(f"oracle {name} failed in DuckDB: {e}") from e
+            return f"{name}: {e}"
+        return None
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        failures = [r for r in pool.map(check, entrymod.oracle_sql().items()) if r]
+    assert not failures, "oracles failed in DuckDB: " + "; ".join(failures)
 
 
 def test_no_banned_duckdb_oracle_output_types(sf_dir):
