@@ -68,6 +68,14 @@ FLAGSHIP = "d1_agg_hash_grouped"  # TPC-H Q1-style pricing summary (SURVEY §7 P
 # i19_stream_txn_sink
 # (round-8 spill, exactly 3: t17_survival_km t18_peak_detection
 # t20_theil_sen + re-checks of any r6/r7 reds.)
+#
+# Round-8+ strategy (once every hash-checkable entry has been windowed
+# at least once, which round 7 completes): slots 1-3 the spill trio,
+# next slots any r6/r7 reds, then fill with RE-CHECKS of the names
+# whose last driver-green is oldest (r1 first, then r2, ...) so the
+# "green in latest check" ledger stays fresh across the whole registry
+# rather than aging out.  Keep the registry frozen unless a verdict
+# names a missing capability.
 _PRIORITY = [
     # slots 1-11: file-format / source tier (A)
     "a15_clustered_write", "a16_python_datasource", "a17_xml_source",
