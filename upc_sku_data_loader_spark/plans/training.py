@@ -1008,28 +1008,45 @@ def k47_coreset_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TakeOrdered of 1 row — a bounded collect, as k42's centroids) plus
     a MAP-ONLY running-min update against the single new literal
     center; k rounds → k scans, zero shuffles beyond the argmax
-    reduction.  Final assignment is the k42 literal-centroid argmin —
-    map-only.  All distances are rounded to 6 dp before every argmax /
-    argmin / LEAST so greedy choices cannot diverge across engines."""
+    reduction.  Each round's running-min state is eagerly
+    ``localCheckpoint``-ed (the operators/dedup.py iterative idiom) so
+    round r reads round r-1's materialized rows instead of re-deriving
+    every earlier round from the parquet scan — without it the greedy
+    loop is O(k²) scans and the sf1 spot-check measured 26× wall at 10×
+    rows; with it, k rounds → k scans as documented.  Final assignment
+    is the k42 literal-centroid argmin — map-only.  All distances are
+    rounded to 6 dp before every argmax / argmin / LEAST so greedy
+    choices cannot diverge across engines."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", V.as_double(F.col("embedding")).alias("v")
     )
     first = e.orderBy("vec_id").limit(1).collect()[0]
     centers = [(0, first["vec_id"], first["v"])]
-    cur = e.filter(F.col("vec_id") != first["vec_id"]).withColumn(
-        "dmin",
-        _km_sqdist(F.col("v"), F.array([F.lit(x) for x in first["v"]])),
+    cur = (
+        e.filter(F.col("vec_id") != first["vec_id"])
+        .withColumn(
+            "dmin",
+            _km_sqdist(F.col("v"), F.array([F.lit(x) for x in first["v"]])),
+        )
+        .localCheckpoint(eager=True)
     )
     for cid in (1, 2, 3):
         top = cur.orderBy(F.desc("dmin"), F.asc("vec_id")).limit(1).collect()[0]
         centers.append((cid, top["vec_id"], top["v"]))
-        cur = cur.filter(F.col("vec_id") != top["vec_id"]).withColumn(
-            "dmin",
-            F.least(
-                F.col("dmin"),
-                _km_sqdist(F.col("v"), F.array([F.lit(x) for x in top["v"]])),
-            ),
-        )
+        if cid < 3:  # the post-final-pick state is never read
+            cur = (
+                cur.filter(F.col("vec_id") != top["vec_id"])
+                .withColumn(
+                    "dmin",
+                    F.least(
+                        F.col("dmin"),
+                        _km_sqdist(
+                            F.col("v"), F.array([F.lit(x) for x in top["v"]])
+                        ),
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
     center_ids = {vid for _, vid, _ in centers}
     best = F.array_min(
         F.array(
