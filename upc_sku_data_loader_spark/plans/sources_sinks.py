@@ -35,8 +35,12 @@ _REPO = Path(__file__).resolve().parents[2]
 
 
 def _scratch(sf_dir: str, name: str) -> str:
-    tag = Path(sf_dir).name or "sf"
-    p = _REPO / ".scratch" / tag / name
+    # SPARK_GRAFT_SCRATCH relocates the whole scratch tree — the hook
+    # that lets concurrent pytest shards (tools/fast_pytest.py) run
+    # side-effecting builders without racing on shared paths.
+    root = os.environ.get("SPARK_GRAFT_SCRATCH")
+    base = Path(root) if root else _REPO / ".scratch"
+    p = base / (Path(sf_dir).name or "sf") / name
     p.parent.mkdir(parents=True, exist_ok=True)
     return str(p)
 

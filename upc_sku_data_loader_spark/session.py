@@ -81,7 +81,20 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Python-worker connect-back defaults to 15 s; a fork under a
+        # heavily loaded host (concurrent pytest shards, loadavg ~30)
+        # can exceed it and kill an otherwise-healthy streaming query
+        # (observed once in tools/fast_pytest.py's 6-shard run). 60 s
+        # costs nothing when idle and absorbs the spike.
+        .config("spark.python.authenticate.socketTimeout", "60s")
     )
+    # Static conf, so it only takes effect for the first session in a
+    # process — exactly the concurrent-shard case it exists for
+    # (tools/fast_pytest.py gives each pytest process its own warehouse
+    # so a22's managed-table DDL can't race a sibling shard).
+    wh = os.environ.get("SPARK_GRAFT_WAREHOUSE")
+    if wh:
+        builder = builder.config("spark.sql.warehouse.dir", wh)
     for k, v in RUNTIME_CONFIGS.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
