@@ -61,5 +61,9 @@ if __name__ == "__main__":
     offenders = sweep(args.sf)
     for name, col, typ in offenders:
         print(f"{name}: {col} -> {typ}")
-    print(f"{len(offenders)} banned-type columns across {len(set(n for n, _, _ in offenders))} oracles")
+    print(
+        f"{len(offenders)} banned-type columns in "
+        f"{len(set(n for n, _, _ in offenders))} offending oracles "
+        f"({len(ORACLES)} swept)"
+    )
     sys.exit(1 if offenders else 0)
