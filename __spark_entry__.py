@@ -46,36 +46,21 @@ FLAGSHIP = "d1_agg_hash_grouped"  # TPC-H Q1-style pricing summary (SURVEY §7 P
 # (r1-r5) + 50 first-time here = 283; 53 hash-checkable + 3 rows-only
 # never-windowed remain.
 #
-# Round-7 planned window (analytics/k-tail/timeseries tier, 50 of the
-# remaining 53 hash-checkable never-windowed; spill 3 + any r6 reds
-# into round 8):
-# q17_small_quantity q18_large_volume_customers q23_basket_lift
-# q24_pareto_share q26_rfm_segments q27_last_touch_attribution
-# q28_cohort_ltv q29_purchase_intervals q31_yoy_growth q32_spend_gini
-# q33_abc_classification q34_open_order_backlog q35_supplier_hhi
-# q37_ship_sla q38_cumulative_uniques
-# k11_quality_score k12_token_count_bpe k13_fingerprint
-# k15b_multimodal_frames k15d_multimodal_segments k17_dedup_embedding
-# k17b_dedup_embedding_blocked k4b_knn_join_blocked k22_stratified_sample
-# k60_dataset_card k62_cluster_best_keeper k64_ccnet_buckets
-# k67_span_corruption k70_contrastive_triplets k74_quality_model_score
-# k75_drift_psi k77_boilerplate_prune k79_markup_strip k80_zipf_fit
-# k82_ip_cidr_filter k84_degree_distribution k85_oov_rate
-# k86_trigram_backoff k87_l_diversity
-# t2_zscore_outliers t3_winsorize t4_ohlc_downsample t6_interpolate
-# t11_holt_trend t12_naive_backtest t13_seasonal_adjust t14_acf
-# t15_rolling_median t16_markov_transitions
-# i19_stream_txn_sink
-# (round-8 spill, exactly 3: t17_survival_km t18_peak_detection
-# t20_theil_sen + re-checks of any r6/r7 reds.)
+# Round-7 planned window: ROUND7_PLAN below (analytics/k-tail/timeseries
+# tier, 50 of the remaining 53 hash-checkable never-windowed names).
+# Round-8 spill: ROUND8_SPILL below (exactly 3) + re-checks of any
+# r6/r7 reds.  Both are module constants (not just comments) so
+# tools/window_plan.py can validate them against the CORRECTNESS_r*.json
+# ledger and generate round-8+ windows mechanically.
 #
 # Round-8+ strategy (once every hash-checkable entry has been windowed
 # at least once, which round 7 completes): slots 1-3 the spill trio,
 # next slots any r6/r7 reds, then fill with RE-CHECKS of the names
 # whose last driver-green is oldest (r1 first, then r2, ...) so the
 # "green in latest check" ledger stays fresh across the whole registry
-# rather than aging out.  Keep the registry frozen unless a verdict
-# names a missing capability.
+# rather than aging out.  `python tools/window_plan.py --round N`
+# computes exactly this ordering from the recorded CORRECTNESS files.
+# Keep the registry frozen unless a verdict names a missing capability.
 _PRIORITY = [
     # slots 1-11: file-format / source tier (A)
     "a15_clustered_write", "a16_python_datasource", "a17_xml_source",
@@ -104,6 +89,41 @@ _PRIORITY = [
     "q2_min_cost_supplier", "q9_product_type_profit",
     "q11_important_part_values", "q15_top_supplier",
 ]
+
+# Pinned round-7 window (becomes _PRIORITY at the round-7 rotation; all 50
+# were Arrow-replay-green in rounds 5 AND 6 — tools/driver_fetch_replay.py).
+ROUND7_PLAN = [
+    # composite analytics (Q)
+    "q17_small_quantity", "q18_large_volume_customers", "q23_basket_lift",
+    "q24_pareto_share", "q26_rfm_segments", "q27_last_touch_attribution",
+    "q28_cohort_ltv", "q29_purchase_intervals", "q31_yoy_growth",
+    "q32_spend_gini", "q33_abc_classification", "q34_open_order_backlog",
+    "q35_supplier_hhi", "q37_ship_sla", "q38_cumulative_uniques",
+    # LLM-data / curation tail (K)
+    "k11_quality_score", "k12_token_count_bpe", "k13_fingerprint",
+    "k15b_multimodal_frames", "k15d_multimodal_segments",
+    "k17_dedup_embedding", "k17b_dedup_embedding_blocked",
+    "k4b_knn_join_blocked", "k22_stratified_sample", "k60_dataset_card",
+    "k62_cluster_best_keeper", "k64_ccnet_buckets", "k67_span_corruption",
+    "k70_contrastive_triplets", "k74_quality_model_score", "k75_drift_psi",
+    "k77_boilerplate_prune", "k79_markup_strip", "k80_zipf_fit",
+    "k82_ip_cidr_filter", "k84_degree_distribution", "k85_oov_rate",
+    "k86_trigram_backoff", "k87_l_diversity",
+    # timeseries (T)
+    "t2_zscore_outliers", "t3_winsorize", "t4_ohlc_downsample",
+    "t6_interpolate", "t11_holt_trend", "t12_naive_backtest",
+    "t13_seasonal_adjust", "t14_acf", "t15_rolling_median",
+    "t16_markov_transitions",
+    # streaming (I)
+    "i19_stream_txn_sink",
+]
+
+# The 3 hash-checkable names that spill to round-8 slots 1-3.
+ROUND8_SPILL = ["t17_survival_km", "t18_peak_detection", "t20_theil_sen"]
+
+# Contract rows-only trio — never eligible for a driver window (each has a
+# hash-checked twin; see tests/test_contract.py).
+ROWS_ONLY = ["k14_simhash", "k16_ann_ivf", "i10_output_modes_triggers"]
 
 
 def _ordered() -> list[str]:

@@ -1,0 +1,75 @@
+"""Pin the window-rotation machinery: the pinned round-7/8 plans in
+``__spark_entry__`` and the ledger-driven planner in tools/window_plan.py
+(the round-8+ rotation strategy the r5 verdict endorsed)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from tools.window_plan import WINDOW, load_ledger, plan  # noqa: E402
+from upc_sku_data_loader_spark.registry import ORACLES, QUERIES  # noqa: E402
+
+
+def test_pinned_plans_partition_the_registry():
+    """r1-r5 windowed + r6 window + r7 plan + r8 spill + rows-only trio
+    must cover all 339 names exactly once (no gap, no overlap)."""
+    ledger = load_ledger()
+    r1_r5 = {n for n, (rnd, _) in ledger.items() if rnd <= 5}
+    groups = [
+        r1_r5,
+        set(entrymod._PRIORITY),
+        set(entrymod.ROUND7_PLAN),
+        set(entrymod.ROUND8_SPILL),
+        set(entrymod.ROWS_ONLY),
+    ]
+    union = set().union(*groups)
+    assert union == set(QUERIES), (
+        f"gap: {sorted(set(QUERIES) - union)}; extra: {sorted(union - set(QUERIES))}"
+    )
+    assert sum(len(g) for g in groups) == len(QUERIES), "overlap between groups"
+    assert len(entrymod.ROUND7_PLAN) == WINDOW
+    assert len(entrymod.ROUND8_SPILL) == 3
+    # rows-only trio is exactly the un-oracled set
+    assert set(entrymod.ROWS_ONLY) == set(QUERIES) - set(ORACLES)
+
+
+def test_planner_round7_is_the_pinned_plan():
+    assert plan(7, load_ledger()) == entrymod.ROUND7_PLAN
+
+
+def test_planner_round8_shape():
+    """Round-8 window: 50 unique hash-checkable names, spill trio first,
+    then never-windowed/red before any green re-check."""
+    ledger = load_ledger()
+    window = plan(8, ledger)
+    assert len(window) == WINDOW
+    assert len(set(window)) == WINDOW
+    assert window[:3] == entrymod.ROUND8_SPILL
+    assert all(n in ORACLES for n in window)  # never a rows-only slot
+    # a green name may only appear after every never-windowed name
+    greens = [n for n in window if n in ledger and ledger[n][1]]
+    nevers = [n for n in window if n not in ledger and n not in entrymod.ROUND8_SPILL]
+    if greens and nevers:
+        assert max(window.index(n) for n in nevers) < min(window.index(n) for n in greens)
+
+
+def test_planner_recheck_order_is_oldest_green_first():
+    """With a synthetic full ledger, re-checks must come oldest-round-first
+    and a red name must outrank every green."""
+    eligible = [n for n in QUERIES if n in ORACLES]
+    ledger = {n: (1 + (i % 5), True) for i, n in enumerate(eligible)}
+    red = eligible[-1]
+    ledger[red] = (5, False)
+    window = plan(8, ledger)
+    spill_live = [n for n in entrymod.ROUND8_SPILL if not ledger[n][1]]
+    assert window[: len(spill_live) + 1] == spill_live + [red] or window[0] == red or (
+        spill_live and window[0] == spill_live[0]
+    )
+    assert red in window[:4]
+    rounds = [ledger[n][0] for n in window if n != red and ledger[n][1]]
+    assert rounds == sorted(rounds), "green re-checks must be oldest-first"
