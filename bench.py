@@ -45,11 +45,22 @@ HEADLINE = {
 }
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat line 1 — 0,0 if unreadable."""
+    try:
+        fields = Path("/proc/stat").read_text().splitlines()[0].split()[1:]
+        vals = [int(v) for v in fields]
+        return vals[7] if len(vals) > 7 else 0, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
 def main() -> int:
     # Sample load BEFORE we start spinning 32 executor threads: the
     # pre-run 1-min loadavg is the co-tenant signal; by end-of-suite the
     # number would mostly measure this bench itself.
     loadavg_start = [round(v, 2) for v in os.getloadavg()]
+    steal0, total0 = _cpu_ticks()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
@@ -98,6 +109,17 @@ def main() -> int:
         )
 
     total = round(sum(timings.values()), 3)
+    # Hypervisor steal ACROSS the whole suite run: loadavg can't see
+    # host-level contention, but /proc/stat's steal field can — steal_pct
+    # is the fraction of this guest's CPU time the host gave away while
+    # the suite ran (round-5 adjudication: a 2x artifact swing at
+    # loadavg 0.2 was pure steal).
+    steal1, total1 = _cpu_ticks()
+    steal_pct = (
+        round(100.0 * (steal1 - steal0) / (total1 - total0), 1)
+        if total1 > total0
+        else None
+    )
     # Record run conditions (r5 verdict #5): a co-tenant-inflated artifact
     # should self-document so a 2x swing is adjudicable from the JSON alone
     # (cross-check spreads + loadavg against SCALING.md's low-load medians).
@@ -112,6 +134,7 @@ def main() -> int:
                 "spread": spread,
                 "reps": reps,
                 "loadavg": loadavg_start,
+                "steal_pct": steal_pct,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -73,6 +73,11 @@ def main() -> int:
     unknown = [n for n in names if n not in QUERIES]
     if unknown:
         raise SystemExit(f"not in registry: {unknown}")
+    if args.out and Path(args.out).exists():  # resume: skip recorded names
+        swept = {json.loads(line)["name"] for line in Path(args.out).open()}
+        names = [n for n in names if n not in swept]
+        print(f"# resume: {len(swept)} already in {args.out}, "
+              f"{len(names)} to go", flush=True)
 
     spark = get_spark(app_name="scale_sweep")
     spark.sparkContext.setLogLevel("ERROR")
