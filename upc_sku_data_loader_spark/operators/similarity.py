@@ -71,36 +71,94 @@ def embedding_matrix(spark: SparkSession, sf_dir: str) -> tuple[np.ndarray, np.n
     return ids, _normalized(mat)
 
 
-def _row_topk(
+# Extra top-candidates kept per row beyond k so boundary ties almost never
+# force the per-row exact fallback (ties come from the 6-dp rounding; a tie
+# group wider than this margin is pathological and handled exactly anyway).
+_TIE_MARGIN = 64
+# Rows per internal sub-block: bounds task memory to ~sub_block × n_ref
+# floats (4096 × 1M refs ≈ 32 GB would still be too big — but the broadcast
+# strategy caps n_ref at BROADCAST_MAX_ROWS=500k ≈ 16 GB... so sub-block at
+# 1024 for ≤4 GB peak with the largest allowed broadcast reference).
+_TOPK_SUB_BLOCK = 1024
+
+
+def _topk_block(
     chunk_ids: np.ndarray,
     chunk_mat: np.ndarray,
     all_ids: np.ndarray,
     all_mat: np.ndarray,
     k: int,
-) -> Iterator[tuple[int, int, float, int]]:
-    """Per query row: top-k neighbors by (round(sim,6) DESC, id ASC),
-    excluding self.  Yields (query_id, neighbor_id, sim, rank).
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized per-row top-k by (round(sim,6) DESC, id ASC), self-excluded.
 
-    np.argpartition bounds the sort to the top-k boundary; every
-    candidate tied with the k-th similarity is kept for the id
-    tie-break, so the result is exact and deterministic."""
-    sims = np.round(chunk_mat @ all_mat.T, SIM_DECIMALS)
-    for i, qid in enumerate(chunk_ids):
-        row = sims[i]
-        mask = all_ids != qid
-        cand_ids = all_ids[mask]
-        cand_sims = row[mask]
-        n = len(cand_ids)
-        if n == 0:
-            continue
-        if k < n:
-            kth = np.partition(cand_sims, n - k)[n - k]
-            sel = cand_sims >= kth  # ties at the boundary included
-            cand_ids = cand_ids[sel]
-            cand_sims = cand_sims[sel]
-        order = np.lexsort((cand_ids, -cand_sims))[:k]
-        for rank, j in enumerate(order, start=1):
-            yield int(qid), int(cand_ids[j]), float(cand_sims[j]), rank
+    One argpartition keeps the top (k + _TIE_MARGIN) sims per row; one
+    global lexsort orders every kept candidate by (row, -sim, id).  A row
+    falls back to an exact full-row sort only when its k-th similarity
+    still ties the margin boundary (so the tie group could extend past
+    the kept set).  Replaces a per-row Python loop that cost ~10 ms/row —
+    504x super-linear at the 10x replica (round-6 scale sweep)."""
+    m, n = len(chunk_ids), len(all_ids)
+    empty = (
+        np.empty(0, np.int64), np.empty(0, np.int64),
+        np.empty(0, np.float64), np.empty(0, np.int64),
+    )
+    if m == 0 or n == 0:
+        return empty
+    sims = (chunk_mat @ all_mat.T).round(SIM_DECIMALS)
+    sims[np.equal.outer(chunk_ids, all_ids)] = -np.inf  # self-exclusion
+    kk = min(k, n)
+    margin = min(n, k + _TIE_MARGIN)
+    if margin < n:
+        part = np.argpartition(sims, n - margin, axis=1)[:, n - margin:]
+        vals = np.take_along_axis(sims, part, axis=1)
+        ids = all_ids[part]
+    else:
+        vals = sims
+        ids = np.broadcast_to(all_ids, (m, n))
+    rows = np.repeat(np.arange(m), vals.shape[1])
+    order = np.lexsort((ids.ravel(), -vals.ravel(), rows))
+    vals_sorted = vals.ravel()[order].reshape(m, -1)
+    ids_sorted = ids.ravel()[order].reshape(m, -1)
+    top_v = vals_sorted[:, :kk].copy()
+    top_i = ids_sorted[:, :kk].copy()
+    if margin < n:
+        # a candidate OUTSIDE the margin can only matter if it ties the
+        # k-th similarity — possible only when the margin's worst kept
+        # value equals that boundary value
+        unsafe = vals_sorted[:, -1] == vals_sorted[:, kk - 1]
+        for i in np.nonzero(unsafe)[0]:
+            full = np.lexsort((all_ids, -sims[i]))[:kk]
+            top_v[i] = sims[i][full]
+            top_i[i] = all_ids[full]
+    valid = (top_v != -np.inf).ravel()
+    return (
+        np.repeat(chunk_ids.astype(np.int64), kk)[valid],
+        top_i.ravel()[valid].astype(np.int64),
+        top_v.ravel()[valid],
+        np.tile(np.arange(1, kk + 1, dtype=np.int64), m)[valid],
+    )
+
+
+def _chunk_topk(
+    chunk_ids: np.ndarray,
+    chunk_mat: np.ndarray,
+    all_ids: np.ndarray,
+    all_mat: np.ndarray,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(query_id, neighbor_id, sim, rank) arrays for a query chunk —
+    sub-blocked so peak memory stays ~_TOPK_SUB_BLOCK × n_ref floats."""
+    outs = [
+        _topk_block(
+            chunk_ids[s : s + _TOPK_SUB_BLOCK],
+            chunk_mat[s : s + _TOPK_SUB_BLOCK],
+            all_ids, all_mat, k,
+        )
+        for s in range(0, len(chunk_ids), _TOPK_SUB_BLOCK)
+    ]
+    if not outs:
+        return _topk_block(chunk_ids, chunk_mat, all_ids, all_mat, k)
+    return tuple(np.concatenate(cols) for cols in zip(*outs))  # type: ignore[return-value]
 
 
 def _pick_strategy(
@@ -114,11 +172,25 @@ def _pick_strategy(
     return strategy
 
 
+def _fan_out(queries: DataFrame) -> DataFrame:
+    """Spread the query side across all cores before a broadcast kernel.
+
+    The kernel is embarrassingly parallel in query rows, but a small
+    parquet input arrives in 1-2 partitions, so 20k queries x 20k refs
+    ran on 2 of 32 cores (round-6 scale sweep: 83 s wall where ~6 s is
+    available).  One tiny shuffle of the query rows only — the reference
+    matrix travels by broadcast; per-row results are independent of the
+    chunking, so values are unchanged."""
+    sc = queries.sparkSession.sparkContext
+    return queries.repartition(sc.defaultParallelism)
+
+
 def _knn_broadcast(
     spark: SparkSession, sf_dir: str, queries: DataFrame, k: int
 ) -> DataFrame:
     ids, mat = embedding_matrix(spark, sf_dir)
     bc = spark.sparkContext.broadcast((ids, mat))
+    queries = _fan_out(queries)
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         all_ids, all_mat = bc.value
@@ -127,9 +199,10 @@ def _knn_broadcast(
                 continue
             cids = pdf["vec_id"].to_numpy(dtype=np.int64)
             cmat = _normalized(np.vstack(pdf["embedding"].to_numpy()))
-            rows = list(_row_topk(cids, cmat, all_ids, all_mat, k))
+            q, nb, sim, rank = _chunk_topk(cids, cmat, all_ids, all_mat, k)
             yield pd.DataFrame(
-                rows, columns=["q_vec_id", "neighbor_id", "sim", "rank"]
+                {"q_vec_id": q, "neighbor_id": nb, "sim": sim,
+                 "rank": rank.astype(np.int32)}
             )
 
     schema = "q_vec_id bigint, neighbor_id bigint, sim double, rank int"
@@ -147,8 +220,8 @@ def _pair_topk_pdf(q_pdf: pd.DataFrame, r_pdf: pd.DataFrame, k: int) -> pd.DataF
     qmat = _normalized(np.vstack(q_pdf["embedding"].to_numpy()))
     rids = r_pdf["vec_id"].to_numpy(dtype=np.int64)
     rmat = _normalized(np.vstack(r_pdf["embedding"].to_numpy()))
-    rows = [(q, nb, s) for q, nb, s, _ in _row_topk(qids, qmat, rids, rmat, k)]
-    return pd.DataFrame(rows, columns=cols)
+    q, nb, sim, _ = _chunk_topk(qids, qmat, rids, rmat, k)
+    return pd.DataFrame({"q_vec_id": q, "neighbor_id": nb, "sim": sim})
 
 
 def _global_topk(partial: DataFrame, k: int) -> DataFrame:
@@ -261,12 +334,16 @@ def topk_pairs(
 def _dup_of_block(
     cids: np.ndarray, cmat: np.ndarray, rids: np.ndarray, rmat: np.ndarray, tau: float
 ) -> list[int | None]:
-    """Per query: lowest reference id with id < query id and sim ≥ tau."""
-    sims = np.round(cmat @ rmat.T, SIM_DECIMALS)
+    """Per query: lowest reference id with id < query id and sim ≥ tau.
+    Vectorized (sub-blocked) — min over a masked id matrix, no per-row loop."""
     out: list[int | None] = []
-    for i, qid in enumerate(cids):
-        cand = (rids < qid) & (sims[i] >= tau)
-        out.append(int(rids[cand].min()) if cand.any() else None)
+    ridf = rids.astype(np.float64)
+    for s in range(0, len(cids), _TOPK_SUB_BLOCK):
+        cseg = cids[s : s + _TOPK_SUB_BLOCK]
+        sims = (cmat[s : s + _TOPK_SUB_BLOCK] @ rmat.T).round(SIM_DECIMALS)
+        mask = (rids[None, :] < cseg[:, None]) & (sims >= tau)
+        best = np.where(mask, ridf[None, :], np.inf).min(axis=1)
+        out.extend(int(v) if np.isfinite(v) else None for v in best)
     return out
 
 
@@ -304,7 +381,7 @@ def dedup_embedding(
                     }
                 )
 
-        return vecs.mapInPandas(
+        return _fan_out(vecs).mapInPandas(
             compute, "vec_id bigint, dup_of bigint, is_keeper boolean"
         )
 
