@@ -31,7 +31,10 @@ DIMS = ["region", "nation", "customer", "supplier", "part"]
 
 
 def build(src: str, factor: int) -> str:
-    out = REPO / ".scratch" / f"sfscale_{factor}x"
+    # under replicas/ so the dir is NOT also the _scratch tree of its own
+    # tag (plans/sources_sinks._scratch keys on basename(sf_dir); a replica
+    # at .scratch/<tag> got fixture dirs written INTO it — round-6 lesson)
+    out = REPO / ".scratch" / "replicas" / f"sfscale_{factor}x"
     out.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
 

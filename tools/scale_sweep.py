@@ -56,7 +56,9 @@ def time_one(spark, name: str, sf_dir: str, reps: int) -> tuple[float, int]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.1")
-    ap.add_argument("--scaled", default=str(REPO / ".scratch" / "sfscale_10x"))
+    ap.add_argument(
+        "--scaled", default=str(REPO / ".scratch" / "replicas" / "sfscale_10x")
+    )
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--gate", type=float, default=30.0)
     ap.add_argument("--remaining", action="store_true",

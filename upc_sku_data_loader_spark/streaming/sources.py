@@ -61,7 +61,16 @@ def read_events_stream(
     reader = spark.readStream.schema(events_raw_schema(sf_dir))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    # Stream a glob that matches exactly the fixture file.  Listing the
+    # whole sf_dir with a pathGlobFilter still runs partition DISCOVERY
+    # over every sibling directory — which breaks with
+    # CONFLICTING_DIRECTORY_STRUCTURES when sf_dir is a writable replica
+    # dir that also holds partitioned fixture outputs (round-6 scale
+    # sweep), and costs a full recursive listing at scale.  The trailing
+    # '*' keeps the path a glob so the source's implicit basePath stays
+    # the parent DIRECTORY (a bare file path fails "basePath must be a
+    # directory"); nothing else under an sf dir starts with this name.
+    df = reader.parquet(f"{sf_dir.rstrip('/')}/events.parquet*")
     return normalize_events_ts(df)
 
 
