@@ -75,18 +75,30 @@ def embedding_matrix(spark: SparkSession, sf_dir: str) -> tuple[np.ndarray, np.n
 # force the per-row exact fallback (ties come from the 6-dp rounding; a tie
 # group wider than this margin is pathological and handled exactly anyway).
 _TIE_MARGIN = 64
-# Rows per internal sub-block: bounds task memory to ~sub_block × n_ref
-# floats (4096 × 1M refs ≈ 32 GB would still be too big — but the broadcast
-# strategy caps n_ref at BROADCAST_MAX_ROWS=500k ≈ 16 GB... so sub-block at
-# 1024 for ≤4 GB peak with the largest allowed broadcast reference).
-_TOPK_SUB_BLOCK = 1024
+# Per-task budget for one sims sub-matrix (float64 cells).  The sub-block
+# row count adapts to the reference width: every executor core runs a task
+# concurrently, so a FIXED row count (the first cut used 1024 → 1.6 GB per
+# sub-matrix at a 200k reference) multiplies into executor-memory pressure
+# exactly when the reference is large.  ~8M cells = 64 MB per in-flight
+# sub-matrix: selection temporaries (argpartition's index matrix, the
+# boolean self-mask) are matrix-shaped too, so the real transient is
+# ~3x the sims matrix per task — at 32 concurrent tasks a 256 MB
+# sub-matrix thrashed the allocator and memory bandwidth (measured:
+# the 200k x 200k stage ran ~5x slower than the single-thread
+# per-sub-block cost predicts); 64 MB keeps the whole working set
+# cache-friendly and the executor under ~6 GB.
+_TOPK_CELL_BUDGET = 8_000_000
+
+
+def _sub_block_rows(n_ref: int) -> int:
+    return max(64, _TOPK_CELL_BUDGET // max(1, n_ref))
 
 
 def _topk_block(
     chunk_ids: np.ndarray,
     chunk_mat: np.ndarray,
     all_ids: np.ndarray,
-    all_mat: np.ndarray,
+    all_mat_t: np.ndarray,
     k: int,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized per-row top-k by (round(sim,6) DESC, id ASC), self-excluded.
@@ -104,7 +116,14 @@ def _topk_block(
     )
     if m == 0 or n == 0:
         return empty
-    sims = (chunk_mat @ all_mat.T).round(SIM_DECIMALS)
+    # all_mat_t is the PRE-TRANSPOSED C-contiguous (d, n) reference: dgemm
+    # against a strided .T view of a wide matrix ran at ~2 GFLOP/s at
+    # n=200k (TLB-hostile column stride) vs ~30 GFLOP/s contiguous.
+    # Round IN PLACE — the matmul result is already this block's private
+    # buffer, and a second matrix-sized temp per block doubles the
+    # allocator churn that dominates at high task concurrency.
+    sims = chunk_mat @ all_mat_t
+    np.round(sims, SIM_DECIMALS, out=sims)
     sims[np.equal.outer(chunk_ids, all_ids)] = -np.inf  # self-exclusion
     kk = min(k, n)
     margin = min(n, k + _TIE_MARGIN)
@@ -124,12 +143,19 @@ def _topk_block(
     if margin < n:
         # a candidate OUTSIDE the margin can only matter if it ties the
         # k-th similarity — possible only when the margin's worst kept
-        # value equals that boundary value
+        # value equals that boundary value.  The fallback must NOT be a
+        # full-row lexsort (n log n per row — at the 100x replica every
+        # row is unsafe because 99 exact copies tie at sim 1.0, and 200k
+        # full sorts took ~100 ms/row): partition to the k-th boundary,
+        # keep the tied superset, lexsort only that.
         unsafe = vals_sorted[:, -1] == vals_sorted[:, kk - 1]
         for i in np.nonzero(unsafe)[0]:
-            full = np.lexsort((all_ids, -sims[i]))[:kk]
-            top_v[i] = sims[i][full]
-            top_i[i] = all_ids[full]
+            row = sims[i]
+            kth = np.partition(row, n - kk)[n - kk]
+            sel = np.nonzero(row >= kth)[0]  # boundary ties included
+            order = sel[np.lexsort((all_ids[sel], -row[sel]))][:kk]
+            top_v[i] = row[order]
+            top_i[i] = all_ids[order]
     valid = (top_v != -np.inf).ravel()
     return (
         np.repeat(chunk_ids.astype(np.int64), kk)[valid],
@@ -147,17 +173,19 @@ def _chunk_topk(
     k: int,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """(query_id, neighbor_id, sim, rank) arrays for a query chunk —
-    sub-blocked so peak memory stays ~_TOPK_SUB_BLOCK × n_ref floats."""
+    sub-blocked so peak memory stays ~_TOPK_CELL_BUDGET sims cells."""
+    all_mat_t = np.ascontiguousarray(all_mat.T)  # one (d, n) copy per chunk
+    step = _sub_block_rows(len(all_ids))
     outs = [
         _topk_block(
-            chunk_ids[s : s + _TOPK_SUB_BLOCK],
-            chunk_mat[s : s + _TOPK_SUB_BLOCK],
-            all_ids, all_mat, k,
+            chunk_ids[s : s + step],
+            chunk_mat[s : s + step],
+            all_ids, all_mat_t, k,
         )
-        for s in range(0, len(chunk_ids), _TOPK_SUB_BLOCK)
+        for s in range(0, len(chunk_ids), step)
     ]
     if not outs:
-        return _topk_block(chunk_ids, chunk_mat, all_ids, all_mat, k)
+        return _topk_block(chunk_ids, chunk_mat, all_ids, all_mat_t, k)
     return tuple(np.concatenate(cols) for cols in zip(*outs))  # type: ignore[return-value]
 
 
@@ -338,9 +366,12 @@ def _dup_of_block(
     Vectorized (sub-blocked) — min over a masked id matrix, no per-row loop."""
     out: list[int | None] = []
     ridf = rids.astype(np.float64)
-    for s in range(0, len(cids), _TOPK_SUB_BLOCK):
-        cseg = cids[s : s + _TOPK_SUB_BLOCK]
-        sims = (cmat[s : s + _TOPK_SUB_BLOCK] @ rmat.T).round(SIM_DECIMALS)
+    rmat_t = np.ascontiguousarray(rmat.T)  # contiguous dgemm operand
+    step = _sub_block_rows(len(rids))
+    for s in range(0, len(cids), step):
+        cseg = cids[s : s + step]
+        sims = cmat[s : s + step] @ rmat_t
+        np.round(sims, SIM_DECIMALS, out=sims)  # in place: halve the churn
         mask = (rids[None, :] < cseg[:, None]) & (sims >= tau)
         best = np.where(mask, ridf[None, :], np.inf).min(axis=1)
         out.extend(int(v) if np.isfinite(v) else None for v in best)
