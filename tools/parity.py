@@ -86,7 +86,9 @@ def canon_rows(cols: list[str], records: list[tuple]) -> tuple[list[str], list[t
     return [cols[i] for i in order], rows
 
 
-def compare_one(name: str, spark, con, sf_dir: str) -> dict:
+def compare_one(
+    name: str, spark, con, sf_dir: str, oracle_timeout: float | None = None
+) -> dict:
     t0 = time.time()
     sdf = QUERIES[name](spark, sf_dir)
     srecs = sdf.collect()
@@ -96,6 +98,23 @@ def compare_one(name: str, spark, con, sf_dir: str) -> dict:
     if sql is None:
         out["status"] = "ROWS_ONLY" if len(srecs) >= 0 else "FAIL"
         return out
+    # Above-gate-SF runs (sf0.1+) can pass --oracle-timeout: a few oracles
+    # are deliberately naive quadratic SQL (e.g. k2's MinHash emulation —
+    # lambda-heavy in DuckDB, 20+ min at 5000 docs) and stay verified at
+    # the sf0.01 gate; a watchdog interrupt records ORACLE_TIMEOUT instead
+    # of hanging the whole sweep.  The driver's own gate never sets this.
+    watchdog = None
+    if oracle_timeout:
+        import threading
+
+        done = threading.Event()
+
+        def _interrupt() -> None:
+            if not done.wait(oracle_timeout):
+                con.interrupt()
+
+        watchdog = (threading.Thread(target=_interrupt, daemon=True), done)
+        watchdog[0].start()
     t0 = time.time()
     # Type-gate the oracle side BEFORE value comparison: the driver's
     # pandas/Arrow fetch renders HUGEINT/UINTEGER/DECIMAL differently
@@ -117,9 +136,17 @@ def compare_one(name: str, spark, con, sf_dir: str) -> dict:
             + ", ".join(bad_types)
         )
         return out
-    cur = con.execute(sql)
-    ocols_raw = [d[0] for d in cur.description]
-    orecs = cur.fetchall()
+    try:
+        cur = con.execute(sql)
+        ocols_raw = [d[0] for d in cur.description]
+        orecs = cur.fetchall()
+    except duckdb.InterruptException:
+        out["status"] = "ORACLE_TIMEOUT"
+        out["detail"] = f"oracle exceeded --oracle-timeout={oracle_timeout}s"
+        return out
+    finally:
+        if watchdog:
+            watchdog[1].set()
     out["duck_sec"] = round(time.time() - t0, 3)
     out["duck_rows"] = len(orecs)
     scols, srows = canon_rows(sdf.columns, srecs)
@@ -195,17 +222,22 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*", default=None)
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--oracle-timeout", type=float, default=None,
+        help="seconds before a DuckDB oracle is interrupted and recorded "
+        "as ORACLE_TIMEOUT (for above-gate-SF sweeps; never the sf0.01 gate)",
+    )
     args = ap.parse_args()
 
     names = args.names or list(QUERIES)
     preflight(args.sf)
     spark = get_spark()
     con = duck_connect(args.sf)
-    n_pass = n_fail = n_rows_only = 0
+    n_pass = n_fail = n_rows_only = n_otimeout = 0
     failures = []
     for name in names:
         try:
-            r = compare_one(name, spark, con, args.sf)
+            r = compare_one(name, spark, con, args.sf, args.oracle_timeout)
         except Exception as e:  # noqa: BLE001
             r = {"name": name, "status": "ERROR", "detail": f"{type(e).__name__}: {e}"}
         status = r["status"]
@@ -213,6 +245,8 @@ def main() -> int:
             n_pass += 1
         elif status == "ROWS_ONLY":
             n_rows_only += 1
+        elif status == "ORACLE_TIMEOUT":
+            n_otimeout += 1
         else:
             n_fail += 1
             failures.append(r)
@@ -220,7 +254,11 @@ def main() -> int:
         print(line, flush=True)
         if status not in ("PASS", "ROWS_ONLY") and "detail" in r:
             print(f"    {r['detail'][:2000]}")
-    print(f"\n== {n_pass} PASS, {n_rows_only} ROWS_ONLY, {n_fail} FAIL (of {len(names)}) ==")
+    extra = f", {n_otimeout} ORACLE_TIMEOUT" if n_otimeout else ""
+    print(
+        f"\n== {n_pass} PASS, {n_rows_only} ROWS_ONLY, "
+        f"{n_fail} FAIL{extra} (of {len(names)}) =="
+    )
     return 1 if n_fail else 0
 
 
