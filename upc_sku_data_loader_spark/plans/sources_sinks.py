@@ -1381,25 +1381,28 @@ def etl7_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "etl8_snapshot_diff",
     oracle="""
     WITH snap_a AS (
-      SELECT o_orderkey, o_orderstatus, o_totalprice
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
       FROM orders WHERE o_orderkey % 97 <> 3
     ),
     snap_b AS (
       SELECT o_orderkey, o_orderstatus,
              CASE WHEN o_orderkey % 31 = 0
-                  THEN ROUND(o_totalprice * 1.1, 2)
-                  ELSE o_totalprice END AS o_totalprice
-      FROM orders WHERE o_orderkey % 89 <> 7
+                  THEN (cents * 11 + 5) // 10
+                  ELSE cents END AS cents
+      FROM (SELECT o_orderkey, o_orderstatus,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders WHERE o_orderkey % 89 <> 7)
     )
     SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
            CASE WHEN a.o_orderkey IS NULL THEN 'added'
                 WHEN b.o_orderkey IS NULL THEN 'removed'
                 ELSE 'changed' END AS change_type,
-           a.o_totalprice AS old_price,
-           b.o_totalprice AS new_price
+           a.cents / 100.0 AS old_price,
+           b.cents / 100.0 AS new_price
     FROM snap_a a FULL OUTER JOIN snap_b b USING (o_orderkey)
     WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
-       OR a.o_totalprice <> b.o_totalprice
+       OR a.cents <> b.cents
        OR a.o_orderstatus <> b.o_orderstatus
     """,
 )
@@ -1412,39 +1415,45 @@ def etl8_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both snapshots are derived deterministically from the fixture
     (modular drop/mutate rules), so either engine replays the same two
-    states.  Shape: ONE full-outer hash join on the key, change
-    classification map-side, unchanged rows filtered before output —
-    at 100 TB this is the canonical sort-merge/shuffle-hash join on the
-    primary key with AQE picking the strategy; no data-scale state
-    beyond the join.
+    states.  The +10%% mutation runs in integer CENTS with explicit
+    half-up integer division — ``ROUND(price * 1.1, 2)`` on doubles
+    straddled a half-cent boundary differently per engine at sf0.1
+    (round-6 parity sweep: 155236.455 → .45 vs .46); both engines agree
+    bit-for-bit on integer math and on cents/100.0.  Shape: ONE
+    full-outer hash join on the key, change classification map-side,
+    unchanged rows filtered before output — at 100 TB this is the
+    canonical sort-merge/shuffle-hash join on the primary key with AQE
+    picking the strategy; no data-scale state beyond the join.
     """
     o = load(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     snap_a = o.filter(F.col("o_orderkey") % 97 != 3)
     snap_b = o.filter(F.col("o_orderkey") % 89 != 7).withColumn(
-        "o_totalprice",
+        "cents",
         F.when(
             F.col("o_orderkey") % 31 == 0,
-            F.round(F.col("o_totalprice") * 1.1, 2),
-        ).otherwise(F.col("o_totalprice")),
+            F.expr("(cents * 11 + 5) div 10"),
+        ).otherwise(F.col("cents")),
     )
     a = snap_a.select(
         F.col("o_orderkey").alias("ak"),
         F.col("o_orderstatus").alias("a_status"),
-        F.col("o_totalprice").alias("old_price"),
+        F.col("cents").alias("a_cents"),
     )
     b = snap_b.select(
         F.col("o_orderkey").alias("bk"),
         F.col("o_orderstatus").alias("b_status"),
-        F.col("o_totalprice").alias("new_price"),
+        F.col("cents").alias("b_cents"),
     )
     j = a.join(b, a.ak == b.bk, "full_outer")
     return (
         j.filter(
             F.col("ak").isNull()
             | F.col("bk").isNull()
-            | (F.col("old_price") != F.col("new_price"))
+            | (F.col("a_cents") != F.col("b_cents"))
             | (F.col("a_status") != F.col("b_status"))
         )
         .select(
@@ -1453,8 +1462,8 @@ def etl8_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("bk").isNull(), F.lit("removed"))
             .otherwise(F.lit("changed"))
             .alias("change_type"),
-            "old_price",
-            "new_price",
+            (F.col("a_cents") / 100.0).alias("old_price"),
+            (F.col("b_cents") / 100.0).alias("new_price"),
         )
     )
 

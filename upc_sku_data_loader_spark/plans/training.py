@@ -849,12 +849,15 @@ def k42_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PR_ITERS = 3  # fixed unrolled iterations, mirrored CTE-for-CTE in the oracle
 _PR_OFF = 1_000_000  # supplier node-id offset keeps the bipartite ids disjoint
 
+_PR_SCALE = 1_000_000_000_000  # fixed-point pico-rank units
+
 _PR_STEP_SQL = """
   SELECT nodes.node,
-         ROUND(CAST(0.15 AS DOUBLE) / n.n + 0.85 * COALESCE(m.mass, 0), 10) AS pr
+         ((3 * CAST({S} AS BIGINT)) // (20 * n.n))
+           + ((COALESCE(m.mass, 0) * 17) // 20) AS pri
   FROM nodes CROSS JOIN n
   LEFT JOIN (
-    SELECT e.dst, SUM(r.pr / d.deg) AS mass
+    SELECT e.dst, SUM(r.pri // d.deg) AS mass
     FROM edges e
     JOIN {R} r ON r.node = e.src
     JOIN deg d ON d.src = e.src
@@ -877,12 +880,13 @@ _PR_STEP_SQL = """
     ),
     deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
     nodes AS (SELECT DISTINCT src AS node FROM edges),
-    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n.n AS pr FROM nodes CROSS JOIN n),
-    it1 AS ({_PR_STEP_SQL.format(R="r0")}),
-    it2 AS ({_PR_STEP_SQL.format(R="it1")}),
-    it3 AS ({_PR_STEP_SQL.format(R="it2")})
-    SELECT node, ROUND(pr, 8) AS pr FROM it3
+    n AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) // n.n AS pri
+           FROM nodes CROSS JOIN n),
+    it1 AS ({_PR_STEP_SQL.format(R="r0", S=_PR_SCALE)}),
+    it2 AS ({_PR_STEP_SQL.format(R="it1", S=_PR_SCALE)}),
+    it3 AS ({_PR_STEP_SQL.format(R="it2", S=_PR_SCALE)})
+    SELECT node, CAST(pri AS DOUBLE) / {_PR_SCALE} AS pr FROM it3
     """,
 )
 def k43_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -890,9 +894,20 @@ def k43_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     link-graph quality prior a web-corpus pipeline computes over the
     crawl's host graph (Common Crawl publishes exactly this ranking)
     to weight or filter documents by source importance.  Power
-    iteration with damping 0.85, run for a FIXED 3 iterations and
-    mirrored CTE-for-CTE by the DuckDB twin, so an iterative graph
+    iteration with damping 0.85 (= 17/20), run for a FIXED 3 iterations
+    and mirrored CTE-for-CTE by the DuckDB twin, so an iterative graph
     algorithm is value-hash-checked rank for rank.
+
+    The iteration runs in FIXED-POINT INTEGER pico-rank units
+    (pr × 1e12): floor-div contributions (pri div deg), integer mass
+    sums, 3/20 teleport and 17/20 damping as integer division.  The
+    first cut rounded doubles to 10 dp per iteration — cross-engine
+    ROUND(double) differs at manufactured half-boundaries, and one of
+    15999 ranks flipped its final 8-dp digit at sf0.1 (round-6 parity
+    sweep).  Integer recurrences are bit-identical on both engines in
+    any reduction order; the quantization error (≤ deg ulps of 1e-12
+    per node per iteration, identical on both sides) is far below any
+    use of a rank prior.
 
     Scale design: each iteration is one fact-sized join (edges ⋈
     ranks on src — both sides hash-partitioned on the same key, so
@@ -921,23 +936,27 @@ def k43_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n = nodes.count()  # bounded: one scalar
-    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    base = (3 * _PR_SCALE) // (20 * n)  # teleport term, integer
+    ranks = nodes.withColumn("pri", F.lit(_PR_SCALE // n).cast("long"))
     for _ in range(_PR_ITERS):
         contrib = (
             edges.join(ranks, edges["src"] == ranks["node"])
             .join(deg, "src")
             .groupBy("dst")
-            .agg(F.sum(F.col("pr") / F.col("deg")).alias("mass"))
+            .agg(F.sum(F.expr("pri div deg")).alias("mass"))
         )
         ranks = nodes.join(
             contrib, nodes["node"] == contrib["dst"], "left"
         ).select(
             "node",
-            F.round(
-                F.lit(0.15 / n) + F.lit(0.85) * F.coalesce("mass", F.lit(0.0)), 10
-            ).alias("pr"),
+            (
+                F.lit(base)
+                + F.expr("(coalesce(mass, 0) * 17) div 20")
+            ).cast("long").alias("pri"),
         )
-    return ranks.select("node", F.round("pr", 8).alias("pr"))
+    return ranks.select(
+        "node", (F.col("pri") / F.lit(float(_PR_SCALE))).alias("pr")
+    )
 
 
 # --- K47: farthest-point coreset selection (k-center greedy) ------------------
