@@ -73,14 +73,29 @@ UNITS: list[tuple[str, float, list[str]]] = [
     ("curation", 10, ["tests/test_curation.py"]),
     ("graphs", 8, ["tests/test_graphs.py"]),
     ("upsert", 5, ["tests/test_upsert.py"]),
+    ("window-plan", 3, ["tests/test_window_plan.py"]),
 ]
+
+
+def _with_unlisted() -> list[tuple[str, float, list[str]]]:
+    """UNITS plus any tests/test_*.py not named above — a new test file
+    must never silently drop out of the sharded gate (round-6 lesson:
+    test_window_plan.py went unrun until the serial count diverged)."""
+    listed = {p for _, _, a in UNITS for p in a if p.endswith(".py")}
+    units = list(UNITS)
+    for path in sorted((REPO / "tests").glob("test_*.py")):
+        rel = f"tests/{path.name}"
+        if rel not in listed:
+            print(f"fast_pytest: auto-adding unlisted {rel}", flush=True)
+            units.append((path.stem.replace("test_", ""), 10, [rel]))
+    return units
 
 
 def _assign(n_shards: int) -> list[list[tuple[str, float, list[str]]]]:
     """Greedy longest-processing-time: heaviest unit → lightest shard."""
     shards: list[list[tuple[str, float, list[str]]]] = [[] for _ in range(n_shards)]
     loads = [0.0] * n_shards
-    for unit in sorted(UNITS, key=lambda u: -u[1]):
+    for unit in sorted(_with_unlisted(), key=lambda u: -u[1]):
         i = loads.index(min(loads))
         shards[i].append(unit)
         loads[i] += unit[1]
