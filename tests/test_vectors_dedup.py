@@ -163,3 +163,107 @@ def test_k14b_signature_popcount_and_range(spark, sf_dir):
     for r in rows:
         assert 0 <= r["simhash32"] < (1 << 32)
         assert bin(r["simhash32"]).count("1") == r["n_set_bits"]
+
+
+# --- k18 char-n-gram jaccard (PPJoin + dup-cluster expansion) -------------------
+
+
+def _k18_brute_force(rows, n=10, t=0.7):
+    """Reference all-pairs jaccard with the oracle's length-ratio prune."""
+    import math
+
+    def grams(text):
+        hi = max(len(text) - (n - 1), 1)
+        return {text[i : i + n] for i in range(hi)}
+
+    gs = {r[0]: (grams(r[1]), r[2]) for r in rows}
+    out = {}
+    ids = sorted(gs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ga, na = gs[a]
+            gb, nb = gs[b]
+            if not (math.trunc(na * t) <= nb <= math.trunc(na / t)):
+                continue
+            inter = len(ga & gb)
+            jac = inter / (len(ga) + len(gb) - inter)
+            if jac >= t:
+                out[(a, b)] = round(jac, 6)
+    return out
+
+
+def _k18_fixture_dir(spark, tmp_path):
+    """Tiny corpus with exact-dup clusters AND near-dups: 3 copies of one
+    text (within-cluster pairs), 2 copies of a 1-char edit (cross-cluster
+    pairs between two clusters), one unrelated text."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("lazy", "hazy", 1)
+    other = "completely different content with nothing shared here " * 8
+    rows = [
+        (1, base), (2, base), (3, base),
+        (4, near), (5, near),
+        (6, other),
+    ]
+    data = [(i, s, "en", "synth", len(s)) for i, s in rows]
+    df = spark.createDataFrame(
+        data, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path), [(i, s, len(s)) for i, s in rows]
+
+
+def test_k18_matches_brute_force_with_dup_clusters(spark, tmp_path):
+    from upc_sku_data_loader_spark import plans  # noqa: F401
+    from upc_sku_data_loader_spark.registry import QUERIES
+
+    sf, rows = _k18_fixture_dir(spark, tmp_path)
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in QUERIES["k18_ngram_jaccard"](spark, sf).collect()
+    }
+    want = _k18_brute_force(rows)
+    assert got == want
+    # the fixture exercises both expansion kinds
+    assert (1, 2) in want and (2, 3) in want  # within-cluster (jaccard 1.0)
+    assert (3, 4) in want and (1, 5) in want  # cross-cluster near-dups
+    assert all(v == 1.0 for (a, b), v in want.items() if {a, b} <= {1, 2, 3})
+
+
+def test_k18_kernel_and_sql_fallback_agree(spark, sf_dir, monkeypatch):
+    """The broadcast-CSR kernel and the array_intersect fallback must be
+    value-identical (jaccard math stays in SQL on both paths)."""
+    from upc_sku_data_loader_spark import plans  # noqa: F401
+    from upc_sku_data_loader_spark.plans import llm
+    from upc_sku_data_loader_spark.registry import QUERIES
+
+    kernel = sorted(
+        tuple(r) for r in QUERIES["k18_ngram_jaccard"](spark, sf_dir).collect()
+    )
+    monkeypatch.setattr(llm, "_K18_KERNEL_MAX_DOCS", 0)
+    fallback = sorted(
+        tuple(r) for r in QUERIES["k18_ngram_jaccard"](spark, sf_dir).collect()
+    )
+    assert kernel == fallback
+    assert kernel  # non-vacuous at sf0.001
+
+
+def test_k18_kernel_dedups_across_arrow_batch_boundaries(spark, sf_dir):
+    """Duplicate candidate witnesses that straddle an Arrow batch boundary
+    must still be emitted once (the kernel carries the last pair across
+    batches)."""
+    from upc_sku_data_loader_spark import plans  # noqa: F401
+    from upc_sku_data_loader_spark.registry import QUERIES
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "2")
+    try:
+        tiny = sorted(
+            tuple(r) for r in QUERIES["k18_ngram_jaccard"](spark, sf_dir).collect()
+        )
+    finally:
+        spark.conf.set(key, old)
+    normal = sorted(
+        tuple(r) for r in QUERIES["k18_ngram_jaccard"](spark, sf_dir).collect()
+    )
+    assert tiny == normal

@@ -134,6 +134,11 @@ PY_OK = {
     "k5b_vector_centroid",
     "k47_coreset_fps",
     "d17_heavy_hitters",  # Misra-Gries partial-sketch merge kernel
+    # broadcast-CSR intersect-size kernel over the candidate pair
+    # stream (counts only; jaccard math stays in SQL) — the pure-SQL
+    # array_intersect verify allocates per-pair intersection arrays
+    # (~200 s at the 10× replica's 67.9M candidates)
+    "k18_ngram_jaccard",
 }
 
 SKIP = {

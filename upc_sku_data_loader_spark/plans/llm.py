@@ -635,6 +635,12 @@ def k17b_dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- K18: character-n-gram Jaccard near-dup pairs ------------------------------
+
+#: Verify-strategy switch: at most this many documents → collect the rep
+#: gram sets into a broadcast CSR and count intersections in a numpy
+#: kernel; above it → plain keyed joins + array_intersect (tests pin
+#: both paths to identical output by monkeypatching this to 0).
+_K18_KERNEL_MAX_DOCS = 2_000_000
 # Completes the dedup ladder (exact K1 → MinHash-LSH K2 → SimHash K14 →
 # token-Jaccard K9 → embedding K17) with the char-granularity tier that
 # catches near-dups token splitting misses (whitespace/punct edits).
@@ -683,17 +689,36 @@ def k18_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     — public algorithm), exact-verified on the survivors.
 
     Scale design, in candidate-shrink order:
+    0. exact-duplicate clustering — both contract predicates (length
+       ratio on n_chars, jaccard on the distinct-gram SET) depend only
+       on (grams, n_chars), so docs identical on that key are
+       interchangeable: PPJoin runs on one representative per cluster
+       and pairs expand algebraically afterwards (within-cluster pairs
+       are jaccard 1.0 by identity; cross-cluster pairs inherit the
+       rep pair's value).  At adversarial dup density — the 10× replica
+       carries ~10 exact copies per doc — this collapses the candidate
+       join quadratically (151M match rows → ~1.5M measured); at real
+       density every cluster is a singleton and the only cost is one
+       keyed window.  Clustering keys on the exact (grams, n_chars)
+       value, introducing NO new hash-collision class; a 100 TB
+       deployment would key on xxhash64(grams, n_chars) instead to
+       shuffle 8-byte keys;
     1. prefix filter — only the |X|-⌈t·|X|⌉+1 globally-rarest grams of
        each doc can open a candidate pair, so the self-join runs on a
-       sliver of the inverted index, keyed by gram hash;
+       sliver of the inverted index, keyed by gram hash (document
+       frequency is computed over representatives, which is still one
+       consistent global order — the only property the prefix theorem
+       needs);
     2. length filter INSIDE the join — |B| outside [t·|A|, |A|/t] can
        never reach t, pruned before the shuffle materializes the pair;
-    3. positional filter — for a shared prefix gram at ranks (px, py)
-       of docs sorted by one global gram order, overlap is provably
-       ≤ min(px,py)-1 + 1 + min(|A|-px, |B|-py); pairs whose tightest
-       such bound misses the required overlap t·(|A|+|B|)/(1+t) drop
-       before the expensive verify (no false negatives — every bound
-       is a true upper bound on |A∩B|).
+    3. positional filter INSIDE the join — for a shared prefix gram at
+       ranks (px, py) of docs sorted by one global gram order, overlap
+       is provably ≤ min(px,py)-1 + 1 + min(|A|-px, |B|-py); a match
+       row whose bound misses the required overlap t·(|A|+|B|)/(1+t)
+       is proof the pair fails, so it drops at generation (the min
+       aggregate over surviving witnesses then prunes the verify set
+       further — both are true upper bounds on |A∩B|, no false
+       negatives).
     Shingle width 10 keeps the gram space selective; at width 5 this
     corpus has ~2k distinct grams and EVERY prefix collides — the
     filters degrade to all-pairs (measured: 9.6M candidates at sf0.1
@@ -712,10 +737,25 @@ def k18_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hashed grams EVERYWHERE past extraction: 8-byte keys/arrays instead
     # of 10-char strings, for both the shuffle and the verify intersect
     # (64-bit collisions are negligible vs the 6-dp jaccard contract)
-    g = d.select(
+    docs = d.select(
         "doc_id",
         "n_chars",
         F.transform(grams, lambda s: F.xxhash64(s)).alias("grams"),
+    )
+    # tier 0: cluster exact (grams, n_chars) duplicates; rep = min doc_id.
+    # persist(): the clustered relation fans out to six DAG branches
+    # (inverted index, df stats, both join sides, both verify sides) and
+    # the char-gram extraction is the single most expensive map — without
+    # it Spark re-extracts per branch (measured ~50 s/pass at 10×)
+    docs = (
+        docs.withColumn(
+            "rep", F.min("doc_id").over(Window.partitionBy("grams", "n_chars"))
+        )
+        .persist()
+    )
+    members = docs.select("rep", "doc_id")
+    g = docs.filter(F.col("doc_id") == F.col("rep")).select(
+        "doc_id", "n_chars", "grams"
     )
     ex = g.select(
         "doc_id",
@@ -727,13 +767,30 @@ def k18_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = ex.groupBy("gr").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "gr")
     ranked = ex.join(dfreq, "gr").withColumn("pos", F.row_number().over(w))
-    # prefix theorem: J(A,B) ≥ t ⇒ prefixes of length |X|-ceil(t·|X|)+1 overlap
-    prefix = ranked.filter(
-        F.col("pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
-    ).select("doc_id", "n_chars", "sz", "df", "gr", "pos")
+    # prefix theorem: J(A,B) ≥ t ⇒ prefixes of length |X|-ceil(t·|X|)+1
+    # overlap.  persist(): both sides of the self-join read this relation
+    # and AQE does not reliably reuse the exchange under the window +
+    # join mix (0 ReusedExchange observed) — without it the df-ranking
+    # window runs twice.  ~175 MB at the 10× replica.
+    prefix = (
+        ranked.filter(
+            F.col("pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+        )
+        .select("doc_id", "n_chars", "sz", "df", "gr", "pos")
+        .persist()
+    )
     x, y = prefix.alias("x"), prefix.alias("y")
     # length filter inside the join: truncation must match the oracle's
     # TRUNC (DuckDB CAST rounds-to-nearest, Spark cast truncates — b2 rule).
+    # positional bound witnessed by this shared gram; pushed INTO the
+    # join: one failing witness proves the pair fails, so it never
+    # reaches the pair-count shuffle
+    pos_ubound = (
+        F.least(F.col("x.pos"), F.col("y.pos"))
+        - 1
+        + 1
+        + F.least(F.col("x.sz") - F.col("x.pos"), F.col("y.sz") - F.col("y.pos"))
+    )
     matches = x.join(
         y,
         (F.col("x.gr") == F.col("y.gr"))
@@ -741,47 +798,157 @@ def k18_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("y.n_chars").between(
             (F.col("x.n_chars") * t).cast("bigint"),
             (F.col("x.n_chars") / t).cast("bigint"),
+        )
+        & (
+            pos_ubound
+            >= F.lit(t) * (F.col("x.sz") + F.col("y.sz")) / F.lit(1 + t)
         ),
     ).select(
         F.col("x.doc_id").alias("a"),
         F.col("y.doc_id").alias("b"),
-        F.col("x.sz").alias("sza"),
-        F.col("y.sz").alias("szb"),
-        # positional upper bound on |A∩B| witnessed by this shared gram
-        (
-            F.least(F.col("x.pos"), F.col("y.pos"))
-            - 1
-            + 1
-            + F.least(
-                F.col("x.sz") - F.col("x.pos"), F.col("y.sz") - F.col("y.pos")
+    )
+    # per-witness positional pruning makes the min-ubound aggregate
+    # redundant (every surviving witness already satisfies the bound, so
+    # the min does too — measured at 10×: 67.90M distinct pairs vs
+    # 67.84M under the strictly-stronger all-witness min, a 0.1% gap
+    # not worth pushing 151M unfiltered rows through the aggregate).
+    # NO .distinct() here: the verify kernel dedups consecutive pairs
+    # after its own (a)-keyed repartition + sort, saving a full
+    # 67.9M-row shuffle; the SQL fallback path dedups explicitly.
+    cands = matches.select("a", "b")
+    # exact verify on the surviving representative candidates.  Two
+    # strategies, k17's broadcast→blocked auto-switch idiom:
+    #
+    # small reps (≤2M): the candidate stream at adversarial dup density
+    # (67.9M pairs at the 10× replica) must not drag a ~2.3 KB gram
+    # array through pair-keyed joins — per-pair array_intersect alone
+    # measured ~200 s there (it allocates the intersection array when
+    # only its SIZE is needed).  Instead the rep gram sets are packed
+    # once into a dense-id CSR (vocab is np.unique of the gram hashes)
+    # and broadcast (~60 MB at 50k reps); a mapInPandas kernel streams
+    # the 16-byte pairs sorted by `a`, builds a boolean vocab LUT per
+    # `a`-group, and counts hits for all its `b` rows in one ragged
+    # gather + reduceat (no per-row Python work — the k3 lesson).  Only
+    # integer intersect sizes come back; the jaccard division, the ≥t
+    # filter and the 6-dp round stay in Spark SQL so the arithmetic is
+    # bit-identical to the pure-SQL path below.
+    #
+    # large reps: the CSR outgrows a broadcast, fall back to plain
+    # keyed joins + array_intersect (correct at any scale, just not the
+    # fast path).
+    if d.count() <= _K18_KERNEL_MAX_DOCS:  # parquet metadata count — no scan
+        import numpy as np
+        import pandas as pd
+
+        tbl = g.select("doc_id", "grams").toArrow()
+        doc_ids = tbl["doc_id"].to_numpy()
+        lists = tbl["grams"].combine_chunks()
+        flat = lists.flatten().to_numpy()
+        offsets = lists.offsets.to_numpy().astype(np.int64)
+        indptr = offsets - offsets[0]  # flatten() re-bases a sliced array
+        vocab, dense = np.unique(flat, return_inverse=True)
+        indices = dense.astype(np.uint32)
+        perm = np.argsort(doc_ids)
+        ids_sorted = doc_ids[perm]
+        bc = spark.sparkContext.broadcast(
+            (ids_sorted, perm.astype(np.int64), indptr, indices, len(vocab))
+        )
+
+        def intersect_sizes(batches):
+            ids_s, pm, ip, ind, nvocab = bc.value
+            lut = np.zeros(nvocab, dtype=bool)
+            prev_a = prev_b = None  # last pair of the previous batch
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                a = pdf["a"].to_numpy()
+                b = pdf["b"].to_numpy()
+                # input arrives sorted by (a, b) within the partition, so
+                # duplicate witnesses of a pair are consecutive; drop them
+                # here instead of a dedicated 67.9M-row distinct shuffle
+                keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+                if prev_a is not None and a[0] == prev_a and b[0] == prev_b:
+                    keep[0] = False
+                prev_a, prev_b = int(a[-1]), int(b[-1])
+                if not keep.all():
+                    a, b = a[keep], b[keep]
+                if not len(a):
+                    continue
+                ra = pm[np.searchsorted(ids_s, a)]
+                rb = pm[np.searchsorted(ids_s, b)]
+                inter = np.zeros(len(a), dtype=np.int64)
+                bounds = np.flatnonzero(np.r_[True, a[1:] != a[:-1], True])
+                for gi in range(len(bounds) - 1):
+                    s0, s1 = int(bounds[gi]), int(bounds[gi + 1])
+                    arow = ind[ip[ra[s0]] : ip[ra[s0] + 1]]
+                    lut[arow] = True
+                    rbs = rb[s0:s1]
+                    starts = ip[rbs]
+                    seg = ip[rbs + 1] - starts
+                    offs = np.cumsum(seg) - seg
+                    pos = (
+                        np.arange(int(seg.sum()), dtype=np.int64)
+                        - np.repeat(offs, seg)
+                        + np.repeat(starts, seg)
+                    )
+                    inter[s0:s1] = np.add.reduceat(lut[ind[pos]], offs)
+                    lut[arow] = False
+                yield pd.DataFrame(
+                    {
+                        "a": a,
+                        "b": b,
+                        "inter": inter,
+                        "sza": ip[ra + 1] - ip[ra],
+                        "szb": ip[rb + 1] - ip[rb],
+                    }
+                )
+
+        stats = (
+            cands.repartition(spark.sparkContext.defaultParallelism, "a")
+            .sortWithinPartitions("a", "b")
+            .mapInPandas(
+                intersect_sizes, "a long, b long, inter long, sza long, szb long"
             )
-        ).alias("ubound"),
-    )
-    cands = (
-        matches.groupBy("a", "b")
-        .agg(
-            F.first("sza").alias("sza"),
-            F.first("szb").alias("szb"),
-            F.min("ubound").alias("ubound"),
         )
-        .filter(
-            F.col("ubound")
-            >= F.lit(t) * (F.col("sza") + F.col("szb")) / F.lit(1 + t)
+        inter = F.col("inter").cast("double")
+        union = (F.col("sza") + F.col("szb")).cast("double") - inter
+        jac = inter / union
+        rep_pairs = stats.filter(jac >= t).select(
+            "a", "b", F.round(jac, 6).alias("jaccard")
         )
-        .select("a", "b")
+    else:
+        ga = g.select(F.col("doc_id").alias("a"), F.col("grams").alias("gra"))
+        gb = g.select(F.col("doc_id").alias("b"), F.col("grams").alias("grb"))
+        inter = F.size(F.array_intersect("gra", "grb")).cast("double")
+        union = (F.size("gra") + F.size("grb")).cast("double") - inter
+        jac = inter / union
+        rep_pairs = (
+            cands.distinct()
+            .join(ga, "a")
+            .join(gb, "b")
+            .filter(jac >= t)
+            .select("a", "b", F.round(jac, 6).alias("jaccard"))
+        )
+    # tier-0 expansion: every member pair of a rep pair's two clusters
+    # shares the rep value (same gram sets, same n_chars — both contract
+    # predicates identical); within-cluster pairs are 1.0 by identity
+    m1 = members.select(F.col("rep").alias("a"), F.col("doc_id").alias("ma"))
+    m2 = members.select(F.col("rep").alias("b"), F.col("doc_id").alias("mb"))
+    cross = rep_pairs.join(m1, "a").join(m2, "b").select(
+        F.least("ma", "mb").alias("a"),
+        F.greatest("ma", "mb").alias("b"),
+        "jaccard",
     )
-    # exact verify on the (few) surviving candidates
-    ga = g.select(F.col("doc_id").alias("a"), F.col("grams").alias("gra"))
-    gb = g.select(F.col("doc_id").alias("b"), F.col("grams").alias("grb"))
-    inter = F.size(F.array_intersect("gra", "grb")).cast("double")
-    union = (F.size("gra") + F.size("grb")).cast("double") - inter
-    jac = inter / union
-    return (
-        cands.join(ga, "a")
-        .join(gb, "b")
-        .filter(jac >= t)
-        .select("a", "b", F.round(jac, 6).alias("jaccard"))
+    u, v = members.alias("u"), members.alias("v")
+    within = u.join(
+        v,
+        (F.col("u.rep") == F.col("v.rep")) & (F.col("u.doc_id") < F.col("v.doc_id")),
+    ).select(
+        F.col("u.doc_id").alias("a"),
+        F.col("v.doc_id").alias("b"),
+        F.lit(1.0).alias("jaccard"),
     )
+    return cross.unionByName(within)
 
 
 # --- K19: end-to-end curation pipeline ------------------------------------------
