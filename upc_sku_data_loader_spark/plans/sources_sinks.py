@@ -2132,7 +2132,16 @@ def a25_jdbc_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     url = f"jdbc:derby:{db};create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     src = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    src.coalesce(2).write.mode("overwrite").format("jdbc").option(
+    # Adaptive insert parallelism: embedded Derby's per-connection insert
+    # throughput (~16k rows/s) floors the fixture load at scale and
+    # scales with writers (10× replica, 1.5M rows: 2 conns 47 s → 8
+    # conns 26 s; 16/32 no better), but extra connections are pure
+    # overhead on small loads (sf0.1, 150k rows: 8 conns 4.7 s vs 2
+    # conns 2.1 s) — so one writer per ~200k rows, clamped to [2, 8].
+    # The row count is a parquet metadata lookup, not a scan.  The
+    # operator under test is the partitioned READ below (3.3 s at 10×).
+    n_writers = max(2, min(8, int(src.count()) // 200_000 + 1))
+    src.coalesce(n_writers).write.mode("overwrite").format("jdbc").option(
         "url", url
     ).option("dbtable", "ORDERS_LOAD").options(**props).save()
     bounds = src.agg(
