@@ -239,12 +239,54 @@ def test_k18_kernel_and_sql_fallback_agree(spark, sf_dir, monkeypatch):
     kernel = sorted(
         tuple(r) for r in QUERIES["k18_ngram_jaccard"](spark, sf_dir).collect()
     )
-    monkeypatch.setattr(llm, "_K18_KERNEL_MAX_DOCS", 0)
+    monkeypatch.setattr(llm, "_K18_KERNEL_MAX_REPS", 0)
     fallback = sorted(
         tuple(r) for r in QUERIES["k18_ngram_jaccard"](spark, sf_dir).collect()
     )
     assert kernel == fallback
     assert kernel  # non-vacuous at sf0.001
+
+
+def test_k18_expansion_reapplies_directional_length_filter(spark, tmp_path, monkeypatch):
+    """Truncation makes the oracle's length filter direction-dependent —
+    n=(15,10): 10 ∈ [trunc(10.4999...)=10, trunc(21.4)] passes, but
+    reversed 15 > trunc(10/0.7) = 14 fails.  Exact-dup expansion can flip
+    pair direction vs the rep pair, so candidates must be generated with
+    the symmetrized filter and the directional filter re-applied per
+    expanded pair.  Both failure sides regress here, on both verify
+    strategies: the MISS side (rep direction fails, a member direction
+    passes) and the GHOST side (rep direction passes, a member direction
+    fails).  All same-letter docs share the single distinct 10-gram, so
+    every candidate pair has jaccard exactly 1.0 and only the length
+    filter decides membership."""
+    from upc_sku_data_loader_spark import plans  # noqa: F401
+    from upc_sku_data_loader_spark.plans import llm
+    from upc_sku_data_loader_spark.registry import QUERIES
+
+    rows = [
+        # miss side: cluster {1,4} (len 10) vs {2} (len 15) — rep pair
+        # (1,2) fails the directional filter, member pair (2,4) passes
+        (1, "x" * 10), (2, "x" * 15), (4, "x" * 10),
+        # ghost side: cluster {5,7} (len 15) vs {6} (len 10) — rep pair
+        # (5,6) passes, member pair (6,7) fails
+        (5, "y" * 15), (6, "y" * 10), (7, "y" * 15),
+    ]
+    data = [(i, s, "en", "synth", len(s)) for i, s in rows]
+    spark.createDataFrame(
+        data, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    want = _k18_brute_force([(i, s, len(s)) for i, s in rows])
+    assert (2, 4) in want and (5, 6) in want  # miss side must be found
+    assert (1, 2) not in want and (6, 7) not in want  # ghost side must not
+    for max_reps in (llm._K18_KERNEL_MAX_REPS, 0):  # kernel, then fallback
+        monkeypatch.setattr(llm, "_K18_KERNEL_MAX_REPS", max_reps)
+        got = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in QUERIES["k18_ngram_jaccard"](spark, str(tmp_path)).collect()
+        }
+        assert got == want
 
 
 def test_k18_kernel_dedups_across_arrow_batch_boundaries(spark, sf_dir):

@@ -636,11 +636,17 @@ def k17b_dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- K18: character-n-gram Jaccard near-dup pairs ------------------------------
 
-#: Verify-strategy switch: at most this many documents → collect the rep
+#: Verify-strategy switch: at most this many REPRESENTATIVES (post
+#: exact-dup clustering, the thing actually collected) AND a CSR whose
+#: estimated broadcast footprint fits the byte ceiling → collect the rep
 #: gram sets into a broadcast CSR and count intersections in a numpy
-#: kernel; above it → plain keyed joins + array_intersect (tests pin
-#: both paths to identical output by monkeypatching this to 0).
-_K18_KERNEL_MAX_DOCS = 2_000_000
+#: kernel; otherwise → plain keyed joins + array_intersect (tests pin
+#: both paths to identical output by monkeypatching the rep cap to 0).
+#: Driver memory scales with the gram footprint, not the doc count
+#: (~60 MB at 50k reps extrapolates to ~2.4 GB at 2M), so the gate is
+#: byte-based, not row-based.
+_K18_KERNEL_MAX_REPS = 2_000_000
+_K18_KERNEL_MAX_BYTES = 512 * 2**20
 # Completes the dedup ladder (exact K1 → MinHash-LSH K2 → SimHash K14 →
 # token-Jaccard K9 → embedding K17) with the char-granularity tier that
 # catches near-dups token splitting misses (whitespace/punct edits).
@@ -694,8 +700,10 @@ def k18_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
        on (grams, n_chars), so docs identical on that key are
        interchangeable: PPJoin runs on one representative per cluster
        and pairs expand algebraically afterwards (within-cluster pairs
-       are jaccard 1.0 by identity; cross-cluster pairs inherit the
-       rep pair's value).  At adversarial dup density — the 10× replica
+       are jaccard 1.0 by identity; cross-cluster pairs inherit the rep
+       pair's JACCARD, while the directional length filter is
+       re-applied per expanded pair — it depends on doc_id order, which
+       expansion can flip).  At adversarial dup density — the 10× replica
        carries ~10 exact copies per doc — this collapses the candidate
        join quadratically (151M match rows → ~1.5M measured); at real
        density every cluster is a singleton and the only cost is one
@@ -709,8 +717,10 @@ def k18_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
        frequency is computed over representatives, which is still one
        consistent global order — the only property the prefix theorem
        needs);
-    2. length filter INSIDE the join — |B| outside [t·|A|, |A|/t] can
-       never reach t, pruned before the shuffle materializes the pair;
+    2. length filter INSIDE the join (symmetrized, both directions
+       OR-ed) — a pair outside the length window in BOTH directions can
+       never pass the oracle's directional filter for any member
+       ordering, pruned before the shuffle materializes the pair;
     3. positional filter INSIDE the join — for a shared prefix gram at
        ranks (px, py) of docs sorted by one global gram order, overlap
        is provably ≤ min(px,py)-1 + 1 + min(|A|-px, |B|-py); a match
@@ -753,7 +763,10 @@ def k18_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    members = docs.select("rep", "doc_id")
+    # n_chars rides along so the oracle's DIRECTIONAL length filter can be
+    # re-applied per expanded pair (members of one cluster all share the
+    # rep's exact n_chars — it is part of the cluster key)
+    members = docs.select("rep", "doc_id", "n_chars")
     g = docs.filter(F.col("doc_id") == F.col("rep")).select(
         "doc_id", "n_chars", "grams"
     )
@@ -780,8 +793,20 @@ def k18_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     x, y = prefix.alias("x"), prefix.alias("y")
-    # length filter inside the join: truncation must match the oracle's
-    # TRUNC (DuckDB CAST rounds-to-nearest, Spark cast truncates — b2 rule).
+    # length filter inside the join, SYMMETRIZED (OR of both directions):
+    # the oracle's TRUNC filter is directional (evaluated with a = the
+    # smaller doc_id), and truncation makes it asymmetric at boundaries —
+    # e.g. n=(100,70): 70 ∈ [trunc(70), trunc(142.8)] passes but reversed
+    # 100 > trunc(70/0.7)=99 fails.  Rep doc_id order need not match the
+    # expanded member pairs' order (a member of the low-rep cluster can
+    # out-number a member of the high-rep cluster), so candidate
+    # generation must admit EITHER direction; the oracle's directional
+    # filter is re-applied per expanded pair after least/greatest
+    # ordering below.  Truncation must match the oracle's TRUNC (DuckDB
+    # CAST rounds-to-nearest, Spark cast truncates — b2 rule).
+    def _len_ok(na, nb):
+        return nb.between((na * t).cast("bigint"), (na / t).cast("bigint"))
+
     # positional bound witnessed by this shared gram; pushed INTO the
     # join: one failing witness proves the pair fails, so it never
     # reaches the pair-count shuffle
@@ -795,9 +820,9 @@ def k18_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         y,
         (F.col("x.gr") == F.col("y.gr"))
         & (F.col("x.doc_id") < F.col("y.doc_id"))
-        & F.col("y.n_chars").between(
-            (F.col("x.n_chars") * t).cast("bigint"),
-            (F.col("x.n_chars") / t).cast("bigint"),
+        & (
+            _len_ok(F.col("x.n_chars"), F.col("y.n_chars"))
+            | _len_ok(F.col("y.n_chars"), F.col("x.n_chars"))
         )
         & (
             pos_ubound
@@ -836,7 +861,19 @@ def k18_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # large reps: the CSR outgrows a broadcast, fall back to plain
     # keyed joins + array_intersect (correct at any scale, just not the
     # fast path).
-    if d.count() <= _K18_KERNEL_MAX_DOCS:  # parquet metadata count — no scan
+    #
+    # Gate on what is actually collected: the representative count and
+    # the CSR's estimated bytes (4 B/uint32 gram occurrence + ~32 B/rep
+    # of int64 ids/perm/indptr), NOT the raw doc count — at adversarial
+    # dup density reps << docs and the kernel stays cheap, while a
+    # long-document corpus can blow the broadcast well under any row
+    # cap.  One aggregate job over the persisted clustered relation;
+    # both strategies reuse the cache so nothing is computed twice.
+    n_reps, n_gram_occ = g.select(
+        F.count(F.lit(1)), F.coalesce(F.sum(F.size("grams")), F.lit(0))
+    ).first()
+    csr_bytes = 4 * n_gram_occ + 32 * n_reps
+    if n_reps <= _K18_KERNEL_MAX_REPS and csr_bytes <= _K18_KERNEL_MAX_BYTES:
         import numpy as np
         import pandas as pd
 
@@ -930,16 +967,38 @@ def k18_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("a", "b", F.round(jac, 6).alias("jaccard"))
         )
     # tier-0 expansion: every member pair of a rep pair's two clusters
-    # shares the rep value (same gram sets, same n_chars — both contract
-    # predicates identical); within-cluster pairs are 1.0 by identity
-    m1 = members.select(F.col("rep").alias("a"), F.col("doc_id").alias("ma"))
-    m2 = members.select(F.col("rep").alias("b"), F.col("doc_id").alias("mb"))
-    cross = rep_pairs.join(m1, "a").join(m2, "b").select(
-        F.least("ma", "mb").alias("a"),
-        F.greatest("ma", "mb").alias("b"),
-        "jaccard",
+    # shares the rep value (same gram sets, same n_chars — the jaccard is
+    # identical); within-cluster pairs are 1.0 by identity.  The oracle's
+    # DIRECTIONAL length filter is re-applied per expanded pair on its
+    # least/greatest doc_id order — the rep pair's direction may be the
+    # reverse of a member pair's, and truncation makes the filter
+    # asymmetric at boundaries, so inheriting the rep pair's filter
+    # verdict would both emit pairs the oracle excludes and miss pairs it
+    # includes (candidate generation above is symmetrized to cover the
+    # miss side).
+    m1 = members.select(
+        F.col("rep").alias("a"), F.col("doc_id").alias("ma"),
+        F.col("n_chars").alias("na"),
+    )
+    m2 = members.select(
+        F.col("rep").alias("b"), F.col("doc_id").alias("mb"),
+        F.col("n_chars").alias("nb"),
+    )
+    lo_n = F.when(F.col("ma") < F.col("mb"), F.col("na")).otherwise(F.col("nb"))
+    hi_n = F.when(F.col("ma") < F.col("mb"), F.col("nb")).otherwise(F.col("na"))
+    cross = (
+        rep_pairs.join(m1, "a")
+        .join(m2, "b")
+        .filter(_len_ok(lo_n, hi_n))
+        .select(
+            F.least("ma", "mb").alias("a"),
+            F.greatest("ma", "mb").alias("b"),
+            "jaccard",
+        )
     )
     u, v = members.alias("u"), members.alias("v")
+    # within-cluster: identical n_chars always passes the length filter
+    # (trunc(n·t) ≤ n ≤ trunc(n/t) for every n ≥ 1 at t = 0.7)
     within = u.join(
         v,
         (F.col("u.rep") == F.col("v.rep")) & (F.col("u.doc_id") < F.col("v.doc_id")),
