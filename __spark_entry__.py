@@ -79,10 +79,6 @@ ROUND7_PLAN = [
     "i19_stream_txn_sink",
 ]
 
-# The active driver window IS the pinned round-7 plan (rotated 2026-08-15
-# per the r6 verdict item 1; tools/window_plan.py validates the pin).
-_PRIORITY = list(ROUND7_PLAN)
-
 # The 3 hash-checkable names that spill to round-8 slots 1-3.
 ROUND8_SPILL = ["t17_survival_km", "t18_peak_detection", "t20_theil_sen"]
 
@@ -112,6 +108,41 @@ ROUND8_PLAN = [
     "k1_dedup_exact_hash", "k3_similarity_topk", "k4_knn_join",
     "k5_vector_ops", "k6_tokenize_normalize", "k7_term_freq_tfidf",
     "a1_parquet_scan", "a2_csv_source",
+]
+
+# The active driver window IS the pinned round-8 plan (rotated 2026-08-15
+# per the r7 verdict item 1: CORRECTNESS_r07 landed 50/50 green on
+# ROUND7_PLAN, so the pre-computed ROUND8_PLAN ships verbatim;
+# tools/window_plan.py validates the pin).
+_PRIORITY = list(ROUND8_PLAN)
+
+# Pinned round-9 window, computed by tools/window_plan.plan(9, ledger)
+# UNDER THE ASSUMPTION that CORRECTNESS_r08 lands 50/50 green on
+# ROUND8_PLAN.  With the spill trio green, every hash-checkable name has
+# a driver-green row, so maintenance rotation continues: the 48 names
+# whose latest driver-green is r2, alphabetical, then the first two r3
+# names.  If any r8 name lands red, REGENERATE with
+# `python tools/window_plan.py --round 9` — reds outrank re-checks.
+# All 50 pre-validated through the Arrow driver-fetch replay in round 8
+# (tools/driver_fetch_replay.py; log in SCALING.md).
+ROUND9_PLAN = [
+    "a3_json_source", "a4_rest_api_source", "a5_a7_db_upsert_roundtrip",
+    "a8_parquet_sink", "a9_stream_source", "b2_cast",
+    "d4_agg_approx_count_distinct", "d8_agg_collect", "e1_win_row_number",
+    "e2_win_rank_dense", "e3_win_ntile", "e4_win_lag_lead",
+    "e5_win_running_sum", "e6_win_moving_avg", "e7_win_range_frame",
+    "e8_win_first_last_over", "etl_load_upcs", "f1_sort_multi",
+    "f2_limit", "f3_topk_global", "f4_topk_per_group",
+    "g1_union_all", "g2_intersect", "g3_except",
+    "g4_distinct", "h10_hash", "h1_string_basics",
+    "h2_string_regex", "h3_string_distance", "h4_datetime",
+    "h5_math", "h6_conditional", "h7_array_hof",
+    "h8_map", "h9_json", "i9_foreachbatch_upsert",
+    "j1_python_udf", "j2_pandas_udf_scalar", "j3_pandas_udaf",
+    "j4_grouped_map", "j5_map_in_pandas", "j6_python_udtf",
+    "k10_lang_id", "k15_multimodal_features", "k2_dedup_near_minhash",
+    "k5b_vector_centroid", "k8_text_stats_by_lang", "k9_doc_similarity_pairs",
+    "a10_orc_roundtrip", "a11_text_source",
 ]
 
 # Contract rows-only trio — never eligible for a driver window (each has a

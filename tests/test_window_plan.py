@@ -32,7 +32,7 @@ def test_pinned_plans_partition_the_registry():
         f"gap: {sorted(set(QUERIES) - union)}; extra: {sorted(union - set(QUERIES))}"
     )
     assert sum(len(g) for g in groups) == len(QUERIES), "overlap between groups"
-    assert entrymod._PRIORITY == entrymod.ROUND7_PLAN  # rotation shipped verbatim
+    assert entrymod._PRIORITY == entrymod.ROUND8_PLAN  # r8 rotation shipped verbatim
     assert len(entrymod.ROUND7_PLAN) == WINDOW
     assert len(entrymod.ROUND8_SPILL) == 3
     # rows-only trio is exactly the un-oracled set
@@ -50,9 +50,9 @@ def test_pinned_round8_plan_matches_planner_under_green_r7():
     only pins the green-r7 scenario."""
     ledger = load_ledger()
     if any(rnd >= 7 for rnd, _ in ledger.values()):
-        # real r7 results recorded: the authoritative check is the live
-        # planner output, not the simulated one
-        assert plan(8, load_ledger()) == entrymod.ROUND8_PLAN or True
+        # real r7 results recorded (50/50 green): the live planner output
+        # must equal the pinned constant — assert it for real
+        assert plan(8, ledger) == entrymod.ROUND8_PLAN
         return
     for n in entrymod.ROUND7_PLAN:
         ledger[n] = (7, True)
@@ -60,6 +60,21 @@ def test_pinned_round8_plan_matches_planner_under_green_r7():
     assert entrymod.ROUND8_PLAN[:3] == entrymod.ROUND8_SPILL
     assert len(set(entrymod.ROUND8_PLAN)) == WINDOW
     assert all(n in ORACLES for n in entrymod.ROUND8_PLAN)
+
+
+def test_pinned_round9_plan_matches_planner_under_green_r8():
+    """ROUND9_PLAN is the planner's round-9 output under the assumption
+    CORRECTNESS_r08 lands 50/50 green on ROUND8_PLAN (the shipped window).
+    If r8 lands any red, the constant must be regenerated — this test
+    only pins the green-r8 scenario (and switches to the live planner
+    output once real r8 results are recorded)."""
+    ledger = load_ledger()
+    if not any(rnd >= 8 for rnd, _ in ledger.values()):
+        for n in entrymod.ROUND8_PLAN:
+            ledger[n] = (8, True)
+    assert plan(9, ledger) == entrymod.ROUND9_PLAN
+    assert len(set(entrymod.ROUND9_PLAN)) == WINDOW
+    assert all(n in ORACLES for n in entrymod.ROUND9_PLAN)
 
 
 def test_planner_round8_shape():
