@@ -102,6 +102,19 @@ def _assign(n_shards: int) -> list[list[tuple[str, float, list[str]]]]:
     return [s for s in shards if s]
 
 
+def _clear_stale_shard_logs(n_shards: int, scratch: Path) -> None:
+    """Delete ``_shard*.log`` beyond the current shard count before
+    launching: a stale log from an earlier wider run (e.g. a 6-shard
+    session followed by a 4-shard one) reads as a phantom failure to
+    anyone tallying ``_shard*.log`` files (r7 verdict hygiene item)."""
+    import re
+
+    for log in scratch.glob("_shard*.log"):
+        m = re.fullmatch(r"_shard(\d+)\.log", log.name)
+        if m and int(m.group(1)) >= n_shards:
+            log.unlink()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("-n", "--shards", type=int, default=4)
@@ -109,6 +122,7 @@ def main() -> int:
     args = ap.parse_args()
 
     shards = _assign(args.shards)
+    _clear_stale_shard_logs(len(shards), REPO / ".scratch")
     procs = []
     t0 = time.time()
     for i, units in enumerate(shards):

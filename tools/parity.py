@@ -108,15 +108,23 @@ def compare_one(
         import threading
 
         done = threading.Event()
+        fired = threading.Event()
 
         def _interrupt() -> None:
             # re-check right before interrupting: fetchall() may have just
             # returned, and a late interrupt would otherwise land on the
-            # NEXT entry's oracle (judge-flagged race, ADVICE r6)
+            # NEXT entry's oracle (judge-flagged race, ADVICE r6).  The
+            # re-check only narrows that race — fetchall() can still return
+            # between it and con.interrupt() — so `fired` records that the
+            # interrupt was (or is about to be) delivered and main()
+            # recycles the connection whenever it is set, regardless of
+            # this entry's status (ADVICE r7: the TOCTOU is closed by
+            # recycling, not by checking).
             if not done.wait(oracle_timeout) and not done.is_set():
+                fired.set()
                 con.interrupt()
 
-        watchdog = (threading.Thread(target=_interrupt, daemon=True), done)
+        watchdog = (threading.Thread(target=_interrupt, daemon=True), done, fired)
         watchdog[0].start()
     t0 = time.time()
     # Type-gate the oracle side BEFORE value comparison: the driver's
@@ -126,20 +134,23 @@ def compare_one(
     # tools/oracle_types.SAFE and the contract test.
     from tools.oracle_types import SAFE as _SAFE_DUCK_TYPES
 
-    rel = con.sql(sql)
-    bad_types = [
-        f"{c}->{t}"
-        for c, t in zip(rel.columns, rel.types)
-        if str(t) not in _SAFE_DUCK_TYPES
-    ]
-    if bad_types:
-        out["status"] = "FAIL_ORACLE_TYPE"
-        out["detail"] = (
-            "driver-unsafe DuckDB output types (CAST at oracle edge): "
-            + ", ".join(bad_types)
-        )
-        return out
+    # every exit path below must pass through the finally: it disarms the
+    # watchdog (a return that skips done.set() would leave the timer live
+    # to interrupt a LATER entry's oracle) and records whether it fired
     try:
+        rel = con.sql(sql)
+        bad_types = [
+            f"{c}->{t}"
+            for c, t in zip(rel.columns, rel.types)
+            if str(t) not in _SAFE_DUCK_TYPES
+        ]
+        if bad_types:
+            out["status"] = "FAIL_ORACLE_TYPE"
+            out["detail"] = (
+                "driver-unsafe DuckDB output types (CAST at oracle edge): "
+                + ", ".join(bad_types)
+            )
+            return out
         cur = con.execute(sql)
         ocols_raw = [d[0] for d in cur.description]
         orecs = cur.fetchall()
@@ -150,6 +161,10 @@ def compare_one(
     finally:
         if watchdog:
             watchdog[1].set()
+            # the thread is at most a few instructions from exiting once
+            # `done` is set; joining makes `fired` final before we read it
+            watchdog[0].join(timeout=5.0)
+            out["watchdog_fired"] = watchdog[2].is_set()
     out["duck_sec"] = round(time.time() - t0, 3)
     out["duck_rows"] = len(orecs)
     scols, srows = canon_rows(sdf.columns, srecs)
@@ -250,13 +265,21 @@ def main() -> int:
             n_rows_only += 1
         elif status == "ORACLE_TIMEOUT":
             n_otimeout += 1
-            # discard the interrupted connection: residual interrupt state
-            # must not leak into the next entry's oracle (ADVICE r6)
-            con.close()
-            con = duck_connect(args.sf)
         else:
             n_fail += 1
             failures.append(r)
+        if status == "ORACLE_TIMEOUT" or r.get("watchdog_fired"):
+            # discard the connection whenever the watchdog delivered (or was
+            # about to deliver) an interrupt — even if fetchall() won the
+            # race and the entry PASSed, residual interrupt state must not
+            # leak into the next entry's oracle (ADVICE r6 + r7)
+            con.close()
+            con = duck_connect(args.sf)
+        # release blocks persisted inside query builds (e.g. k18's clustered
+        # docs/prefix relations): entries are independent, and without this
+        # a 339-entry sweep accumulates session-lifetime cached blocks
+        # (ADVICE r7, llm.py persist scope)
+        spark.catalog.clearCache()
         line = f"{status:12s} {name:36s} rows={r.get('spark_rows', '?'):>6} spark={r.get('spark_sec', '?')}s"
         print(line, flush=True)
         if status not in ("PASS", "ROWS_ONLY") and "detail" in r:

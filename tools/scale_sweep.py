@@ -97,6 +97,10 @@ def main() -> int:
             errors.append((name, msg))
             print(f"[{i}/{len(names)}] {name}: ERROR {msg}", flush=True)
             continue
+        finally:
+            # entries are independent — drop blocks persisted inside query
+            # builds (e.g. k18) between entries (reps stay warm within one)
+            spark.catalog.clearCache()
         ratio = t_scaled / t_base if t_base > 0 else float("inf")
         rec = {"name": name, "base_sec": round(t_base, 3),
                "scaled_sec": round(t_scaled, 3), "ratio": round(ratio, 2),
