@@ -289,6 +289,46 @@ def test_k18_expansion_reapplies_directional_length_filter(spark, tmp_path, monk
         assert got == want
 
 
+def test_k18_matches_brute_force_on_seeded_random_corpora(spark, tmp_path):
+    """Seeded randomized stress over the whole predicate surface: a tiny
+    two-letter alphabet forces heavy gram collisions (prefix filter
+    degenerates), lengths 1..40 hit many TRUNC-asymmetric length pairs
+    (and sub-gram-width docs whose gram set is the whole text), and
+    injected exact dups permute doc_id order so expansion must flip pair
+    direction.  Deterministic seeds — no flake, reproducible failures."""
+    import random
+
+    from upc_sku_data_loader_spark import plans  # noqa: F401
+    from upc_sku_data_loader_spark.registry import QUERIES
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        texts = [
+            "".join(rng.choice("xy") for _ in range(rng.randint(1, 40)))
+            for _ in range(8)
+        ]
+        # exact dups of two random texts, ids interleaved so a dup's id can
+        # fall on either side of another cluster's members
+        texts += [texts[rng.randrange(8)], texts[rng.randrange(8)]]
+        ids = list(range(1, len(texts) + 1))
+        rng.shuffle(ids)
+        rows = list(zip(ids, texts))
+        data = [(i, s, "en", "synth", len(s)) for i, s in rows]
+        out = tmp_path / f"seed{seed}"
+        spark.createDataFrame(
+            data, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(out / "documents.parquet")
+        )
+        got = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in QUERIES["k18_ngram_jaccard"](spark, str(out)).collect()
+        }
+        want = _k18_brute_force([(i, s, len(s)) for i, s in rows])
+        assert want  # the injected exact dups guarantee ≥1 pair per seed
+        assert got == want, f"seed {seed}: got {got} want {want}"
+
+
 def test_k18_kernel_dedups_across_arrow_batch_boundaries(spark, sf_dir):
     """Duplicate candidate witnesses that straddle an Arrow batch boundary
     must still be emitted once (the kernel carries the last pair across
