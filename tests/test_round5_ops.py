@@ -347,6 +347,77 @@ def test_k54_containment_threshold_and_no_self_pairs(spark, sf_dir):
     )
 
 
+def _k54_brute_force(rows, n=8, df_cap=64, num=4, den=5):
+    """Reference containment pairs mirroring the k54 contract: distinct
+    word-8-gram sets, boilerplate df-cap BEFORE pairing, integer threshold
+    shared·den ≥ num·|contained|, half-up micro-unit fraction."""
+    grams = {}
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        if len(toks) >= n:
+            gs = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            if gs:
+                grams[doc_id] = gs
+    df = {}
+    for gs in grams.values():
+        for g in gs:
+            df[g] = df.get(g, 0) + 1
+    kept = {
+        d: {g for g in gs if df[g] <= df_cap} for d, gs in grams.items()
+    }
+    kept = {d: gs for d, gs in kept.items() if gs}
+    out = {}
+    for a, ga in kept.items():  # a = contained
+        for b, gb in kept.items():
+            if a == b:
+                continue
+            shared = len(ga & gb)
+            if shared and shared * den >= num * len(ga):
+                micro = (shared * 2_000_000 + len(ga)) // (2 * len(ga))
+                out[(a, b)] = (shared, len(ga), micro)
+    return out
+
+
+def test_k54_matches_brute_force_with_boilerplate_cap(spark, tmp_path):
+    """Seeded randomized corpus exercising the full k54 surface: 70 docs
+    sharing one boilerplate 8-gram (df 70 > cap 64, so it must NOT count
+    toward containment), plus excerpt docs that are strict prefixes of
+    others (the asymmetric-containment hit the operator exists to find)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    boiler = ["the", "quick", "brown", "fox", "jumps", "over", "lazy", "dogs"]
+    texts = []
+    for _ in range(70):
+        tail = [rng.choice(vocab) for _ in range(rng.randint(4, 20))]
+        texts.append(" ".join(boiler + tail))
+    # excerpts: first 12 words of two random docs → high containment in
+    # the source doc (their non-boilerplate grams are a subset)
+    for src in (rng.randrange(70), rng.randrange(70)):
+        texts.append(" ".join(texts[src].split(" ")[:12]))
+    rows = list(enumerate(texts, start=1))
+    data = [(i, s, "en", "synth", len(s)) for i, s in rows]
+    spark.createDataFrame(
+        data, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        (r["contained_id"], r["container_id"]): (
+            r["shared"], r["n_contained"], r["containment_micro"]
+        )
+        for r in QUERIES["k54_containment_pairs"](spark, str(tmp_path)).collect()
+    }
+    want = _k54_brute_force(rows)
+    assert want  # the excerpt construction guarantees hits
+    assert got == want
+    # the boilerplate gram is in all 72 docs — over the cap — so no pair
+    # may be justified by it alone: every contained side shares a NON-
+    # boilerplate gram (implied by got == want, asserted for intent)
+    assert all(shared >= 1 for shared, _, _ in want.values())
+
+
 # --- s6 pipe syntax -----------------------------------------------------------
 
 
