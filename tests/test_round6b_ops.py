@@ -382,6 +382,88 @@ def test_k83_metrics_identities(spark, sf_dir):
         assert lo - 2 <= r["f1_micro"] <= hi + 2
 
 
+def test_t17_km_full_churn_risk_set_is_survival_zero(spark, tmp_path):
+    """KM edge the fixtures never hit: when the whole remaining risk set
+    churns at some duration (d == n_at_risk), the factor is ln(0) — Spark
+    log() NULLs it (SUM would silently skip → wrong nonzero survival) and
+    DuckDB LN(0) throws.  Both sides must instead pin survival to exactly
+    0 from that duration on.  Asserted against the live DuckDB oracle on
+    the same corpus (a micro-parity run on adversarial data) AND against
+    a from-scratch KM reference."""
+    import datetime
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+    import pandas as pd
+
+    from upc_sku_data_loader_spark.registry import ORACLES
+
+    day0 = datetime.datetime(2024, 1, 1)
+
+    def ts(day):
+        return day0 + datetime.timedelta(days=day)
+
+    # user A: days 0..20, churned (cutoff-20 = 10 > 3), t = 20 — and A is
+    # the ONLY user with t >= 20, so d == n_at_risk at t = 20.
+    # user B: days 18..30, censored (cutoff = its last day), t = 12.
+    # user C: days 0..5, churned, t = 5 (a normal nonzero-survival row).
+    purchases = [
+        ("A", 0), ("A", 20), ("B", 18), ("B", 30), ("C", 0), ("C", 5),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(purchases)),
+            "ts": [ts(d) for _, d in purchases],
+            "user_id": [u for u, _ in purchases],
+            "event_type": ["purchase"] * len(purchases),
+            "value": [1.0] * len(purchases),
+            "props": ["{}"] * len(purchases),
+        }
+    )
+    pdf.to_parquet(f"{tmp_path}/events.parquet")
+
+    got = {
+        r["duration_days"]: (r["n_churned"], r["n_at_risk"], r["survival_micro"])
+        for r in QUERIES["t17_survival_km"](spark, str(tmp_path)).collect()
+    }
+    # from-scratch reference (exact contract arithmetic: 6dp half-up log
+    # factors, exact decimal sum, micro half-up)
+    log_s, want = Decimal(0), {}
+    risk = {5: (1, 3), 20: (1, 1)}  # t -> (d, n_at_risk); B's t=12 has d=0
+    dead = False
+    for t in sorted(risk):
+        d, n = risk[t]
+        dead = dead or d == n
+        if d < n:
+            log_s += Decimal(repr(math.log(1.0 - d / n))).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            )
+        surv = (
+            0
+            if dead
+            else int(
+                Decimal(repr(math.exp(float(log_s)) * 1e6)).quantize(
+                    Decimal("1"), ROUND_HALF_UP
+                )
+            )
+        )
+        want[t] = (d, n, surv)
+    assert got == want
+    assert got[20][2] == 0  # the full-churn duration pins S to exactly 0
+
+    # the live oracle must agree on the same corpus (and must not throw)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    oracle = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(ORACLES["t17_survival_km"]).fetchall()
+    }
+    assert oracle == want
+
+
 def test_t18_peaks_are_strict_maxima(spark, sf_dir):
     out = QUERIES["t18_peak_detection"](spark, sf_dir)
     assert out.filter(F.col("prominence_milli") <= 0).count() == 0

@@ -1377,14 +1377,20 @@ def t16_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     km AS (
       SELECT t, d, n_at_risk,
-             CAST(SUM(CAST(ROUND(LN(1.0 - CAST(d AS DOUBLE) / n_at_risk), 6)
-                           AS DECIMAL(30,6)))
+             MAX(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS dead,
+             CAST(SUM(CASE WHEN d = n_at_risk THEN NULL
+                           ELSE CAST(ROUND(LN(1.0 - CAST(d AS DOUBLE)
+                                               / n_at_risk), 6)
+                                     AS DECIMAL(30,6)) END)
                   OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE)
                AS log_s
       FROM risk
     )
     SELECT t AS duration_days, d AS n_churned, n_at_risk,
-           CAST(ROUND(EXP(log_s) * 1000000) AS BIGINT) AS survival_micro
+           CASE WHEN dead = 1 THEN CAST(0 AS BIGINT)
+                ELSE CAST(ROUND(EXP(log_s) * 1000000) AS BIGINT) END
+             AS survival_micro
     FROM km
     """,
 )
@@ -1439,18 +1445,33 @@ def t17_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("n_t")
     )
     w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    log_factor = F.round(
-        F.log(1.0 - F.col("d").cast("double") / F.col("n_at_risk")), 6
+    # d == n_at_risk is a LEGITIMATE KM state (the whole remaining risk
+    # set churns at t: S = 0 there and beyond), but its factor is ln(0):
+    # Spark log() NULLs it (and SUM would silently skip it, leaving a
+    # wrong nonzero survival) while DuckDB LN(0) throws.  Guard both
+    # sides identically: the factor stays out of the log sum and a
+    # cumulative `dead` flag pins survival to exactly 0 from that
+    # duration on.
+    log_factor = F.when(
+        F.col("d") < F.col("n_at_risk"),
+        F.round(
+            F.log(1.0 - F.col("d").cast("double") / F.col("n_at_risk")), 6
+        ),
     )
     km = risk.withColumn(
         "log_s",
         F.sum(log_factor.cast("decimal(30,6)")).over(w_asc).cast("double"),
+    ).withColumn(
+        "dead",
+        F.max((F.col("d") == F.col("n_at_risk")).cast("int")).over(w_asc),
     )
     return km.select(
         F.col("t").alias("duration_days"),
         F.col("d").alias("n_churned"),
         "n_at_risk",
-        F.round(F.exp("log_s") * 1e6).cast("bigint").alias("survival_micro"),
+        F.when(F.col("dead") == 1, F.lit(0).cast("bigint"))
+        .otherwise(F.round(F.exp("log_s") * 1e6).cast("bigint"))
+        .alias("survival_micro"),
     )
 
 
