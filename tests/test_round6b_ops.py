@@ -464,6 +464,45 @@ def test_t17_km_full_churn_risk_set_is_survival_zero(spark, tmp_path):
     assert oracle == want
 
 
+def test_d30_constant_group_variance_clamped_not_negative(spark, tmp_path):
+    """Float cancellation in the power-sum variance: two purchases of
+    value 0.1 give s2 - s1²/n = -3.5e-18 < 0, so unclamped arithmetic
+    feeds sqrt a negative — Spark NaN vs a DuckDB SQRT error.  Both
+    sides must clamp the variance at 0 and agree exactly; the oracle
+    must not throw."""
+    import datetime
+
+    import duckdb
+    import pandas as pd
+
+    from upc_sku_data_loader_spark.registry import ORACLES
+
+    rows = [("purchase", 0.1), ("purchase", 0.1),
+            ("click", 1.0), ("click", 2.0), ("click", 3.0)]
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [datetime.datetime(2024, 1, 1 + i) for i in range(len(rows))],
+            "user_id": ["u"] * len(rows),
+            "event_type": [t for t, _ in rows],
+            "value": [v for _, v in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    pdf.to_parquet(f"{tmp_path}/events.parquet")
+
+    got = QUERIES["d30_welch_ttest"](spark, str(tmp_path)).first()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    oracle = con.execute(ORACLES["d30_welch_ttest"]).fetchone()  # must not throw
+    assert (got["n1"], got["n2"], got["t_micro"], got["welch_dof_milli"]) == oracle
+    # with the purchase variance clamped to 0 the t statistic is finite
+    # and driven entirely by the click-side variance
+    assert got["t_micro"] is not None and got["t_micro"] < 0
+
+
 def test_t18_peaks_are_strict_maxima(spark, sf_dir):
     out = QUERIES["t18_peak_detection"](spark, sf_dir)
     assert out.filter(F.col("prominence_milli") <= 0).count() == 0

@@ -1178,14 +1178,16 @@ def d29_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n1, n2,
            CAST(ROUND((s1a / n1 - s1b / n2) /
-             SQRT(((s2a - s1a * s1a / n1) / (n1 - 1)) / n1
-                + ((s2b - s1b * s1b / n2) / (n2 - 1)) / n2) * 1000000)
-             AS BIGINT) AS t_micro,
+             SQRT(GREATEST((s2a - s1a * s1a / n1) / (n1 - 1), 0) / n1
+                + GREATEST((s2b - s1b * s1b / n2) / (n2 - 1), 0) / n2)
+             * 1000000) AS BIGINT) AS t_micro,
            CAST(ROUND(
-             POW(((s2a - s1a * s1a / n1) / (n1 - 1)) / n1
-               + ((s2b - s1b * s1b / n2) / (n2 - 1)) / n2, 2)
-             / (POW(((s2a - s1a * s1a / n1) / (n1 - 1)) / n1, 2) / (n1 - 1)
-              + POW(((s2b - s1b * s1b / n2) / (n2 - 1)) / n2, 2) / (n2 - 1))
+             POW(GREATEST((s2a - s1a * s1a / n1) / (n1 - 1), 0) / n1
+               + GREATEST((s2b - s1b * s1b / n2) / (n2 - 1), 0) / n2, 2)
+             / (POW(GREATEST((s2a - s1a * s1a / n1) / (n1 - 1), 0) / n1, 2)
+                  / (n1 - 1)
+              + POW(GREATEST((s2b - s1b * s1b / n2) / (n2 - 1), 0) / n2, 2)
+                  / (n2 - 1))
              * 1000) AS BIGINT) AS welch_dof_milli
     FROM m
     """,
@@ -1221,8 +1223,14 @@ def d30_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n1, n2 = F.col("n1"), F.col("n2")
     s1a, s2a, s1b, s2b = (F.col(c) for c in ("s1a", "s2a", "s1b", "s2b"))
-    va = (s2a - s1a * s1a / n1) / (n1 - 1) / n1  # v1/n1
-    vb = (s2b - s1b * s1b / n2) / (n2 - 1) / n2  # v2/n2
+    # sample variance is ≥ 0 mathematically, but the power-sum form can
+    # go tiny-NEGATIVE by float cancellation when a group's values are
+    # (near-)constant — Spark sqrt(-ε) yields NaN while DuckDB SQRT
+    # throws.  Clamp the variance (not the sum) at 0 on BOTH sides so the
+    # engines stay value-identical on any data; a clamped-zero variance
+    # then flows to a NULL t via the shared x/0 → NULL semantics.
+    va = F.greatest((s2a - s1a * s1a / n1) / (n1 - 1), F.lit(0.0)) / n1
+    vb = F.greatest((s2b - s1b * s1b / n2) / (n2 - 1), F.lit(0.0)) / n2
     t = (s1a / n1 - s1b / n2) / F.sqrt(va + vb)
     dof = F.pow(va + vb, 2) / (
         F.pow(va, 2) / (n1 - 1) + F.pow(vb, 2) / (n2 - 1)
