@@ -503,6 +503,100 @@ def test_d30_constant_group_variance_clamped_not_negative(spark, tmp_path):
     assert got["t_micro"] is not None and got["t_micro"] < 0
 
 
+def test_d30_degenerate_groups_null_not_throw(spark, tmp_path):
+    """Spark's ANSI mode THROWS on double x/0 while DuckDB returns NULL,
+    so every zero-reachable denominator must go through try_divide.
+    Degenerate shapes: BOTH groups constant (t = diff/sqrt(0) → NULL on
+    both engines), and a single-row group (n-1 = 0: the NULL variance is
+    mapped to 0 by GREATEST on both engines, giving the same FINITE t
+    and a NULL dof).  Engines must agree exactly, and neither may
+    throw."""
+    import datetime
+
+    import duckdb
+    import pandas as pd
+
+    from upc_sku_data_loader_spark.registry import ORACLES
+
+    cases = [
+        # both groups constant → va = vb = 0
+        [("purchase", 0.1), ("purchase", 0.1), ("click", 2.0), ("click", 2.0)],
+        # single-row purchase group → n1 - 1 = 0
+        [("purchase", 5.0), ("click", 1.0), ("click", 2.0), ("click", 3.0)],
+    ]
+    for case_no, rows in enumerate(cases):
+        d = tmp_path / f"case{case_no}"
+        d.mkdir()
+        pd.DataFrame(
+            {
+                "event_id": range(len(rows)),
+                "ts": [
+                    datetime.datetime(2024, 1, 1 + i) for i in range(len(rows))
+                ],
+                "user_id": ["u"] * len(rows),
+                "event_type": [t for t, _ in rows],
+                "value": [v for _, v in rows],
+                "props": ["{}"] * len(rows),
+            }
+        ).to_parquet(f"{d}/events.parquet")
+        got = QUERIES["d30_welch_ttest"](spark, str(d)).first()  # must not throw
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+        )
+        oracle = con.execute(ORACLES["d30_welch_ttest"]).fetchone()
+        assert (
+            got["n1"], got["n2"], got["t_micro"], got["welch_dof_milli"]
+        ) == oracle, f"case {case_no}"
+        if case_no == 0:  # zero pooled variance → NULL t on both engines
+            assert got["t_micro"] is None
+        else:  # n1 = 1: variance treated as 0 → finite t, NULL dof
+            assert got["t_micro"] is not None
+            assert got["welch_dof_milli"] is None
+
+
+def test_d29_constant_group_moments_null_not_throw(spark, tmp_path):
+    """A constant-valued group cancels to a tiny negative variance in
+    the derived central moment (pow(-ε, 1.5) = NaN → cast throws on both
+    engines, pre-fix).  Skew/kurtosis of a zero-variance distribution is
+    undefined: both engines must emit NULL for the constant group and
+    agree exactly on the non-constant one."""
+    import datetime
+
+    import duckdb
+    import pandas as pd
+
+    from upc_sku_data_loader_spark.registry import ORACLES
+
+    rows = [("purchase", 0.1), ("purchase", 0.1),
+            ("click", 1.0), ("click", 2.0), ("click", 4.0)]
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [datetime.datetime(2024, 1, 1 + i) for i in range(len(rows))],
+            "user_id": ["u"] * len(rows),
+            "event_type": [t for t, _ in rows],
+            "value": [v for _, v in rows],
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r["event_type"]: (r["n"], r["skew_micro"], r["excess_kurtosis_micro"])
+        for r in QUERIES["d29_higher_moments"](spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    oracle = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(ORACLES["d29_higher_moments"]).fetchall()
+    }
+    assert got == oracle
+    assert got["purchase"][1] is None and got["purchase"][2] is None
+    assert got["click"][1] is not None  # non-degenerate group still real
+
+
 def test_t18_peaks_are_strict_maxima(spark, sf_dir):
     out = QUERIES["t18_peak_detection"](spark, sf_dir)
     assert out.filter(F.col("prominence_milli") <= 0).count() == 0

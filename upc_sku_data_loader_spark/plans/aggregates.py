@@ -1086,9 +1086,10 @@ def d28_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sample bias corrections — the built-ins can never hash-match. Both
 # sides therefore compute from the SAME exact decimal power sums
 # (Σx, Σx², Σx³, Σx⁴; per-row powers are identical IEEE doubles), so
-# every derived value divides identical doubles.  The textbook
-# cancellation risk of raw power sums is voided here because the sums
-# are EXACT decimals, not accumulated doubles.
+# every derived value divides identical doubles.  Exact sums remove the
+# ACCUMULATION error of raw power sums, but the derived central moments
+# still subtract in doubles, so a constant-valued group cancels to a
+# tiny NEGATIVE variance — clamped at 0 below (same guard as d30).
 
 
 @query(
@@ -1108,13 +1109,13 @@ def d28_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, n,
            CAST(ROUND(
              ((s3 - 3 * (s1 / n) * s2) / n + 2 * POW(s1 / n, 3))
-             / POW(s2 / n - POW(s1 / n, 2), 1.5) * 1000000) AS BIGINT)
-             AS skew_micro,
+             / POW(GREATEST(s2 / n - POW(s1 / n, 2), 0), 1.5) * 1000000)
+             AS BIGINT) AS skew_micro,
            CAST(ROUND(
              (((s4 - 4 * (s1 / n) * s3 + 6 * POW(s1 / n, 2) * s2) / n
                - 3 * POW(s1 / n, 4))
-              / POW(s2 / n - POW(s1 / n, 2), 2) - 3) * 1000000) AS BIGINT)
-             AS excess_kurtosis_micro
+              / POW(GREATEST(s2 / n - POW(s1 / n, 2), 0), 2) - 3) * 1000000)
+             AS BIGINT) AS excess_kurtosis_micro
     FROM m
     """,
 )
@@ -1143,11 +1144,25 @@ def d29_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
     mu = s1 / n
-    var = s2 / n - F.pow(mu, 2)
-    skew = ((s3 - 3 * mu * s2) / n + 2 * F.pow(mu, 3)) / F.pow(var, 1.5)
+    # the variance DERIVED from exact sums still runs s2/n - mu² in
+    # doubles, which cancels to a tiny NEGATIVE on constant-valued
+    # groups (d30's 0.1×2 case) — pow(-ε, 1.5) is NaN and the micro
+    # cast then throws on BOTH engines.  Clamp at 0 (the true value)
+    # and NULL the moments via try_divide: skew/kurtosis of a
+    # zero-variance distribution is undefined, and DuckDB's x/0 → NULL
+    # needs Spark's ANSI divide-by-zero error explicitly bypassed.
+    var = F.greatest(s2 / n - F.pow(mu, 2), F.lit(0.0))
+    skew = F.try_divide(
+        (s3 - 3 * mu * s2) / n + 2 * F.pow(mu, 3), F.pow(var, 1.5)
+    )
     kurt = (
-        (s4 - 4 * mu * s3 + 6 * F.pow(mu, 2) * s2) / n - 3 * F.pow(mu, 4)
-    ) / F.pow(var, 2) - 3
+        F.try_divide(
+            (s4 - 4 * mu * s3 + 6 * F.pow(mu, 2) * s2) / n
+            - 3 * F.pow(mu, 4),
+            F.pow(var, 2),
+        )
+        - 3
+    )
     return m.select(
         "event_type",
         "n",
@@ -1226,14 +1241,25 @@ def d30_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sample variance is ≥ 0 mathematically, but the power-sum form can
     # go tiny-NEGATIVE by float cancellation when a group's values are
     # (near-)constant — Spark sqrt(-ε) yields NaN while DuckDB SQRT
-    # throws.  Clamp the variance (not the sum) at 0 on BOTH sides so the
-    # engines stay value-identical on any data; a clamped-zero variance
-    # then flows to a NULL t via the shared x/0 → NULL semantics.
-    va = F.greatest((s2a - s1a * s1a / n1) / (n1 - 1), F.lit(0.0)) / n1
-    vb = F.greatest((s2b - s1b * s1b / n2) / (n2 - 1), F.lit(0.0)) / n2
-    t = (s1a / n1 - s1b / n2) / F.sqrt(va + vb)
-    dof = F.pow(va + vb, 2) / (
-        F.pow(va, 2) / (n1 - 1) + F.pow(vb, 2) / (n2 - 1)
+    # throws.  Clamp the variance (not the sum) at 0 on BOTH sides so
+    # the engines stay value-identical on any data.  Every division
+    # whose denominator can reach 0 on degenerate groups (n = 1 → n-1,
+    # n = 0 → /n, both groups constant → /sqrt(0)) goes through
+    # try_divide: Spark's ANSI mode THROWS on double x/0 while DuckDB
+    # returns NULL, so the NULL flow must be explicit Spark-side.
+    va = F.try_divide(
+        F.greatest(F.try_divide(s2a - s1a * s1a / n1, n1 - 1), F.lit(0.0)),
+        n1,
+    )
+    vb = F.try_divide(
+        F.greatest(F.try_divide(s2b - s1b * s1b / n2, n2 - 1), F.lit(0.0)),
+        n2,
+    )
+    t = F.try_divide(s1a / n1 - s1b / n2, F.sqrt(va + vb))
+    dof = F.try_divide(
+        F.pow(va + vb, 2),
+        F.try_divide(F.pow(va, 2), n1 - 1)
+        + F.try_divide(F.pow(vb, 2), n2 - 1),
     )
     return m.select(
         "n1",
