@@ -1,0 +1,181 @@
+"""Degenerate-corpus sweep: run EVERY registry entry against a minimal
+adversarial fixture and diff Spark vs the DuckDB oracle.
+
+The sf0.01 parity gate proves correctness on realistic data; this tool
+attacks the complement — the degenerate shapes real 100 TB corpora
+contain but the generated fixtures never do:
+
+- constant-valued groups (float-cancellation negatives: the d29/d30
+  class — variance power sums cancel below 0),
+- single-row and empty groups (n-1 = 0, n = 0 denominators: Spark's
+  ANSI mode THROWS on double x/0 where DuckDB returns NULL),
+- exact-duplicate rows and documents (dedup cluster expansion: the k18
+  direction class),
+- an all-zeros embedding (cosine normalizes by a zero norm),
+- whitespace-only / single-char / sub-gram-width documents,
+- a single user, a single nation/region, one-day event history.
+
+Every entry runs through tools/parity.compare_one (the strict value
+compare).  A PASS means both engines agree bit-exactly even here; the
+statuses to chase are ERROR (one side threw) and FAIL_* (silent value
+divergence) — each is either a robustness bug to fix or a documented
+domain assumption.
+
+Usage:
+    python tools/degenerate_sweep.py [names...]     # default: all 339
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from upc_sku_data_loader_spark import plans  # noqa: F401,E402
+from upc_sku_data_loader_spark.registry import QUERIES  # noqa: E402
+from upc_sku_data_loader_spark.session import get_spark  # noqa: E402
+from tools.parity import compare_one, duck_connect  # noqa: E402
+
+TS = lambda day, h=0: pa.scalar(  # noqa: E731
+    __import__("datetime").datetime(2024, 1, day, h), type=pa.timestamp("us")
+)
+
+
+def build(out: Path) -> str:
+    """Write the degenerate fixture tables (schemas match /root/testdata)."""
+    out.mkdir(parents=True, exist_ok=True)
+    import datetime
+
+    def ts(day, h=0):
+        return datetime.datetime(2024, 1, day, h)
+
+    def write(name, cols, schema):
+        pq.write_table(pa.table(cols, schema=pa.schema(schema)), f"{out}/{name}.parquet")
+
+    write("region", {"r_regionkey": [0], "r_name": ["ONLY"]},
+          [("r_regionkey", pa.int32()), ("r_name", pa.string())])
+    write("nation", {"n_nationkey": [0], "n_name": ["SOLO"], "n_regionkey": [0]},
+          [("n_nationkey", pa.int32()), ("n_name", pa.string()),
+           ("n_regionkey", pa.int32())])
+    # two customers, CONSTANT acctbal, one segment
+    write("customer",
+          {"c_custkey": [1, 2], "c_name": ["c#1", "c#2"],
+           "c_nationkey": [0, 0], "c_acctbal": [0.1, 0.1],
+           "c_mktsegment": ["BUILDING", "BUILDING"]},
+          [("c_custkey", pa.int64()), ("c_name", pa.string()),
+           ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+           ("c_mktsegment", pa.string())])
+    write("supplier",
+          {"s_suppkey": [1], "s_name": ["s#1"], "s_nationkey": [0],
+           "s_acctbal": [0.1]},
+          [("s_suppkey", pa.int64()), ("s_name", pa.string()),
+           ("s_nationkey", pa.int32()), ("s_acctbal", pa.float64())])
+    # two parts, constant price, same brand/type
+    write("part",
+          {"p_partkey": [1, 2], "p_name": ["alpha alpha", "alpha alpha"],
+           "p_brand": ["Brand#1", "Brand#1"], "p_type": ["TYPE A", "TYPE A"],
+           "p_size": [1, 1], "p_retailprice": [0.1, 0.1]},
+          [("p_partkey", pa.int64()), ("p_name", pa.string()),
+           ("p_brand", pa.string()), ("p_type", pa.string()),
+           ("p_size", pa.int32()), ("p_retailprice", pa.float64())])
+    # two orders, same customer, same day, constant price
+    write("orders",
+          {"o_orderkey": [1, 2], "o_custkey": [1, 1],
+           "o_orderstatus": ["F", "F"], "o_totalprice": [0.1, 0.1],
+           "o_orderdate": [ts(1), ts(1)],
+           "o_orderpriority": ["1-URGENT", "1-URGENT"]},
+          [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+           ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+           ("o_orderdate", pa.timestamp("us")), ("o_orderpriority", pa.string())])
+    # two identical-valued lineitems on one order + one on the other
+    write("lineitem",
+          {"l_orderkey": [1, 1, 2], "l_partkey": [1, 2, 1],
+           "l_suppkey": [1, 1, 1], "l_linenumber": [1, 2, 1],
+           "l_quantity": [1.0, 1.0, 1.0],
+           "l_extendedprice": [0.1, 0.1, 0.1],
+           "l_discount": [0.0, 0.0, 0.0], "l_tax": [0.0, 0.0, 0.0],
+           "l_returnflag": ["N", "N", "N"], "l_linestatus": ["O", "O", "O"],
+           "l_shipdate": [ts(2), ts(2), ts(2)]},
+          [("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+           ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+           ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+           ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+           ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+           ("l_shipdate", pa.timestamp("us"))])
+    # single user; constant-valued purchase pair (the d30 trigger),
+    # constant click pair, one lone 'view'
+    write("events",
+          {"event_id": [1, 2, 3, 4, 5],
+           "ts": [ts(1, 1), ts(1, 2), ts(1, 3), ts(1, 4), ts(1, 5)],
+           "user_id": [7, 7, 7, 7, 7],
+           "event_type": ["purchase", "purchase", "click", "click", "view"],
+           "value": [0.1, 0.1, 2.0, 2.0, 5.0],
+           "props": ["{}"] * 5},
+          [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+           ("user_id", pa.int64()), ("event_type", pa.string()),
+           ("value", pa.float64()), ("props", pa.string())])
+    # exact dups, a single-char doc, a whitespace-heavy doc, one normal
+    docs = [
+        (1, "same text here for everyone", "en", "web"),
+        (2, "same text here for everyone", "en", "web"),   # exact dup
+        (3, "x", "en", "web"),                              # sub-gram width
+        (4, "   ", "en", "web"),                            # whitespace only
+        (5, "a b a b a b a b a b a b", "en", "synth"),      # 2-token vocab
+    ]
+    write("documents",
+          {"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs],
+           "lang": [d[2] for d in docs], "source": [d[3] for d in docs],
+           "n_chars": [len(d[1]) for d in docs]},
+          [("doc_id", pa.int64()), ("text", pa.string()),
+           ("lang", pa.string()), ("source", pa.string()),
+           ("n_chars", pa.int64())])
+    # a ZERO vector (cosine's 0-norm edge), an exact-duplicate pair, and
+    # one ordinary vector
+    vecs = [
+        (1, [0.0, 0.0, 0.0, 0.0], 0),
+        (2, [1.0, 2.0, 3.0, 4.0], 1),
+        (3, [1.0, 2.0, 3.0, 4.0], 1),  # exact dup of 2
+        (4, [4.0, 3.0, 2.0, 1.0], 2),
+    ]
+    write("embeddings",
+          {"vec_id": [v[0] for v in vecs],
+           "embedding": [v[1] for v in vecs],
+           "label": [v[2] for v in vecs]},
+          [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())),
+           ("label", pa.int32())])
+    return str(out)
+
+
+def main() -> int:
+    names = sys.argv[1:] or list(QUERIES)
+    sf_dir = build(REPO / ".scratch" / "degenerate")
+    spark = get_spark(app_name="degenerate_sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_connect(sf_dir)
+    tallies: dict[str, int] = {}
+    bad: list[tuple[str, str, str]] = []
+    for i, name in enumerate(names, 1):
+        try:
+            r = compare_one(name, spark, con, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            r = {"status": "ERROR", "detail": f"{type(e).__name__}: {e}"}
+        status = r["status"]
+        tallies[status] = tallies.get(status, 0) + 1
+        if status not in ("PASS", "ROWS_ONLY"):
+            bad.append((name, status, str(r.get("detail", ""))[:300]))
+            # a failed Spark build can leave broken state; keep going
+        print(f"[{i}/{len(names)}] {status:16s} {name}", flush=True)
+        spark.catalog.clearCache()
+    print("\n== " + ", ".join(f"{k}={v}" for k, v in sorted(tallies.items())) + " ==")
+    for name, status, detail in bad:
+        print(f"  {status}: {name}\n    {detail}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

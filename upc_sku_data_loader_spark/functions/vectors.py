@@ -43,7 +43,19 @@ def l1_norm(vec: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity with the ZERO-NORM CONVENTION pinned to 0.0.
+
+    A zero vector is "similar to nothing": the fast tier already maps
+    zero norms to a unit divisor (operators/similarity._normalized), so
+    the exact tier must agree — unguarded division throws under Spark's
+    ANSI mode, and DuckDB's list_cosine_similarity returns an arbitrary
+    -1.0 (degenerate-sweep finding, round 8; cosine_sql pins the same
+    convention on the oracle side).  CASE branches are lazy per row, so
+    the division never executes for zero-norm pairs."""
+    na, nb = l2_norm(a), l2_norm(b)
+    return F.when((na == 0.0) | (nb == 0.0), F.lit(0.0)).otherwise(
+        dot(a, b) / (na * nb)
+    )
 
 
 # --- DuckDB twins ----------------------------------------------------------
@@ -67,4 +79,10 @@ def dot_sql(a: str, b: str) -> str:
 
 
 def cosine_sql(a: str, b: str) -> str:
-    return f"list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    """DuckDB twin of :func:`cosine` — same 0.0 zero-norm convention
+    (DuckDB's bare list_cosine_similarity returns -1.0 there)."""
+    return (
+        f"CASE WHEN {l2_norm_sql(a)} = 0 OR {l2_norm_sql(b)} = 0 THEN 0.0"
+        f" ELSE list_cosine_similarity(CAST({a} AS DOUBLE[]),"
+        f" CAST({b} AS DOUBLE[])) END"
+    )

@@ -502,9 +502,17 @@ def ann_ivf(
     # materialized once per row (O(d)) before the per-element divide —
     # inlining l2_norm inside the transform lambda would re-evaluate the
     # O(d) aggregate per element, an O(d²) row cost.
-    assigned0 = vecs.withColumn(
-        "cluster", _assign_udf(spark, cents0)("embedding")
-    ).withColumn("nrm", V.l2_norm(V.as_double(F.col("embedding"))))
+    # zero-norm divisor pinned to 1.0, mirroring _normalized: the zero
+    # vector stays all-zeros (contributes nothing to the mean) instead
+    # of throwing under Spark's ANSI x/0 semantics
+    assigned0 = (
+        vecs.withColumn("cluster", _assign_udf(spark, cents0)("embedding"))
+        .withColumn("nrm", V.l2_norm(V.as_double(F.col("embedding"))))
+        .withColumn(
+            "nrm",
+            F.when(F.col("nrm") == 0.0, F.lit(1.0)).otherwise(F.col("nrm")),
+        )
+    )
     norm_vec = F.transform(
         V.as_double(F.col("embedding")), lambda x: x / F.col("nrm")
     )

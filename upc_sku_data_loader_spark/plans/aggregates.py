@@ -335,6 +335,22 @@ def d10_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _safe_corr(x, y):
+    """Pearson r that NULLs on zero variance instead of throwing.
+
+    Spark's built-in ``corr`` is the one statistical aggregate that
+    DIVIDES inside its merge under ANSI semantics — a constant series
+    throws DIVIDE_BY_ZERO (degenerate-sweep finding, round 8) while
+    DuckDB's ``corr`` returns NULL.  Reconstruct the identical value
+    from the Welford-stable covar/stddev kernels with try_divide:
+    covar_samp/(sd_x·sd_y) equals corr's internal ck/√(xMk·yMk) up to
+    last-bit association, well inside every emission's ROUND tolerance.
+    """
+    return F.try_divide(
+        F.covar_samp(x, y), F.stddev_samp(x) * F.stddev_samp(y)
+    )
+
+
 @query(
     "d11_agg_stats",
     oracle="""
@@ -352,7 +368,7 @@ def d11_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(_safe_corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("covar_qty_disc"),
     )
 
@@ -935,7 +951,7 @@ def d25_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond the 1-row global agg."""
     li = load(spark, sf_dir, "lineitem")
     aggs = [
-        F.round(F.corr(x, y) * 1e6).cast("bigint").alias(f"c{i}")
+        F.round(_safe_corr(x, y) * 1e6).cast("bigint").alias(f"c{i}")
         for i, (x, y) in enumerate(_D25_PAIRS)
     ]
     wide = li.agg(*aggs)
@@ -992,7 +1008,7 @@ def d26_regr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(y, x) * 1000).cast("bigint").alias("slope_milli"),
         F.round(F.regr_intercept(y, x) * 1000).cast("bigint").alias("icept_milli"),
         F.round(F.regr_r2(y, x) * 1e6).cast("bigint").alias("r2_micro"),
-        F.round(F.corr(y, x) * 1e6).cast("bigint").alias("corr_micro"),
+        F.round(_safe_corr(y, x) * 1e6).cast("bigint").alias("corr_micro"),
     )
 
 

@@ -660,8 +660,14 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("t1").alias("n_view"),
             F.count("t2").alias("n_click"),
             F.count("t3").alias("n_purchase"),
-            F.round(F.count("t2") * 1.0 / F.count("t1"), 6).alias("view_to_click"),
-            F.round(F.count("t3") * 1.0 / F.count("t2"), 6).alias("click_to_purchase"),
+            # try_divide: a funnel stage with zero entrants is a NULL
+            # rate, not an ANSI DIVIDE_BY_ZERO crash (DuckDB x/0 → NULL)
+            F.round(F.try_divide(F.count("t2") * 1.0, F.count("t1")), 6).alias(
+                "view_to_click"
+            ),
+            F.round(F.try_divide(F.count("t3") * 1.0, F.count("t2")), 6).alias(
+                "click_to_purchase"
+            ),
         )
     )
 
@@ -1445,11 +1451,17 @@ def q25_ab_test_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("variant") == 1) & (F.col("converted") == 0), 1).otherwise(0)
         ).alias("d"),
     )
+    # lazy CASE: an empty margin (a whole variant or outcome absent) is a
+    # NULL statistic, not an ANSI div-by-zero crash; DuckDB's // 0 → NULL
+    # gives the oracle the same value.  The condition tests the margins
+    # directly (no product) so it cannot itself overflow at any count.
     chi2 = F.expr(
-        "CAST((CAST(a + b + c + d AS DECIMAL(38,0))"
+        "CASE WHEN a + b = 0 OR c + d = 0 OR a + c = 0 OR b + d = 0"
+        " THEN CAST(NULL AS BIGINT)"
+        " ELSE CAST((CAST(a + b + c + d AS DECIMAL(38,0))"
         " * (a * d - b * c) * (a * d - b * c) * 1000000)"
         " div (CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d))"
-        " AS BIGINT)"
+        " AS BIGINT) END"
     )
     return cells.select(
         (F.col("a") + F.col("b")).alias("n_control"),

@@ -1086,7 +1086,7 @@ _K56_STOPWORDS = ("the", "a", "of", "and", "to")  # fixture-vocab function words
              MAX(c) AS c_max,
              SUM(CASE WHEN term IN {_K56_STOPWORDS!r} THEN c ELSE 0 END)
                AS c_stop,
-             ROUND(-SUM((c * 1.0 / tot.n) * LN(c * 1.0 / tot.n)), 6)
+             ROUND(-SUM((c * 1.0 / tot.n) * LN(c * 1.0 / tot.n)), 6) + 0
                AS entropy
       FROM cnt JOIN tot USING (doc_id)
       GROUP BY cnt.doc_id
@@ -1273,7 +1273,7 @@ def k60_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
              MAX(c) AS c_max,
              SUM(CASE WHEN term IN {_K56_STOPWORDS!r} THEN c ELSE 0 END)
                AS c_stop,
-             ROUND(-SUM((c * 1.0 / tot.n) * LN(c * 1.0 / tot.n)), 6)
+             ROUND(-SUM((c * 1.0 / tot.n) * LN(c * 1.0 / tot.n)), 6) + 0
                AS entropy
       FROM cnt JOIN tot USING (doc_id)
       GROUP BY cnt.doc_id

@@ -174,7 +174,11 @@ def k5_vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(V.l2_norm(v), 6).alias("l2_norm"),
         F.round(V.l1_norm(v), 6).alias("l1_norm"),
-        F.round(F.element_at(v, 1) / V.l2_norm(v), 6).alias("unit_first"),
+        # try_divide: the zero vector has no unit form — NULL on both
+        # engines (DuckDB x/0 → NULL), not an ANSI crash
+        F.round(F.try_divide(F.element_at(v, 1), V.l2_norm(v)), 6).alias(
+            "unit_first"
+        ),
         F.round(
             F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x), 6
         ).alias("dot_with_ones"),
@@ -1321,7 +1325,7 @@ _IVF_TOPK = 3
         SELECT e.vec_id, s.cid,
                ROW_NUMBER() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY ROUND(list_cosine_similarity(e.v, s.v), 6) DESC,
+                 ORDER BY ROUND({V.cosine_sql('e.v', 's.v')}, 6) DESC,
                           s.cid) AS rn
         FROM e CROSS JOIN seeds s
       ) WHERE rn = 1
@@ -1332,7 +1336,7 @@ _IVF_TOPK = 3
         SELECT q.q_vec_id, q.qv, s.cid,
                ROW_NUMBER() OVER (
                  PARTITION BY q.q_vec_id
-                 ORDER BY ROUND(list_cosine_similarity(q.qv, s.v), 6) DESC,
+                 ORDER BY ROUND({V.cosine_sql('q.qv', 's.v')}, 6) DESC,
                           s.cid) AS pr
         FROM qs q CROSS JOIN seeds s
       ) WHERE pr <= {_IVF_NPROBE}
@@ -1346,10 +1350,10 @@ _IVF_TOPK = 3
     )
     SELECT q_vec_id, rank, n_vec_id, cos_r FROM (
       SELECT q_vec_id, vec_id AS n_vec_id,
-             ROUND(list_cosine_similarity(qv, v), 6) AS cos_r,
+             ROUND({V.cosine_sql('qv', 'v')}, 6) AS cos_r,
              ROW_NUMBER() OVER (
                PARTITION BY q_vec_id
-               ORDER BY ROUND(list_cosine_similarity(qv, v), 6) DESC,
+               ORDER BY ROUND({V.cosine_sql('qv', 'v')}, 6) DESC,
                         vec_id) AS rank
       FROM cand
     ) WHERE rank <= {_IVF_TOPK}
@@ -1657,7 +1661,7 @@ def k51_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_types,
            CAST((COUNT(*) * 2000000 + ANY_VALUE(n)) // (2 * ANY_VALUE(n))
                 AS BIGINT) AS ttr_micro,
-           ROUND(-SUM((c * 1.0 / n) * LN(c * 1.0 / n)), 6) AS entropy
+           ROUND(-SUM((c * 1.0 / n) * LN(c * 1.0 / n)), 6) + 0 AS entropy
     FROM cnt
     GROUP BY doc_id
     """,

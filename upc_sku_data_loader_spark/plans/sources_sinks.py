@@ -889,16 +889,24 @@ def a15_clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "etl4_partition_overwrite",
     # Final table state: untouched partitions keep batch-1 rows; the
-    # partitions present in the delta hold ONLY batch-2 rows.
+    # partitions present in the delta hold ONLY batch-2 rows.  The
+    # overwritten set is DERIVED from the delta (a partition with zero
+    # delta rows keeps its batch-1 rows even if its priority matches the
+    # delta's filter — dynamic overwrite only replaces partitions that
+    # receive rows; degenerate-sweep finding, r8).
     oracle="""
+    WITH delta AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice * 2.0 AS o_totalprice,
+             2 AS batch_id
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        AND o_orderkey % 3 = 0
+    )
     SELECT o_orderkey, o_orderpriority, o_totalprice, 1 AS batch_id
     FROM orders
-    WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+    WHERE o_orderpriority NOT IN (SELECT DISTINCT o_orderpriority FROM delta)
     UNION ALL
-    SELECT o_orderkey, o_orderpriority, o_totalprice * 2.0, 2 AS batch_id
-    FROM orders
-    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
-      AND o_orderkey % 3 = 0
+    SELECT o_orderkey, o_orderpriority, o_totalprice, batch_id FROM delta
     """,
 )
 def etl4_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2158,9 +2166,14 @@ def a25_jdbc_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .options(**props)
         .load()
     )
-    if back.rdd.getNumPartitions() != 8:
+    # Spark collapses JDBC stripes when the key width is narrower than
+    # numPartitions (upperBound - lowerBound < 8 → one stripe per key),
+    # so the parallelism invariant is min(8, keyspace width) — on the
+    # real fixtures that is always 8 (degenerate-sweep finding, r8)
+    expected = min(8, int(bounds["hi"]) + 1 - int(bounds["lo"]))
+    if back.rdd.getNumPartitions() != expected:
         raise RuntimeError(
-            f"expected 8 JDBC stripes, got {back.rdd.getNumPartitions()}"
+            f"expected {expected} JDBC stripes, got {back.rdd.getNumPartitions()}"
         )
     return (
         back.select(

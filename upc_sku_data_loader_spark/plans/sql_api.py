@@ -213,11 +213,16 @@ def s6_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- S7: SQL scripting (BEGIN…END procedural control flow) --------------------
 
+# n is count-ABOVE-THRESHOLD from the very first iteration (not the raw
+# table count): on a corpus smaller than 100 rows the loop never runs,
+# and an unfiltered initial n would emit a pair the declarative oracle
+# (first power of ten with < 100 orders above) can never produce
+# (degenerate-sweep finding, r8).
 _S7_SCRIPT = """
 BEGIN
   DECLARE thr DOUBLE DEFAULT 1.0;
   DECLARE n BIGINT DEFAULT 0;
-  SET n = (SELECT COUNT(*) FROM orders);
+  SET n = (SELECT COUNT(*) FROM orders WHERE o_totalprice > thr);
   WHILE n >= 100 DO
     SET thr = thr * 10.0;
     SET n = (SELECT COUNT(*) FROM orders WHERE o_totalprice > thr);
@@ -232,7 +237,7 @@ END
     oracle="""
     WITH t AS (
       SELECT CAST(POWER(10, k) AS DOUBLE) AS thr
-      FROM generate_series(1, 12) AS g(k)
+      FROM generate_series(0, 12) AS g(k)
     ),
     c AS (
       SELECT thr,

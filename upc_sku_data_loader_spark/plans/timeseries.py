@@ -126,7 +126,10 @@ def t2_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.stddev_samp("value").alias("sigma"),
         F.count(F.lit(1)).alias("n"),
     )
-    z = F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+    # try_divide: a constant-valued type has σ = 0 — its z-scores are
+    # NULL (DuckDB x/0 → NULL), not an ANSI DIVIDE_BY_ZERO crash; the
+    # NULL z then counts 0 outliers and a NULL max on both engines
+    z = F.abs(F.try_divide(F.col("value") - F.col("mu"), F.col("sigma")))
     return (
         e.join(F.broadcast(stats), "event_type")
         .groupBy("event_type", "n", "mu", "sigma")
@@ -1599,7 +1602,9 @@ def t19_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c") * F.col("c")).alias("s2"),
     )
     n, s1, s2 = F.col("n_days"), F.col("s1"), F.col("s2")
-    var = (s2.cast("double") - s1.cast("double") * s1 / n) / (n - 1)
+    # try_divide: a single-day stream has no sample variance (n-1 = 0) —
+    # NULL Fano on both engines (DuckDB x/0 → NULL), not an ANSI crash
+    var = F.try_divide(s2.cast("double") - s1.cast("double") * s1 / n, n - 1)
     mean = s1.cast("double") / n
     return m.select(
         "event_type",

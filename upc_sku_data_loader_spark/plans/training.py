@@ -630,8 +630,8 @@ _SEMD_TAU = 0.35  # cosine threshold, chosen for this corpus's cosine range
         SELECT e.vec_id, s.cid,
                ROW_NUMBER() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY ROUND(list_cosine_similarity(
-                            CAST(e.embedding AS DOUBLE[]), s.cemb), 6) DESC,
+                 ORDER BY ROUND({V.cosine_sql('e.embedding', 's.cemb')}, 6)
+                            DESC,
                           s.cid
                ) AS rn
         FROM embeddings e CROSS JOIN seeds s
@@ -643,8 +643,7 @@ _SEMD_TAU = 0.35  # cosine threshold, chosen for this corpus's cosine range
       JOIN assign y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
       JOIN embeddings ex ON ex.vec_id = x.vec_id
       JOIN embeddings ey ON ey.vec_id = y.vec_id
-      WHERE ROUND(list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
-                                         CAST(ey.embedding AS DOUBLE[])), 6)
+      WHERE ROUND({V.cosine_sql('ex.embedding', 'ey.embedding')}, 6)
             >= {_SEMD_TAU}
     )
     SELECT a.vec_id, a.cluster,

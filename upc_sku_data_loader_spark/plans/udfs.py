@@ -118,12 +118,20 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     bal = pdf["c_acctbal"].to_numpy(dtype=np.float64)
     mu = bal.mean()
     sd = bal.std(ddof=1)
-    z = (bal - mu) / sd if sd > 0 else np.zeros_like(bal)
+    # degenerate group (constant values → sd = 0, single row → sd = NaN):
+    # the z-score is undefined — emit NULL, matching the oracle's
+    # x/0 → NULL and stddev_samp(1 row) → NULL semantics (a 0.0 here was
+    # a silent cross-engine divergence; degenerate-sweep finding, r8).
+    # pandas nullable Float64 arrives Spark-side as double-with-nulls.
+    if sd > 0:
+        z = pd.array(np.round((bal - mu) / sd, 6), dtype="Float64")
+    else:
+        z = pd.array([pd.NA] * len(bal), dtype="Float64")
     return pd.DataFrame(
         {
             "c_custkey": pdf["c_custkey"],
             "c_nationkey": pdf["c_nationkey"],
-            "bal_zscore": np.round(z, 6),
+            "bal_zscore": z,
         }
     )
 
