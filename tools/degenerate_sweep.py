@@ -23,6 +23,13 @@ domain assumption.
 
 Usage:
     python tools/degenerate_sweep.py [names...]     # default: all 339
+    python tools/degenerate_sweep.py --empty [...]  # ZERO-ROW tables
+
+--empty swaps the fixture for schema-correct zero-row tables: the
+shapes that break driver-side seed collects (first() on nothing),
+numpy kernels (vstack of an empty batch), and window/aggregate edge
+paths.  An operator is allowed to return zero rows there — it is NOT
+allowed to throw differently than its oracle.
 """
 
 from __future__ import annotations
@@ -151,9 +158,25 @@ def build(out: Path) -> str:
     return str(out)
 
 
+def build_empty(out: Path) -> str:
+    """Zero-row variants of every table, exact fixture schemas."""
+    out.mkdir(parents=True, exist_ok=True)
+    src = build(out.parent / "degenerate")  # reuse the schema definitions
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        schema = pq.read_schema(f"{src}/{t}.parquet")
+        pq.write_table(schema.empty_table(), f"{out}/{t}.parquet")
+    return str(out)
+
+
 def main() -> int:
-    names = sys.argv[1:] or list(QUERIES)
-    sf_dir = build(REPO / ".scratch" / "degenerate")
+    args = [a for a in sys.argv[1:] if a != "--empty"]
+    empty = "--empty" in sys.argv[1:]
+    names = args or list(QUERIES)
+    if empty:
+        sf_dir = build_empty(REPO / ".scratch" / "degenerate_empty")
+    else:
+        sf_dir = build(REPO / ".scratch" / "degenerate")
     spark = get_spark(app_name="degenerate_sweep")
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connect(sf_dir)

@@ -67,6 +67,8 @@ def embedding_matrix(spark: SparkSession, sf_dir: str) -> tuple[np.ndarray, np.n
     never calls this (no full-table driver collect at scale)."""
     pdf = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").toPandas()
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    if len(pdf) == 0:  # np.vstack of nothing throws; 0×1 keeps callers 2-D
+        return ids, np.zeros((0, 1))
     mat = np.vstack(pdf["embedding"].to_numpy())
     return ids, _normalized(mat)
 
@@ -493,6 +495,10 @@ def ann_ivf(
 
     # (a) deterministic seeds: the n_centroids lowest vec_ids
     seed_rows = vecs.orderBy("vec_id").limit(n_centroids).collect()
+    if not seed_rows:  # empty table: no centroids, no neighbors
+        return spark.createDataFrame(
+            [], "q_vec_id bigint, neighbor_id bigint, sim double, rank int"
+        )
     cents0 = _normalized(
         np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows])
     )

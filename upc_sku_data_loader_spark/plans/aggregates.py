@@ -200,6 +200,8 @@ def d5_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
     FROM orders
     GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    HAVING NOT (GROUPING(o_orderstatus) = 1 AND GROUPING(o_orderpriority) = 1
+                AND COUNT(*) = 0)
     """,
 )
 def d6_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,6 +229,8 @@ def d6_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events
     FROM events
     GROUP BY CUBE(event_type, CAST(ts AS DATE))
+    HAVING NOT (GROUPING(event_type) = 1 AND GROUPING(CAST(ts AS DATE)) = 1
+                AND COUNT(*) = 0)
     """,
 )
 def d7_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -489,6 +493,8 @@ def d14_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
            {dsum_sql("l_quantity", "sum_qty")}
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    HAVING NOT (GROUPING(l_returnflag) = 1 AND GROUPING(l_linestatus) = 1
+                AND COUNT(*) = 0)
     """,
 )
 def d15_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -598,11 +604,15 @@ def d19_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = o.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
     return exact.crossJoin(merged).select(
         "exact_distinct",
-        (
+        # empty input: a sketch of nothing estimating 0 is within bound
+        # (the relative-error form divides by zero there)
+        F.when(F.col("exact_distinct") == 0, F.col("approx") == 0.0)
+        .otherwise(
             F.abs(F.col("approx") - F.col("exact_distinct"))
             / F.col("exact_distinct")
             <= 0.05
-        ).alias("within_bound"),
+        )
+        .alias("within_bound"),
     )
 
 
@@ -1370,7 +1380,11 @@ def d31_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                     16,
                     10,
                 ).cast("bigint")
-                % n_docs
+                # max(n_docs, 1): on an EMPTY corpus the mod would be % 0
+                # (ANSI throw); with divisor 1 every pick is 1 and the
+                # rn-join against the empty indexed relation produces the
+                # oracle's zero replicates (empty-corpus sweep, r8)
+                % max(n_docs, 1)
             ).alias("pick"),
         )
     )

@@ -1244,9 +1244,13 @@ def k60_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'n_tokens', CAST(n_tokens AS DOUBLE),"
             " 'n_langs', CAST(n_langs AS DOUBLE),"
             " 'n_sources', CAST(n_sources AS DOUBLE),"
-            " 'exact_dup_rate_micro', CAST(CAST(((n_docs - n_unique)"
+            # lazy CASE: an empty corpus has no dup rate — NULL on both
+            # engines (DuckDB's // 0 is NULL; Spark div would ANSI-throw)
+            " 'exact_dup_rate_micro', CASE WHEN n_docs = 0"
+            "   THEN CAST(NULL AS DOUBLE)"
+            "   ELSE CAST(CAST(((n_docs - n_unique)"
             "   * CAST(2000000 AS BIGINT) + n_docs) div (2 * n_docs)"
-            "   AS BIGINT) AS DOUBLE),"
+            "   AS BIGINT) AS DOUBLE) END,"
             " 'p50_tokens', ROUND(p50, 2),"
             " 'p90_tokens', ROUND(p90, 2))"
         ).alias("metric", "value")

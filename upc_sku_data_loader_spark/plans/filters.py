@@ -390,8 +390,17 @@ def b12_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_custkey").cast("string").alias("mx_cust"),
         (F.count(F.lit(1)) - F.count("o_totalprice")).alias("nn_price"),
         F.countDistinct("o_totalprice").alias("nd_price"),
-        F.format_string("%.2f", F.round(F.min("o_totalprice"), 2)).alias("mn_price"),
-        F.format_string("%.2f", F.round(F.max("o_totalprice"), 2)).alias("mx_price"),
+        # null-guard: Java's Formatter renders %.2f of NULL as the string
+        # "null" (precision-truncated to "nu") while DuckDB printf gives
+        # NULL — empty input must profile as NULL min/max on both engines
+        F.when(
+            F.min("o_totalprice").isNotNull(),
+            F.format_string("%.2f", F.round(F.min("o_totalprice"), 2)),
+        ).alias("mn_price"),
+        F.when(
+            F.max("o_totalprice").isNotNull(),
+            F.format_string("%.2f", F.round(F.max("o_totalprice"), 2)),
+        ).alias("mx_price"),
         (F.count(F.lit(1)) - F.count("o_orderdate")).alias("nn_date"),
         F.countDistinct("o_orderdate").alias("nd_date"),
         F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("mn_date"),

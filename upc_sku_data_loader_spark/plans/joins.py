@@ -404,11 +404,13 @@ def c11_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources_sinks import _scratch  # shared scratch layout
 
     fact_path = _scratch(sf_dir, "lineitem_dpp")
+    src = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_returnflag"
+    )
     if not Path(fact_path).exists():  # deterministic content; write once
-        load(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_extendedprice", "l_returnflag"
-        ).write.partitionBy("l_returnflag").parquet(fact_path)
-    fact = spark.read.parquet(fact_path)
+        src.write.partitionBy("l_returnflag").parquet(fact_path)
+    # explicit schema: an empty write leaves nothing to infer from
+    fact = spark.read.schema(src.schema).parquet(fact_path)
     dim = spark.createDataFrame(
         [("A", "archive"), ("N", "active"), ("R", "audit")], "flag string, action string"
     ).filter(F.col("action") == "audit")

@@ -1377,6 +1377,10 @@ def k16b_ann_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", V.as_double(F.col("embedding")).alias("v")
     )
     seed_rows = e.orderBy("vec_id").limit(_IVF_K).collect()
+    if not seed_rows:  # empty table: a zero-element literal array is VOID
+        return spark.createDataFrame(
+            [], "q_vec_id bigint, rank int, n_vec_id bigint, cos_r double"
+        )
     seeds = [(cid, r["vec_id"], r["v"]) for cid, r in enumerate(seed_rows)]
 
     def lit_vec(vals):

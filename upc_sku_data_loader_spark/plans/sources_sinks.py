@@ -296,17 +296,17 @@ def a6_jdbc_sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a8_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch(sf_dir, "lineitem_by_flag")
     shutil.rmtree(path, ignore_errors=True)
-    parquet_sink(
-        load(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"
-        ),
-        path,
-        partition_by=["l_returnflag"],
+    src = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"
     )
+    parquet_sink(src, path, partition_by=["l_returnflag"])
     # Re-read filters on the partition key: Catalyst prunes to the R/
     # directory — PartitionFilters in .explain, zero non-R bytes read.
+    # Explicit schema: a write of an EMPTY relation leaves no part files
+    # to infer from, and a possibly-empty sink must still read back
+    # (empty-corpus sweep, r8).
     return (
-        spark.read.parquet(path)
+        spark.read.schema(src.schema).parquet(path)
         .filter(F.col("l_returnflag") == "R")
         .select(
             "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"
@@ -943,7 +943,8 @@ def etl4_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta.write.partitionBy("o_orderpriority").mode("overwrite").parquet(path)
     finally:
         spark.conf.set(conf, old)
-    back = spark.read.parquet(path)
+    # explicit schema: an empty base write has no files to infer from
+    back = spark.read.schema(base.schema).parquet(path)
     return back.select(
         "o_orderkey",
         F.col("o_orderpriority").cast("string").alias("o_orderpriority"),
@@ -1203,8 +1204,9 @@ def a18_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
     )
     o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(src)
+    # explicit schema: an empty write leaves nothing to infer from
     return (
-        spark.read.parquet(src)
+        spark.read.schema(o.schema).parquet(src)
         .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
     )
@@ -2013,7 +2015,8 @@ def etl11_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     for batch_id, df in batches.items():
         staging = f"{base}/staging_b{batch_id}"
         df.write.mode("overwrite").parquet(staging)
-        staged = spark.read.parquet(staging)
+        # explicit schema: an empty staged write has no files to infer from
+        staged = spark.read.schema(df.schema).parquet(staging)
         audit = staged.agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("n_null_keys"),
@@ -2030,7 +2033,11 @@ def etl11_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
                 shutil.rmtree(f"{base}/retired", ignore_errors=True)
                 os.rename(live, f"{base}/retired")
             os.rename(staging, live)
-        live_rows = spark.read.parquet(live).count()
+        # an empty corpus never audits green, so no batch ever publishes:
+        # the live table does not exist and serves zero rows
+        live_rows = (
+            spark.read.parquet(live).count() if os.path.exists(live) else 0
+        )
         ledger.append(
             (
                 batch_id,
@@ -2155,6 +2162,10 @@ def a25_jdbc_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = src.agg(
         F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
     ).first()
+    if bounds["lo"] is None:  # empty source: nothing to stripe-read
+        return spark.createDataFrame(
+            [], "read_stripe bigint, n_orders bigint, stripe_total double"
+        )
     back = (
         spark.read.format("jdbc")
         .option("url", url)

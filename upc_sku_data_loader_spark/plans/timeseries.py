@@ -1682,17 +1682,17 @@ def t20_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit = slopes.agg(
         F.median("m").alias("slope"), F.count(F.lit(1)).alias("n_pairs")
     )
-    icept = (
-        idx.crossJoin(F.broadcast(fit))
-        .agg(
-            F.median(F.col("rev") - F.col("slope") * F.col("i")).alias(
-                "intercept"
-            ),
-            F.first("slope").alias("slope"),
-            F.first("n_pairs").alias("n_pairs"),
-            F.count(F.lit(1)).alias("n_days"),
-        )
+    # slope/n_pairs ride on a second 1-row crossJoin AFTER the global
+    # agg, not on first() inside it: on an empty series the
+    # idx×fit join is empty and first() would NULL n_pairs where the
+    # oracle's COUNT gives 0 (empty-corpus sweep finding, r8)
+    part = idx.crossJoin(F.broadcast(fit)).agg(
+        F.median(F.col("rev") - F.col("slope") * F.col("i")).alias(
+            "intercept"
+        ),
+        F.count(F.lit(1)).alias("n_days"),
     )
+    icept = part.crossJoin(F.broadcast(fit))
     return icept.select(
         "n_days",
         "n_pairs",

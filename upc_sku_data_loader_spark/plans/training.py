@@ -822,6 +822,8 @@ def k42_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r["vec_id"]), [float(x) for x in r["v"]])
         for r in e.orderBy("vec_id").limit(_KM_K).collect()
     ]
+    if not cents:  # empty table: a zero-element literal array is VOID
+        return spark.createDataFrame([], "vec_id bigint, cluster int")
     assigned = _km_assign(e, cents)
     for _ in range(_KM_ITERS - 1):
         cent_df = (
@@ -935,6 +937,8 @@ def k43_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n = nodes.count()  # bounded: one scalar
+    if n == 0:  # empty graph: no nodes, no ranks (and // 0 below)
+        return spark.createDataFrame([], "node bigint, pr double")
     base = (3 * _PR_SCALE) // (20 * n)  # teleport term, integer
     ranks = nodes.withColumn("pri", F.lit(_PR_SCALE // n).cast("long"))
     for _ in range(_PR_ITERS):
@@ -1038,7 +1042,12 @@ def k47_coreset_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", V.as_double(F.col("embedding")).alias("v")
     )
-    first = e.orderBy("vec_id").limit(1).collect()[0]
+    seed = e.orderBy("vec_id").limit(1).collect()
+    if not seed:  # empty table: no centers, no assignment
+        return spark.createDataFrame(
+            [], "vec_id bigint, center_id bigint, dist_r double, is_center boolean"
+        )
+    first = seed[0]
     centers = [(0, first["vec_id"], first["v"])]
     cur = (
         e.filter(F.col("vec_id") != first["vec_id"])
@@ -1049,7 +1058,10 @@ def k47_coreset_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     for cid in (1, 2, 3):
-        top = cur.orderBy(F.desc("dmin"), F.asc("vec_id")).limit(1).collect()[0]
+        rows = cur.orderBy(F.desc("dmin"), F.asc("vec_id")).limit(1).collect()
+        if not rows:  # fewer vectors than centers: stop early
+            break
+        top = rows[0]
         centers.append((cid, top["vec_id"], top["v"]))
         if cid < 3:  # the post-final-pick state is never read
             cur = (
@@ -1595,12 +1607,15 @@ def _bpe_learn(
     )
     merges = []
     for i in range(1, _BPE_MERGES + 1):
-        best = (
+        rows = (
             _bpe_pair_counts(state)
             .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:  # vocabulary exhausted (or empty corpus): stop early
+            break
+        best = rows[0]
         merges.append((i, best["l"], best["r"], best["cnt"], 1))
         pat = f"|{best['l']}||{best['r']}|"
         rep = f"|{best['l']}{best['r']}|"
