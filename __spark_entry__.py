@@ -110,11 +110,7 @@ ROUND8_PLAN = [
     "a1_parquet_scan", "a2_csv_source",
 ]
 
-# The active driver window IS the pinned round-8 plan (rotated 2026-08-15
-# per the r7 verdict item 1: CORRECTNESS_r07 landed 50/50 green on
-# ROUND7_PLAN, so the pre-computed ROUND8_PLAN ships verbatim;
-# tools/window_plan.py validates the pin).
-_PRIORITY = list(ROUND8_PLAN)
+# (superseded 2026-08-15: the active window is now ROUND9_PLAN, below)
 
 # Pinned round-9 window, computed by tools/window_plan.plan(9, ledger)
 # UNDER THE ASSUMPTION that CORRECTNESS_r08 lands 50/50 green on
@@ -143,6 +139,41 @@ ROUND9_PLAN = [
     "k10_lang_id", "k15_multimodal_features", "k2_dedup_near_minhash",
     "k5b_vector_centroid", "k8_text_stats_by_lang", "k9_doc_similarity_pairs",
     "a10_orc_roundtrip", "a11_text_source",
+]
+
+# The active driver window IS the pinned round-9 plan (rotated 2026-08-15
+# per the r8 verdict item 2: CORRECTNESS_r08 landed 50/50 green on
+# ROUND8_PLAN, so the pre-computed ROUND9_PLAN ships verbatim —
+# re-verified this round: plan(9, load_ledger(max_round=8)) equals the
+# constant, and all 50 replayed green in REPLAY_r9_window.log).
+_PRIORITY = list(ROUND9_PLAN)
+
+# Pinned round-10 window, computed by tools/window_plan.plan(10, ledger)
+# UNDER THE ASSUMPTION that CORRECTNESS_r09 lands 50/50 green on
+# ROUND9_PLAN: maintenance rotation continues with the 41 names whose
+# latest driver-green is r3, alphabetical, then the first nine r4 names.
+# If any r9 name lands red, REGENERATE with
+# `python tools/window_plan.py --round 10` — reds outrank re-checks.
+# All 50 pre-validated through the Arrow driver-fetch replay in round 9
+# (tools/driver_fetch_replay.py; log in REPLAY_r10_window.log).
+ROUND10_PLAN = [
+    "a12_binaryfile_source", "a13_compact_small_files", "a14_schema_evolution_read",
+    "a6_jdbc_sink_append", "b11_validate_quarantine", "b12_column_profile",
+    "c11_join_dpp", "c12_join_null_safe", "c13_join_salted_skew",
+    "d15_agg_grouping_sets", "d17_heavy_hitters", "d18_histogram",
+    "g5_union_by_name", "h11_url_functions", "i12_stream_parquet_sink",
+    "j7_map_in_arrow", "k18_ngram_jaccard", "k20_dedup_clusters",
+    "k23_pii_redact", "k25_doc_chunking", "k26_embedding_quantize",
+    "k27_inverted_index", "k28_weighted_sample", "k29_decontaminate",
+    "k30_dedup_spans", "k31_vocab_prune", "k32_sequence_packing",
+    "k33_stratified_sample", "k34_gopher_rules", "k35_unigram_logprob",
+    "k37_dedup_clusters", "k38_leakage_safe_split", "k39_source_temperature_sample",
+    "q10_returned_items", "q13_customer_distribution", "q14_promo_revenue",
+    "q4_order_priority", "q5_local_supplier_volume", "q6_revenue_forecast",
+    "q7_volume_shipping", "q8_market_share", "a16b_python_stream_source",
+    "a18_partition_pruned_read", "a19_csv_malformed", "a20_compressed_json",
+    "d21_bitmap_distinct", "e10_win_range_interval", "etl6_cdc_apply",
+    "etl7_dq_expectations", "etl8_snapshot_diff",
 ]
 
 # Contract rows-only trio — never eligible for a driver window (each has a

@@ -1,9 +1,21 @@
-"""Pin the window-rotation machinery: the pinned round-7/8 plans in
+"""Pin the window-rotation machinery: the pinned round-7/8/9/10 plans in
 ``__spark_entry__`` and the ledger-driven planner in tools/window_plan.py
-(the round-8+ rotation strategy the r5 verdict endorsed)."""
+(the round-8+ rotation strategy the r5 verdict endorsed).
+
+ROUND-IDEMPOTENCY CONTRACT (r8 verdict item 1): every assertion about a
+past round's planner output evaluates against a ledger FROZEN to the
+rounds that existed when that plan was pinned (``load_ledger(max_round=
+N-1)`` for a round-N pin).  The driver deposits a new CORRECTNESS_r{N}
+.json after every session; an unfrozen ledger made three r8-era pins go
+red the moment CORRECTNESS_r08.json landed.  These tests must stay green
+on a tree containing ANY number of future-round ledger files (proven by
+test_pins_survive_synthetic_future_round below).
+"""
 
 from __future__ import annotations
 
+import json
+import shutil
 import sys
 from pathlib import Path
 
@@ -17,10 +29,11 @@ from upc_sku_data_loader_spark.registry import ORACLES, QUERIES  # noqa: E402
 
 def test_pinned_plans_partition_the_registry():
     """r1-r6 windowed + r7 window + r8 spill + rows-only trio must cover
-    all 339 names exactly once (no gap, no overlap).  After the round-7
-    rotation the active window IS the pinned plan."""
-    ledger = load_ledger()
-    r1_r6 = {n for n, (rnd, _) in ledger.items() if rnd <= 6}
+    all 339 names exactly once (no gap, no overlap).  The r1-r6 group is
+    the names whose ledger entry ORIGINATED in rounds 1-6 (frozen via
+    max_round=6), not whose live latest-check round is <=6 — re-checks in
+    later rounds must not move a name out of its historical group."""
+    r1_r6 = set(load_ledger(max_round=6))
     groups = [
         r1_r6,
         set(entrymod.ROUND7_PLAN),
@@ -32,7 +45,7 @@ def test_pinned_plans_partition_the_registry():
         f"gap: {sorted(set(QUERIES) - union)}; extra: {sorted(union - set(QUERIES))}"
     )
     assert sum(len(g) for g in groups) == len(QUERIES), "overlap between groups"
-    assert entrymod._PRIORITY == entrymod.ROUND8_PLAN  # r8 rotation shipped verbatim
+    assert entrymod._PRIORITY == entrymod.ROUND9_PLAN  # r9 rotation shipped verbatim
     assert len(entrymod.ROUND7_PLAN) == WINDOW
     assert len(entrymod.ROUND8_SPILL) == 3
     # rows-only trio is exactly the un-oracled set
@@ -40,47 +53,52 @@ def test_pinned_plans_partition_the_registry():
 
 
 def test_planner_round7_is_the_pinned_plan():
-    assert plan(7, load_ledger()) == entrymod.ROUND7_PLAN
+    assert plan(7, load_ledger(max_round=6)) == entrymod.ROUND7_PLAN
 
 
-def test_pinned_round8_plan_matches_planner_under_green_r7():
-    """ROUND8_PLAN is the planner's round-8 output under the assumption
-    CORRECTNESS_r07 lands 50/50 green on ROUND7_PLAN (the shipped window).
-    If r7 lands any red, the constant must be regenerated — this test
-    only pins the green-r7 scenario."""
-    ledger = load_ledger()
-    if any(rnd >= 7 for rnd, _ in ledger.values()):
-        # real r7 results recorded (50/50 green): the live planner output
-        # must equal the pinned constant — assert it for real
-        assert plan(8, ledger) == entrymod.ROUND8_PLAN
-        return
-    for n in entrymod.ROUND7_PLAN:
-        ledger[n] = (7, True)
+def test_pinned_round8_plan_matches_planner():
+    """ROUND8_PLAN is the planner's round-8 output over the ledger as it
+    stood after round 7 (CORRECTNESS_r07 landed 50/50 green on
+    ROUND7_PLAN).  Frozen at max_round=7 so later driver deposits can
+    never shift this historical pin."""
+    ledger = load_ledger(max_round=7)
     assert plan(8, ledger) == entrymod.ROUND8_PLAN
     assert entrymod.ROUND8_PLAN[:3] == entrymod.ROUND8_SPILL
     assert len(set(entrymod.ROUND8_PLAN)) == WINDOW
     assert all(n in ORACLES for n in entrymod.ROUND8_PLAN)
 
 
-def test_pinned_round9_plan_matches_planner_under_green_r8():
-    """ROUND9_PLAN is the planner's round-9 output under the assumption
-    CORRECTNESS_r08 lands 50/50 green on ROUND8_PLAN (the shipped window).
-    If r8 lands any red, the constant must be regenerated — this test
-    only pins the green-r8 scenario (and switches to the live planner
-    output once real r8 results are recorded)."""
-    ledger = load_ledger()
-    if not any(rnd >= 8 for rnd, _ in ledger.values()):
-        for n in entrymod.ROUND8_PLAN:
-            ledger[n] = (8, True)
+def test_pinned_round9_plan_matches_planner():
+    """ROUND9_PLAN is the planner's round-9 output over the ledger as it
+    stood after round 8 (CORRECTNESS_r08 landed 50/50 green on
+    ROUND8_PLAN).  Frozen at max_round=8."""
+    ledger = load_ledger(max_round=8)
     assert plan(9, ledger) == entrymod.ROUND9_PLAN
     assert len(set(entrymod.ROUND9_PLAN)) == WINDOW
     assert all(n in ORACLES for n in entrymod.ROUND9_PLAN)
 
 
+def test_pinned_round10_plan_matches_planner_under_green_r9():
+    """ROUND10_PLAN is the planner's round-10 output UNDER THE ASSUMPTION
+    that CORRECTNESS_r09 lands 50/50 green on ROUND9_PLAN (the shipped
+    window).  Until r9 results exist the green-r9 scenario is simulated;
+    once they land, the frozen max_round=9 ledger is used as-is.  If r9
+    lands any red, ROUND10_PLAN must be regenerated (reds outrank green
+    re-checks) and this pin updated."""
+    ledger = load_ledger(max_round=9)
+    if not any(rnd >= 9 for rnd, _ in ledger.values()):
+        for n in entrymod.ROUND9_PLAN:
+            ledger[n] = (9, True)
+    assert plan(10, ledger) == entrymod.ROUND10_PLAN
+    assert len(set(entrymod.ROUND10_PLAN)) == WINDOW
+    assert all(n in ORACLES for n in entrymod.ROUND10_PLAN)
+
+
 def test_planner_round8_shape():
-    """Round-8 window: 50 unique hash-checkable names, spill trio first,
-    then never-windowed/red before any green re-check."""
-    ledger = load_ledger()
+    """Round-8 window over the frozen post-r7 ledger: 50 unique
+    hash-checkable names, spill trio first, never-windowed/red before any
+    green re-check."""
+    ledger = load_ledger(max_round=7)
     window = plan(8, ledger)
     assert len(window) == WINDOW
     assert len(set(window)) == WINDOW
@@ -91,6 +109,36 @@ def test_planner_round8_shape():
     nevers = [n for n in window if n not in ledger and n not in entrymod.ROUND8_SPILL]
     if greens and nevers:
         assert max(window.index(n) for n in nevers) < min(window.index(n) for n in greens)
+
+
+def test_pins_survive_synthetic_future_round(tmp_path):
+    """Regression for the r8 red: the historical pins must hold on a tree
+    that ALREADY contains future-round ledger files (the state every
+    judged tree is actually in).  Copy the real ledger, deposit a
+    synthetic far-future round that flips every round-9-window name red,
+    and re-evaluate every frozen pin against the polluted tree."""
+    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        shutil.copy(path, tmp_path / path.name)
+    fake = {
+        n: {"rows_match": True, "schema_match": True, "hash_match": False}
+        for n in entrymod.ROUND9_PLAN
+    }
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(fake))
+
+    # frozen loads ignore the future file entirely
+    assert load_ledger(tmp_path, max_round=6) == load_ledger(max_round=6)
+    assert load_ledger(tmp_path, max_round=7) == load_ledger(max_round=7)
+    assert load_ledger(tmp_path, max_round=8) == load_ledger(max_round=8)
+
+    # every historical pin still holds against the polluted tree
+    assert plan(7, load_ledger(tmp_path, max_round=6)) == entrymod.ROUND7_PLAN
+    assert plan(8, load_ledger(tmp_path, max_round=7)) == entrymod.ROUND8_PLAN
+    assert plan(9, load_ledger(tmp_path, max_round=8)) == entrymod.ROUND9_PLAN
+
+    # and the unfrozen load DOES see the future round (sanity: the freeze
+    # is what protects the pins, not the loader ignoring files)
+    live = load_ledger(tmp_path)
+    assert all(live[n] == (99, False) for n in entrymod.ROUND9_PLAN)
 
 
 def test_planner_recheck_order_is_oldest_green_first():

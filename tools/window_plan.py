@@ -37,14 +37,25 @@ from upc_sku_data_loader_spark.registry import ORACLES, QUERIES  # noqa: E402
 WINDOW = 50
 
 
-def load_ledger(repo: Path = REPO) -> dict[str, tuple[int, bool]]:
-    """name -> (latest windowed round, green in that latest check)."""
+def load_ledger(
+    repo: Path = REPO, max_round: int | None = None
+) -> dict[str, tuple[int, bool]]:
+    """name -> (latest windowed round, green in that latest check).
+
+    ``max_round`` freezes the ledger to rounds <= N.  Historical pin tests
+    MUST pass it (rounds < the pinned round): the live tree gains a new
+    CORRECTNESS_r{N}.json after every driver run, so an unfrozen ledger
+    makes any assertion about a past round's planner output go stale the
+    moment the next round's results land (the r8 verdict's one red).
+    """
     ledger: dict[str, tuple[int, bool]] = {}
     for path in sorted(repo.glob("CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)\.json$", path.name)
         if not m:
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         data = json.loads(path.read_text())
         for name, res in data.items():
             green = bool(
