@@ -349,3 +349,25 @@ def test_k18_kernel_dedups_across_arrow_batch_boundaries(spark, sf_dir):
         tuple(r) for r in QUERIES["k18_ngram_jaccard"](spark, sf_dir).collect()
     )
     assert tiny == normal
+
+
+def test_k18_unpersists_caches_when_result_dropped(spark, sf_dir):
+    """r8 verdict nit: a direct library call to k18 must leave no cached
+    blocks behind once the caller drops the result — the two persisted
+    relations (clustered docs, prefix index) are lifetime-bound to the
+    returned plan via a weakref finalizer, with no reliance on any
+    harness-level clearCache()."""
+    import gc
+
+    from upc_sku_data_loader_spark import plans  # noqa: F401
+    from upc_sku_data_loader_spark.registry import QUERIES
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+    df = QUERIES["k18_ngram_jaccard"](spark, sf_dir)
+    assert not cm.isEmpty()  # caches live while the result is referenced
+    assert df.count() > 0
+    del df
+    gc.collect()
+    assert cm.isEmpty(), "k18 left cached blocks after its result was dropped"
