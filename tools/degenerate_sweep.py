@@ -22,14 +22,29 @@ divergence) — each is either a robustness bug to fix or a documented
 domain assumption.
 
 Usage:
-    python tools/degenerate_sweep.py [names...]     # default: all 339
-    python tools/degenerate_sweep.py --empty [...]  # ZERO-ROW tables
+    python tools/degenerate_sweep.py [names...]       # default: all 339
+    python tools/degenerate_sweep.py --empty [...]    # ZERO-ROW tables
+    python tools/degenerate_sweep.py --extreme [...]  # non-finite / multibyte / int64-edge
 
 --empty swaps the fixture for schema-correct zero-row tables: the
 shapes that break driver-side seed collects (first() on nothing),
 numpy kernels (vstack of an empty batch), and window/aggregate edge
 paths.  An operator is allowed to return zero rows there — it is NOT
 allowed to throw differently than its oracle.
+
+--extreme is the third mode (r8 SCALING.md "unswept input dimensions"):
+- NaN/+Inf/-Inf in `events.value` and `embeddings.embedding` (Spark
+  and DuckDB both group NaN as one key and sort it greatest, but
+  derived arithmetic — histogram bins, z-scores, cosine norms — can
+  diverge or throw on exactly one engine),
+- non-ASCII/multibyte `documents.text` and dimension names (CJK,
+  emoji/4-byte codepoints, RTL Arabic, accented Latin): probes the
+  char-vs-byte assumptions in gram extraction, fixed-width layouts,
+  tokenizers and regex classes,
+- key columns near the int64 edge (doc_id/vec_id/user_id/event_id/
+  custkey/orderkey at 2^62+i): arithmetic on key-derived values
+  (salting by multiplication, key*constant bucketing) overflows under
+  ANSI mode exactly like a snowflake-id corpus would at 100 TB.
 """
 
 from __future__ import annotations
@@ -158,6 +173,129 @@ def build(out: Path) -> str:
     return str(out)
 
 
+def build_extreme(out: Path) -> str:
+    """Third-mode fixture: non-finite floats, multibyte text, int64-edge
+    keys.  Schemas identical to /root/testdata (and to build() above)."""
+    out.mkdir(parents=True, exist_ok=True)
+    import datetime
+
+    def ts(day, h=0):
+        return datetime.datetime(2024, 1, day, h)
+
+    def write(name, cols, schema):
+        pq.write_table(pa.table(cols, schema=pa.schema(schema)), f"{out}/{name}.parquet")
+
+    K = 2**62  # 4.61e18 — near-int64-edge base for key columns
+    NAN, PINF, NINF = float("nan"), float("inf"), float("-inf")
+
+    write("region", {"r_regionkey": [0, 1], "r_name": ["ÜBER-RÉGION", "亜細亜"]},
+          [("r_regionkey", pa.int32()), ("r_name", pa.string())])
+    write("nation",
+          {"n_nationkey": [0, 1], "n_name": ["日本", "CÔTE D'IVOIRE"],
+           "n_regionkey": [0, 1]},
+          [("n_nationkey", pa.int32()), ("n_name", pa.string()),
+           ("n_regionkey", pa.int32())])
+    write("customer",
+          {"c_custkey": [K + 1, K + 2, K + 3],
+           "c_name": ["顧客#1", "cliënt#2", "عميل#3"],
+           "c_nationkey": [0, 1, 0],
+           "c_acctbal": [100.5, -50.25, 0.0],
+           "c_mktsegment": ["BUILDING", "MACHINERY", "BUILDING"]},
+          [("c_custkey", pa.int64()), ("c_name", pa.string()),
+           ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+           ("c_mktsegment", pa.string())])
+    write("supplier",
+          {"s_suppkey": [1, 2], "s_name": ["fournisseur#1", "仕入先#2"],
+           "s_nationkey": [0, 1], "s_acctbal": [10.5, -3.75]},
+          [("s_suppkey", pa.int64()), ("s_name", pa.string()),
+           ("s_nationkey", pa.int32()), ("s_acctbal", pa.float64())])
+    write("part",
+          {"p_partkey": [1, 2, 3],
+           "p_name": ["café au lait brûlée", "naïve £ part", "普通の部品"],
+           "p_brand": ["Brand#1", "Brand#2", "Brand#1"],
+           "p_type": ["TYPE A", "TYPE B", "TYPE A"],
+           "p_size": [1, 50, 25],
+           "p_retailprice": [901.0, 1000.5, 850.25]},
+          [("p_partkey", pa.int64()), ("p_name", pa.string()),
+           ("p_brand", pa.string()), ("p_type", pa.string()),
+           ("p_size", pa.int32()), ("p_retailprice", pa.float64())])
+    write("orders",
+          {"o_orderkey": [K + 11, K + 12, K + 13, K + 14],
+           "o_custkey": [K + 1, K + 1, K + 2, K + 3],
+           "o_orderstatus": ["F", "O", "F", "O"],
+           "o_totalprice": [100.0, 200.0, 150.5, 99.99],
+           "o_orderdate": [ts(1), ts(2), ts(3), ts(4)],
+           "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", "1-URGENT"]},
+          [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+           ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+           ("o_orderdate", pa.timestamp("us")), ("o_orderpriority", pa.string())])
+    write("lineitem",
+          {"l_orderkey": [K + 11, K + 11, K + 12, K + 13, K + 14],
+           "l_partkey": [1, 2, 3, 1, 2],
+           "l_suppkey": [1, 2, 1, 2, 1],
+           "l_linenumber": [1, 2, 1, 1, 1],
+           "l_quantity": [1.0, 2.0, 3.0, 4.0, 5.0],
+           "l_extendedprice": [10.5, 20.25, 30.0, 40.75, 50.5],
+           "l_discount": [0.0, 0.05, 0.1, 0.05, 0.0],
+           "l_tax": [0.0, 0.02, 0.04, 0.0, 0.08],
+           "l_returnflag": ["N", "R", "A", "N", "R"],
+           "l_linestatus": ["O", "F", "F", "O", "F"],
+           "l_shipdate": [ts(2), ts(3), ts(4), ts(5), ts(6)]},
+          [("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+           ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+           ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+           ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+           ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+           ("l_shipdate", pa.timestamp("us"))])
+    # non-finite values interleaved with normals; int64-edge user ids
+    write("events",
+          {"event_id": [K + i for i in range(1, 9)],
+           "ts": [ts(1, 1), ts(1, 2), ts(1, 3), ts(1, 4),
+                  ts(2, 1), ts(2, 2), ts(2, 3), ts(2, 4)],
+           "user_id": [K + 7, K + 7, K + 8, K + 8, K + 7, K + 8, K + 9, K + 9],
+           "event_type": ["purchase", "click", "purchase", "view",
+                          "click", "purchase", "view", "click"],
+           "value": [1.5, NAN, PINF, NINF, 2.5, NAN, 0.0, 3.25],
+           "props": ["{}"] * 8},
+          [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+           ("user_id", pa.int64()), ("event_type", pa.string()),
+           ("value", pa.float64()), ("props", pa.string())])
+    # multibyte scripts (CJK, accented Latin, 4-byte emoji, RTL Arabic,
+    # mixed), one exact-dup pair, int64-edge doc ids; n_chars counts
+    # Python/Spark/DuckDB codepoints (all three agree)
+    docs = [
+        (K + 1, "日本語のテキストです。大規模な言語モデルの学習データとして利用します。", "ja", "web"),
+        (K + 2, "日本語のテキストです。大規模な言語モデルの学習データとして利用します。", "ja", "web"),
+        (K + 3, "café naïve déjà vu — résumé über straße", "fr", "web"),
+        (K + 4, "🚀 emoji 🎉 test 🤖 with 🌍 multibyte 🔥 codepoints 🚀", "en", "synth"),
+        (K + 5, "مرحبا بالعالم هذا نص تجريبي باللغة العربية للاختبار", "ar", "web"),
+        (K + 6, "Mixed ASCII with Ünïcödé and ελληνικά and кириллица", "en", "web"),
+    ]
+    write("documents",
+          {"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs],
+           "lang": [d[2] for d in docs], "source": [d[3] for d in docs],
+           "n_chars": [len(d[1]) for d in docs]},
+          [("doc_id", pa.int64()), ("text", pa.string()),
+           ("lang", pa.string()), ("source", pa.string()),
+           ("n_chars", pa.int64())])
+    # NaN / +Inf / -Inf components, an exact-dup pair, int64-edge ids
+    vecs = [
+        (K + 1, [NAN, 1.0, 2.0, 3.0], 0),
+        (K + 2, [PINF, 1.0, 2.0, 3.0], 1),
+        (K + 3, [NINF, 1.0, 2.0, 3.0], 1),
+        (K + 4, [1.0, 2.0, 3.0, 4.0], 2),
+        (K + 5, [1.0, 2.0, 3.0, 4.0], 2),  # exact dup of K+4
+        (K + 6, [4.0, 3.0, 2.0, 1.0], 0),
+    ]
+    write("embeddings",
+          {"vec_id": [v[0] for v in vecs],
+           "embedding": [v[1] for v in vecs],
+           "label": [v[2] for v in vecs]},
+          [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())),
+           ("label", pa.int32())])
+    return str(out)
+
+
 def build_empty(out: Path) -> str:
     """Zero-row variants of every table, exact fixture schemas."""
     out.mkdir(parents=True, exist_ok=True)
@@ -170,11 +308,14 @@ def build_empty(out: Path) -> str:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--empty"]
+    args = [a for a in sys.argv[1:] if a not in ("--empty", "--extreme")]
     empty = "--empty" in sys.argv[1:]
+    extreme = "--extreme" in sys.argv[1:]
     names = args or list(QUERIES)
     if empty:
         sf_dir = build_empty(REPO / ".scratch" / "degenerate_empty")
+    elif extreme:
+        sf_dir = build_extreme(REPO / ".scratch" / "degenerate_extreme")
     else:
         sf_dir = build(REPO / ".scratch" / "degenerate")
     spark = get_spark(app_name="degenerate_sweep")

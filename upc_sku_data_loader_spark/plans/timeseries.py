@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.exprs import fsum, fsum_over, fsum_over_sql, fsum_sql
 from ..registry import query
 
 # --- T1: resample to a daily grid with gap-fill -------------------------------
@@ -37,7 +38,7 @@ from ..registry import query
     WITH p AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
              COUNT(*) AS n_events,
-             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS day_value
+             """ + fsum_sql("value", "day_value") + """
       FROM events
       WHERE event_type = 'purchase'
       GROUP BY user_id, day
@@ -71,7 +72,7 @@ def t1_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("day_value"),
+            fsum("value", "day_value"),
         )
     )
     grid = (
@@ -100,7 +101,13 @@ def t1_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t2_zscore_outliers",
     oracle="""
     WITH stats AS (
-      SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma,
+      SELECT event_type, AVG(value) AS mu,
+             CASE WHEN COUNT(CASE WHEN isnan(value) OR isinf(value)
+                                  THEN 1 END) > 0
+                  THEN CAST('nan' AS DOUBLE)
+                  ELSE STDDEV_SAMP(CASE WHEN isfinite(value)
+                                        THEN value END)
+             END AS sigma,
              COUNT(*) AS n
       FROM events GROUP BY event_type
     )
@@ -121,9 +128,17 @@ def t2_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     are order-sensitive doubles → rounded on both sides (registry float
     discipline)."""
     e = load(spark, sf_dir, "events")
+    # σ convention, pinned on both engines (--extreme sweep): a group
+    # containing any NaN/±Inf has σ = NaN (DuckDB's STDDEV kernel throws
+    # "out of range" on Inf; Spark's returns NaN — neither is portable,
+    # so the non-finite case is made explicit and identical)
+    v = F.col("value")
+    nonfinite = F.isnan(v) | (v == F.lit(float("inf"))) | (v == F.lit(float("-inf")))
     stats = e.groupBy("event_type").agg(
         F.avg("value").alias("mu"),
-        F.stddev_samp("value").alias("sigma"),
+        F.when(F.count(F.when(nonfinite, 1)) > 0, F.lit(float("nan")))
+        .otherwise(F.stddev_samp(F.when(~nonfinite, v)))
+        .alias("sigma"),
         F.count(F.lit(1)).alias("n"),
     )
     # try_divide: a constant-valued type has σ = 0 — its z-scores are
@@ -156,8 +171,8 @@ def t2_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH bands AS (
       SELECT event_type,
-             quantile_cont(value, 0.05) AS p05,
-             quantile_cont(value, 0.95) AS p95
+             quantile_cont(CASE WHEN isfinite(value) THEN value END, 0.05) AS p05,
+             quantile_cont(CASE WHEN isfinite(value) THEN value END, 0.95) AS p95
       FROM events GROUP BY event_type
     )
     SELECT e.event_type,
@@ -167,8 +182,9 @@ def t2_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_clipped_low,
            CAST(SUM(CASE WHEN e.value > b.p95 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_clipped_high,
-           CAST(SUM(CAST(GREATEST(b.p05, LEAST(b.p95, e.value))
-                         AS DECIMAL(30,6))) AS DOUBLE) AS winsorized_sum
+           """ + fsum_sql("CASE WHEN NOT isfinite(e.value) THEN e.value "
+                          "ELSE GREATEST(b.p05, LEAST(b.p95, e.value)) END",
+                          "winsorized_sum") + """
     FROM events e JOIN bands b ON b.event_type = e.event_type
     GROUP BY e.event_type, b.p05, b.p95
     """,
@@ -181,11 +197,24 @@ def t3_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropping outlier rows; clipped sum uses the exact-decimal
     discipline."""
     e = load(spark, sf_dir, "events")
-    bands = e.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.05)").alias("p05"),
-        F.expr("percentile(value, 0.95)").alias("p95"),
+    # band convention, pinned on both engines (--extreme sweep): the
+    # [p05, p95] band is computed over FINITE values only (Spark sorts
+    # NaN greatest, DuckDB's quantile places it differently — excluding
+    # non-finites is the only portable definition), and a non-finite
+    # value passes through unclipped into the non-finite-faithful sum
+    finite_v = F.expr(
+        "CASE WHEN isnan(value) OR value = CAST('Infinity' AS DOUBLE)"
+        " OR value = CAST('-Infinity' AS DOUBLE) THEN NULL ELSE value END"
     )
-    clipped = F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("value")))
+    bands = e.groupBy("event_type").agg(
+        F.percentile(finite_v, F.lit(0.05)).alias("p05"),
+        F.percentile(finite_v, F.lit(0.95)).alias("p95"),
+    )
+    v = F.col("value")
+    nonfinite = F.isnan(v) | (v == F.lit(float("inf"))) | (v == F.lit(float("-inf")))
+    clipped = F.when(nonfinite, v).otherwise(
+        F.greatest(F.col("p05"), F.least(F.col("p95"), v))
+    )
     return (
         e.join(F.broadcast(bands), "event_type")
         .groupBy("event_type", "p05", "p95")
@@ -196,7 +225,7 @@ def t3_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("value") > F.col("p95"), 1).otherwise(0))
             .cast("bigint")
             .alias("n_clipped_high"),
-            F.sum(clipped.cast("decimal(30,6)")).cast("double").alias("winsorized_sum"),
+            fsum(clipped, "winsorized_sum"),
         )
         .select(
             "event_type",
@@ -231,7 +260,7 @@ def t3_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(value) AS low,
            MAX(CASE WHEN rnd = 1 THEN value END) AS close,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS volume
+           """ + fsum_sql("value", "volume") + """
     FROM r
     GROUP BY day
     """,
@@ -258,7 +287,7 @@ def t4_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("low"),
         F.max_by("value", F.col("k")).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("volume"),
+        fsum("value", "volume"),
     )
 
 
@@ -339,7 +368,7 @@ def t5_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH p AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS day_value
+             """ + fsum_sql("value", "day_value") + """
       FROM events
       WHERE event_type = 'purchase'
       GROUP BY user_id, day
@@ -401,9 +430,7 @@ def t6_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
         )
-        .agg(
-            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("day_value")
-        )
+        .agg(fsum("value", "day_value"))
     )
     grid = (
         p.groupBy("user_id")
@@ -459,7 +486,7 @@ def t6_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     quotes AS (
       SELECT user_id, tus,
-             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS qv
+             """ + fsum_sql("value", "qv") + """
       FROM ev WHERE event_type = 'purchase'
       GROUP BY user_id, tus
     ),
@@ -522,11 +549,7 @@ def t7_asof_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     quotes = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", "tus")
-        .agg(
-            F.sum(F.col("value").cast("decimal(30,6)"))
-            .cast("double")
-            .alias("qv")
-        )
+        .agg(fsum("value", "qv"))
         .withColumn("side", F.lit(0))
     )
     ticks = (
@@ -761,6 +784,7 @@ def t9_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, event_id, ts,
              CAST(ROUND(value * 1000000) AS BIGINT) AS xm
       FROM events
+      WHERE isfinite(value)
     ),
     st AS (
       SELECT event_type, COUNT(*) AS n, SUM(xm) AS tot
@@ -818,11 +842,21 @@ def t10_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums ride decimal(38,0) (DuckDB HUGEINT twin) so a 100 TB stream
     cannot overflow.  No global sort, no collect.
     """
-    x = load(spark, sf_dir, "events").select(
-        "event_type",
-        "event_id",
-        "ts",
-        F.expr("CAST(ROUND(value * 1000000) AS BIGINT)").alias("xm"),
+    # non-finite observations are sensor garbage to a change-point
+    # detector: excluded on BOTH engines (--extreme sweep convention;
+    # the micro-unit cast throws on NaN/Inf under ANSI and DuckDB alike)
+    x = (
+        load(spark, sf_dir, "events")
+        .filter(
+            "NOT (isnan(value) OR value = CAST('Infinity' AS DOUBLE)"
+            " OR value = CAST('-Infinity' AS DOUBLE))"
+        )
+        .select(
+            "event_type",
+            "event_id",
+            "ts",
+            F.expr("CAST(ROUND(value * 1000000) AS BIGINT)").alias("xm"),
+        )
     )
     st = x.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -888,7 +922,7 @@ _HOLT_1MB = "0.7"  # 1 - beta, as its own literal (never computed)
       SELECT user_id, ts, event_id, value,
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS rn
-      FROM events WHERE event_type = 'purchase'
+      FROM events WHERE event_type = 'purchase' AND isfinite(value)
     ),
     holt AS (
       SELECT user_id, rn, ts, event_id, value,
@@ -953,9 +987,16 @@ def t11_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf["b"] = trends
         return pdf
 
+    # a non-finite observation would poison the coupled (l, b) state
+    # for the rest of the stream; excluded on BOTH engines (--extreme
+    # sweep convention, same as t10)
     purchases = (
         load(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
+        .filter(
+            "NOT (isnan(value) OR value = CAST('Infinity' AS DOUBLE)"
+            " OR value = CAST('-Infinity' AS DOUBLE))"
+        )
         .select("user_id", "ts", "event_id", "value")
     )
     smoothed = purchases.groupBy("user_id").applyInPandas(
@@ -987,7 +1028,7 @@ def t11_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, event_id, value,
              lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS yhat
-      FROM events WHERE event_type = 'purchase'
+      FROM events WHERE event_type = 'purchase' AND isfinite(value)
     ),
     e AS (
       SELECT user_id, ABS(value - yhat) AS abs_err
@@ -1016,9 +1057,16 @@ def t12_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # non-finite observations are excluded from the backtest on BOTH
+    # engines (--extreme convention): |y - yhat| is meaningless against
+    # NaN/Inf and the micro-unit MAE cast would throw
     p = (
         load(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
+        .filter(
+            "NOT (isnan(value) OR value = CAST('Infinity' AS DOUBLE)"
+            " OR value = CAST('-Infinity' AS DOUBLE))"
+        )
         .select("user_id", "ts", "event_id", "value")
         .withColumn("yhat", F.lag("value").over(w))
         .filter(F.col("yhat").isNotNull())
@@ -1050,7 +1098,7 @@ def t12_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     seas AS (
       SELECT dow,
              COUNT(*) AS n,
-             ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+             ROUND(""" + fsum_sql("value") + """
                    / COUNT(*), 6) AS dow_mean
       FROM p GROUP BY dow
     )
@@ -1085,11 +1133,7 @@ def t13_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     seas = p.groupBy("dow").agg(
-        F.round(
-            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("dow_mean")
+        F.round(fsum("value") / F.count(F.lit(1)), 6).alias("dow_mean")
     )
     return p.join(F.broadcast(seas), "dow").select(
         "event_id",
@@ -1115,7 +1159,8 @@ _T14_LAGS = 7  # ACF at calendar-day lags 1..7 (captures the weekly cycle)
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS d,
              CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v
-      FROM events WHERE event_type = 'purchase' GROUP BY 1
+      FROM events WHERE event_type = 'purchase' AND isfinite(value)
+      GROUP BY 1
     ),
     idx AS (
       SELECT date_diff('day', (SELECT MIN(d) FROM daily), d) AS t, v
@@ -1165,9 +1210,16 @@ def t14_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     join), and one equi-join on day index.  The series after daily
     aggregation is ~days-long — tiny regardless of raw scale; at 100 TB
     only the first agg touches data-sized input."""
+    # ACF over a series with NaN/Inf observations is undefined — the
+    # non-finite raw values are treated as missing on BOTH engines
+    # (--extreme convention), keeping the daily series decimal-exact
     ev = (
         load(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
+        .filter(
+            "NOT (isnan(value) OR value = CAST('Infinity' AS DOUBLE)"
+            " OR value = CAST('-Infinity' AS DOUBLE))"
+        )
         .select(F.col("ts").cast("date").alias("d"), "value")
     )
     daily = ev.groupBy("d").agg(
@@ -1219,7 +1271,7 @@ def t14_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH p AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS day_value
+             """ + fsum_sql("value", "day_value") + """
       FROM events
       WHERE event_type = 'purchase'
       GROUP BY user_id, day
@@ -1259,9 +1311,7 @@ def t15_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
         )
-        .agg(
-            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("day_value")
-        )
+        .agg(fsum("value", "day_value"))
     )
     w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
     arr = F.array_sort(F.collect_list("day_value").over(w))
@@ -1487,7 +1537,7 @@ def t17_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
              CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS rev
-      FROM events WHERE event_type = 'purchase'
+      FROM events WHERE event_type = 'purchase' AND isfinite(value)
       GROUP BY day
     ),
     neigh AS (
@@ -1521,6 +1571,12 @@ def t18_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         load(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
+        # non-finite observations are missing data to a peak/trend
+        # detector: excluded on BOTH engines (--extreme convention)
+        .filter(
+            "NOT (isnan(value) OR value = CAST('Infinity' AS DOUBLE)"
+            " OR value = CAST('-Infinity' AS DOUBLE))"
+        )
         .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
         .agg(
             F.sum(F.col("value").cast("decimal(30,6)"))
@@ -1623,7 +1679,7 @@ def t19_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
              CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS rev
-      FROM events WHERE event_type = 'purchase'
+      FROM events WHERE event_type = 'purchase' AND isfinite(value)
       GROUP BY day
     ),
     o AS (SELECT MIN(day) AS d0 FROM daily),
@@ -1664,6 +1720,12 @@ def t20_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         load(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
+        # non-finite observations are missing data to a peak/trend
+        # detector: excluded on BOTH engines (--extreme convention)
+        .filter(
+            "NOT (isnan(value) OR value = CAST('Infinity' AS DOUBLE)"
+            " OR value = CAST('-Infinity' AS DOUBLE))"
+        )
         .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
         .agg(
             F.sum(F.col("value").cast("decimal(30,6)"))

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.exprs import fsum_over_sparksql, fsum_over_sql
 from ..registry import query
 
 # --- E1: row_number dedup-latest (the ETL-defining window) -------------------
@@ -286,7 +287,7 @@ def e9_win_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, ts, event_id,
            COUNT(*) OVER w AS n_1h,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)
+           """ + fsum_over_sql("value", "OVER w") + """
              AS sum_1h
     FROM p
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
@@ -320,10 +321,11 @@ def e10_win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
         ).alias("n_1h"),
         F.expr(
-            "CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER"
-            " (PARTITION BY user_id ORDER BY ts"
-            " RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
-            " AS DOUBLE)"
+            fsum_over_sparksql(
+                "value",
+                "OVER (PARTITION BY user_id ORDER BY ts"
+                " RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)",
+            )
         ).alias("sum_1h"),
     )
 
