@@ -108,8 +108,13 @@ def sample_frames(
                 for i in range(n_frames):
                     off = i * frame_bytes
                     chunk = data[off : off + frame_bytes]
+                    # digest the lowercase-HEX text of the byte window:
+                    # a raw byte window can split a multibyte character,
+                    # and the oracle's sha256 only hashes valid VARCHAR —
+                    # hex text is the portable byte-faithful surface
                     out.append(
-                        (doc_id, i, off, hashlib.sha256(chunk).hexdigest())
+                        (doc_id, i, off,
+                         hashlib.sha256(chunk.hex().encode()).hexdigest())
                     )
             yield pd.DataFrame(
                 out,
@@ -152,13 +157,14 @@ def windowed_segments(
                 for i in range(n_seg):
                     off = i * hop_bytes
                     chunk = data[off : off + window_bytes]
+                    # hex-text digest: see sample_frames (same contract)
                     out.append(
                         (
                             doc_id,
                             i,
                             off,
                             len(chunk),
-                            hashlib.sha256(chunk).hexdigest(),
+                            hashlib.sha256(chunk.hex().encode()).hexdigest(),
                         )
                     )
             yield pd.DataFrame(

@@ -17,6 +17,31 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+# --- finite-vector convention (--extreme sweep) -------------------------
+# Numeric embedding kernels (KNN, ANN, dedup, centroid, quantize,
+# projection) operate over FINITE vectors only: a NaN/Inf component makes
+# every derived similarity/statistic undefined, numpy and DuckDB disagree
+# on NaN ordering inside argsort/ROW_NUMBER, and the pandas-UDF output
+# path renders NaN as NULL.  Both engines apply the identical predicate
+# at ingestion; non-finite vectors simply do not participate.
+
+
+def finite_vec(vec: Column | str) -> Column:
+    """True iff every component of ``vec`` is finite (Spark side)."""
+    c = F.col(vec) if isinstance(vec, str) else vec
+    return ~F.exists(
+        c,
+        lambda x: F.isnan(x)
+        | (x == F.lit(float("inf")))
+        | (x == F.lit(float("-inf"))),
+    )
+
+
+def finite_vec_sql(col: str) -> str:
+    """DuckDB twin of :func:`finite_vec`."""
+    return f"len(list_filter({col}, x -> NOT isfinite(x))) = 0"
+
+
 def as_double(vec: Column | str) -> Column:
     c = F.col(vec) if isinstance(vec, str) else vec
     return F.transform(c, lambda x: x.cast("double"))

@@ -46,6 +46,18 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.vectors import finite_vec
+
+
+def _load_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load embeddings under the finite-vector convention (see
+    functions/vectors.py): NaN/Inf-bearing vectors do not participate in
+    any similarity kernel, matching the oracles' identical predicate."""
+    return (
+        load(spark, sf_dir, "embeddings")
+        .filter(finite_vec("embedding"))
+        .select("vec_id", "embedding")
+    )
 
 SIM_DECIMALS = 6
 
@@ -65,7 +77,7 @@ def embedding_matrix(spark: SparkSession, sf_dir: str) -> tuple[np.ndarray, np.n
     """(vec_ids int64[n], L2-normalized float64[n,d]) — the broadcast-side
     matrix for the SMALL-reference strategy only; the blocked strategy
     never calls this (no full-table driver collect at scale)."""
-    pdf = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").toPandas()
+    pdf = _load_vecs(spark, sf_dir).toPandas()
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
     if len(pdf) == 0:  # np.vstack of nothing throws; 0×1 keeps callers 2-D
         return ids, np.zeros((0, 1))
@@ -307,7 +319,7 @@ def _knn_blocked(
 ) -> DataFrame:
     """Exact KNN without any driver-side collect: grid-blocked cogroup
     matmul top-k, then a global window re-rank."""
-    ref = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ref = _load_vecs(spark, sf_dir)
 
     def per_cell(q_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
         return _pair_topk_pdf(q_pdf, r_pdf, k)
@@ -335,10 +347,10 @@ def knn_join(
     n_blocks: int = 8,
 ) -> DataFrame:
     """K nearest neighbors for each (optionally filtered) query vector."""
-    queries = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = _load_vecs(spark, sf_dir)
     if query_filter:
         queries = queries.filter(query_filter)
-    ref = load(spark, sf_dir, "embeddings")
+    ref = _load_vecs(spark, sf_dir)
     if _pick_strategy(strategy, ref, spark) == "broadcast":
         return _knn_broadcast(spark, sf_dir, queries, k)
     return _knn_blocked(spark, sf_dir, queries, k, n_blocks)
@@ -395,7 +407,7 @@ def dedup_embedding(
     for small references; the blocked strategy computes a per-block
     min-dup-id partial and reduces with a keyed min — associative, so
     bit-identical to the broadcast answer."""
-    vecs = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vecs = _load_vecs(spark, sf_dir)
     if _pick_strategy(strategy, vecs, spark) == "broadcast":
         ids, mat = embedding_matrix(spark, sf_dir)
         bc = spark.sparkContext.broadcast((ids, mat))
@@ -421,7 +433,7 @@ def dedup_embedding(
         )
 
     # fresh load → distinct lineage, avoids self-join ambiguity in cogroup
-    ref = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ref = _load_vecs(spark, sf_dir)
 
     def per_cell(q_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
         if q_pdf.empty:
@@ -491,7 +503,7 @@ def ann_ivf(
     """
     from ..functions import vectors as V
 
-    vecs = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vecs = _load_vecs(spark, sf_dir)
 
     # (a) deterministic seeds: the n_centroids lowest vec_ids
     seed_rows = vecs.orderBy("vec_id").limit(n_centroids).collect()
@@ -536,7 +548,7 @@ def ann_ivf(
     # final inverted index: one cluster per vector, executor-side
     inverted = vecs.withColumn("cluster", _assign_udf(spark, cents1)("embedding"))
 
-    queries = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = _load_vecs(spark, sf_dir)
     if query_filter:
         queries = queries.filter(query_filter)
 

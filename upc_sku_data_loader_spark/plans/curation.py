@@ -279,6 +279,7 @@ def k25_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
                1e-12) AS scale,
              embedding
       FROM embeddings
+      WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     )
     SELECT vec_id,
            scale,
@@ -297,8 +298,12 @@ def k26_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle; every step (abs, max, round, multiply, subtract) is
     IEEE-deterministic so raw doubles hash-match the oracle.  The
     integer checksum stands in for the quantized vector itself so the
-    output schema stays array-free (driver canonicalizer rule)."""
-    e = load(spark, sf_dir, "embeddings")
+    output schema stays array-free (driver canonicalizer rule).
+    Finite-vector convention (functions/vectors.py): NaN/Inf components
+    make scale/checksum undefined, so those vectors do not quantize."""
+    from ..functions.vectors import finite_vec
+
+    e = load(spark, sf_dir, "embeddings").filter(finite_vec("embedding"))
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     scale = F.greatest(
         F.array_max(F.transform(dbl, lambda x: F.abs(x))) / 127.0, F.lit(1e-12)
@@ -1478,7 +1483,8 @@ _K75_BINS = 8  # bins 0..7, last one open-ended
              user_id % 2 AS cohort,
              LEAST(CAST(FLOOR(value / {_K75_BIN_W}) AS BIGINT),
                    {_K75_BINS - 1}) AS bin
-      FROM events WHERE event_type = 'purchase' OR event_type = 'click'
+      FROM events WHERE (event_type = 'purchase' OR event_type = 'click')
+        AND isfinite(value)
     ),
     grid AS (
       SELECT DISTINCT event_type, b.bin
@@ -1533,6 +1539,12 @@ def k75_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         load(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("purchase", "click"))
+        # non-finite observations cannot be binned (FLOOR cast throws on
+        # both engines) — excluded, the t10/t18 detector convention
+        .filter(
+            "NOT (isnan(value) OR value = CAST('Infinity' AS DOUBLE)"
+            " OR value = CAST('-Infinity' AS DOUBLE))"
+        )
         .select(
             "event_type",
             (F.col("user_id") % 2).alias("cohort"),

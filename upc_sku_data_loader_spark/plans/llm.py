@@ -116,8 +116,10 @@ def k2_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT a.vec_id AS a, b.vec_id AS b,
            ROUND({V.cosine_sql('a.embedding', 'b.embedding')}, 6) AS sim
-    FROM embeddings a
-    JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM (SELECT * FROM embeddings
+          WHERE {V.finite_vec_sql('embedding')}) a
+    JOIN (SELECT * FROM embeddings
+          WHERE {V.finite_vec_sql('embedding')}) b ON a.vec_id < b.vec_id
     ORDER BY sim DESC, a, b
     LIMIT 10
     """,
@@ -141,8 +143,11 @@ K4_ORACLE = f"""
                ORDER BY ROUND({V.cosine_sql('a.embedding', 'b.embedding')}, 6) DESC,
                         b.vec_id
              ) AS rank
-      FROM embeddings a
-      JOIN embeddings b ON b.vec_id != a.vec_id
+      FROM (SELECT * FROM embeddings
+            WHERE {V.finite_vec_sql('embedding')}) a
+      JOIN (SELECT * FROM embeddings
+            WHERE {V.finite_vec_sql('embedding')}) b
+        ON b.vec_id != a.vec_id
       WHERE a.vec_id % 20 = 0
     )
     SELECT q_vec_id, neighbor_id, sim, CAST(rank AS INT) AS rank
@@ -202,6 +207,7 @@ def k5_vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(CAST(embedding AS DOUBLE[])) AS v,
              unnest(generate_series(1, len(embedding))) AS pos
       FROM embeddings
+      WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ),
     per_pos AS (
       SELECT label, pos, ROUND(AVG(v), 6) AS c
@@ -211,13 +217,18 @@ def k5_vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            array_to_string(
              list(CAST(CAST(c AS DECIMAL(18,6)) AS VARCHAR) ORDER BY pos), ','
            ) AS centroid,
-           (SELECT COUNT(*) FROM embeddings e WHERE e.label = per_pos.label) AS n_vectors
+           (SELECT COUNT(*) FROM embeddings e
+            WHERE e.label = per_pos.label
+              AND len(list_filter(e.embedding, x -> NOT isfinite(x))) = 0)
+             AS n_vectors
     FROM per_pos
     GROUP BY label
     """,
 )
 def k5b_vector_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    # finite-vector convention (functions/vectors.py): a NaN/Inf
+    # component would poison every per-position mean
+    e = load(spark, sf_dir, "embeddings").filter(V.finite_vec("embedding"))
     flat = e.select(
         "label", F.posexplode(V.as_double(F.col("embedding"))).alias("pos", "v")
     )
@@ -542,9 +553,11 @@ def k14_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "k15_multimodal_features",
     oracle="""
     SELECT doc_id,
-           CAST(n_chars AS BIGINT) AS n_bytes,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
            sha256(text) AS payload_sha256,
-           CAST(ascii(text[1:1]) AS INT) AS head_byte
+           CASE WHEN strlen(text) = 0 THEN -1
+                ELSE CAST(('0x' || substring(hex(encode(text)), 1, 2)) AS INT)
+           END AS head_byte
     FROM documents
     """,
 )
@@ -565,17 +578,17 @@ def k15_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "k15b_multimodal_frames",
     oracle="""
     WITH f AS (
-      SELECT doc_id, text,
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
              unnest(generate_series(
                0,
-               CAST(least(8, greatest(1, ceil(n_chars / 256.0))) AS INT) - 1
+               CAST(least(8, greatest(1, ceil(strlen(text) / 256.0))) AS INT) - 1
              )) AS frame_index
       FROM documents
     )
     SELECT doc_id,
            CAST(frame_index AS INT) AS frame_index,
            CAST(frame_index * 256 AS BIGINT) AS byte_offset,
-           sha256(substring(text, CAST(frame_index * 256 + 1 AS INT), 256))
+           sha256(substring(hx, CAST(frame_index * 512 + 1 AS INT), 512))
              AS frame_sha256
     FROM f
     """,
@@ -590,10 +603,13 @@ def k15b_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared by k17 (auto→broadcast) and k17b (forced blocked strategy).
 K17_ORACLE = f"""
-    WITH dup AS (
+    WITH fe AS (
+      SELECT * FROM embeddings WHERE {V.finite_vec_sql('embedding')}
+    ),
+    dup AS (
       SELECT a.vec_id AS vec_id, MIN(b.vec_id) AS dup_of
-      FROM embeddings a
-      JOIN embeddings b
+      FROM fe a
+      JOIN fe b
         ON b.vec_id < a.vec_id
        AND ROUND({V.cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.35
       GROUP BY a.vec_id
@@ -601,7 +617,7 @@ K17_ORACLE = f"""
     SELECT e.vec_id,
            d.dup_of,
            d.dup_of IS NULL AS is_keeper
-    FROM embeddings e LEFT JOIN dup d USING (vec_id)
+    FROM fe e LEFT JOIN dup d USING (vec_id)
     """
 
 
@@ -1365,6 +1381,7 @@ _IVF_TOPK = 3
     oracle=f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE {V.finite_vec_sql('embedding')}
     ),
     seeds AS (
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, vec_id, v
@@ -1423,8 +1440,10 @@ def k16b_ann_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     the IVF speedup); rerank is a per-query window over candidates
     only.  Recall-vs-exact for the trained variant is pytest-pinned on
     k16; this variant pins the VALUE semantics cross-engine."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(V.finite_vec("embedding"))  # finite-vector convention
+        .select("vec_id", V.as_double(F.col("embedding")).alias("v"))
     )
     seed_rows = e.orderBy("vec_id").limit(_IVF_K).collect()
     if not seed_rows:  # empty table: a zero-element literal array is VOID
@@ -1884,18 +1903,19 @@ def k54_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "k15d_multimodal_segments",
     oracle="""
     WITH s AS (
-      SELECT doc_id, text, n_chars,
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             strlen(text) AS n_bytes,
              unnest(generate_series(
                0,
-               CAST(least(10, greatest(1, ceil(n_chars / 120.0))) AS INT) - 1
+               CAST(least(10, greatest(1, ceil(strlen(text) / 120.0))) AS INT) - 1
              )) AS seg_index
       FROM documents
     )
     SELECT doc_id,
            CAST(seg_index AS INT) AS seg_index,
            CAST(seg_index * 120 AS BIGINT) AS byte_offset,
-           CAST(least(200, n_chars - seg_index * 120) AS INT) AS seg_len,
-           sha256(substring(text, CAST(seg_index * 120 + 1 AS INT), 200))
+           CAST(least(200, n_bytes - seg_index * 120) AS INT) AS seg_len,
+           sha256(substring(hx, CAST(seg_index * 240 + 1 AS INT), 400))
              AS seg_sha256
     FROM s
     """,

@@ -934,11 +934,11 @@ def h20_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
     "h21_binary_encoding",
     oracle="""
     SELECT doc_id,
-           to_base64(CAST(substr(text, 1, 24) AS BLOB)) AS b64,
-           lower(hex(CAST(substr(text, 1, 8) AS BLOB))) AS hx,
+           to_base64(encode(substr(text, 1, 24))) AS b64,
+           lower(hex(encode(substr(text, 1, 8)))) AS hx,
            md5(text) AS text_md5,
-           CAST(decode(from_base64(to_base64(CAST(substr(text, 1, 24)
-                 AS BLOB)))) = substr(text, 1, 24) AS BOOLEAN)
+           CAST(decode(from_base64(to_base64(encode(substr(text, 1, 24)))))
+                  = substr(text, 1, 24) AS BOOLEAN)
              AS b64_roundtrip_ok
     FROM documents
     """,
@@ -957,7 +957,12 @@ def h21_binary_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     head24 = F.substring("text", 1, 24)
     return d.select(
         "doc_id",
-        F.base64(F.encode(head24, "UTF-8")).alias("b64"),
+        # Spark's base64 is the MIME codec (RFC 2045: CRLF-wrapped at 76
+        # chars — visible once 24 multibyte chars exceed 57 bytes);
+        # DuckDB's to_base64 never wraps.  Pin the unwrapped form.
+        F.regexp_replace(
+            F.base64(F.encode(head24, "UTF-8")), "\r\n", ""
+        ).alias("b64"),
         F.lower(F.hex(F.encode(F.substring("text", 1, 8), "UTF-8"))).alias("hx"),
         F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
         (

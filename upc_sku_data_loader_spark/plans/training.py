@@ -176,7 +176,7 @@ def k33_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sig AS (
       SELECT doc_id,
              len(string_split(text, ' ')) AS n_words,
-             strlen(replace(text, ' ', ''))
+             length(replace(text, ' ', ''))
                * 1.0 / len(string_split(text, ' ')) AS mwl,
              len(list_filter(string_split(text, ' '),
                              w -> w IN ('the', 'a', 'of', 'and', 'in')))
@@ -621,9 +621,13 @@ _SEMD_TAU = 0.35  # cosine threshold, chosen for this corpus's cosine range
 @query(
     "k41_semdedup",
     oracle=f"""
-    WITH seeds AS (
+    WITH fe AS (
+      SELECT * FROM embeddings
+      WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+    ),
+    seeds AS (
       SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
-      FROM embeddings ORDER BY vec_id LIMIT {_SEMD_C}
+      FROM fe ORDER BY vec_id LIMIT {_SEMD_C}
     ),
     assign AS (
       SELECT vec_id, cid AS cluster FROM (
@@ -634,15 +638,15 @@ _SEMD_TAU = 0.35  # cosine threshold, chosen for this corpus's cosine range
                             DESC,
                           s.cid
                ) AS rn
-        FROM embeddings e CROSS JOIN seeds s
+        FROM fe e CROSS JOIN seeds s
       ) WHERE rn = 1
     ),
     dropped AS (
       SELECT DISTINCT y.vec_id
       FROM assign x
       JOIN assign y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
-      JOIN embeddings ex ON ex.vec_id = x.vec_id
-      JOIN embeddings ey ON ey.vec_id = y.vec_id
+      JOIN fe ex ON ex.vec_id = x.vec_id
+      JOIN fe ey ON ey.vec_id = y.vec_id
       WHERE ROUND({V.cosine_sql('ex.embedding', 'ey.embedding')}, 6)
             >= {_SEMD_TAU}
     )
@@ -669,8 +673,12 @@ def k41_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.py) with identical semantics; the higher-order-function
     form here is the oracle-exact tier (functions/vectors.py note).
     Cosines round to 6 dp on both engines before every comparison, so
-    argmax ties and threshold edges cannot diverge across libms."""
-    e = load(spark, sf_dir, "embeddings")
+    argmax ties and threshold edges cannot diverge across libms.
+    Finite-vector convention (functions/vectors.py): NaN/Inf vectors
+    participate in neither seeding, assignment, nor the pair stage."""
+    from ..functions.vectors import finite_vec
+
+    e = load(spark, sf_dir, "embeddings").filter(finite_vec("embedding"))
     seeds = (
         e.orderBy("vec_id")
         .limit(_SEMD_C)
@@ -1247,6 +1255,7 @@ _RP_DIMS = 16  # target dimensionality
       SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
       FROM embeddings,
            UNNEST(generate_series(1, len(embedding))) AS s(i)
+      WHERE len(list_filter(embedding, y -> NOT isfinite(y))) = 0
     ),
     proj AS (
       SELECT x.vec_id, j,
@@ -1278,8 +1287,13 @@ def k53_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles.  The per-component sum uses the decimal-cast trick
     (order-independent, cross-engine exact); output is long-format
     (vec_id, j, comp) to stay array-free, rounded once (6 dp).
+    Finite-vector convention (functions/vectors.py): NaN/Inf vectors
+    are excluded — their projections would be non-finite in every
+    component and the decimal partial sums would throw.
     """
-    e = load(spark, sf_dir, "embeddings")
+    from ..functions.vectors import finite_vec
+
+    e = load(spark, sf_dir, "embeddings").filter(finite_vec("embedding"))
     x = e.select(
         "vec_id", F.posexplode("embedding").alias("i", "vf")
     ).withColumn("v", F.col("vf").cast("double"))

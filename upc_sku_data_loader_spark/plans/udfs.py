@@ -63,6 +63,7 @@ def j1_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                                               x -> x * x))), 6) AS l2_norm
     FROM embeddings
+    WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     """,
 )
 def j2_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -71,7 +72,11 @@ def j2_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         mat = np.vstack(emb.to_numpy()).astype(np.float64)
         return pd.Series(np.round(np.sqrt((mat * mat).sum(axis=1)), 6))
 
-    e = load(spark, sf_dir, "embeddings")
+    from ..functions.vectors import finite_vec
+
+    # finite-vector convention (functions/vectors.py): a NaN norm cannot
+    # round-trip the pandas-UDF output path (Arrow renders it NULL)
+    e = load(spark, sf_dir, "embeddings").filter(finite_vec("embedding"))
     return e.select("vec_id", l2_norm_pdf("embedding").alias("l2_norm"))
 
 
