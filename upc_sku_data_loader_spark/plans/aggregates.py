@@ -355,13 +355,28 @@ def _safe_corr(x, y):
     )
 
 
+def _safe_corr_sql(x: str, y: str) -> str:
+    """DuckDB twin of :func:`_safe_corr` — the SAME covar/stddev
+    composition rather than DuckDB's native corr kernel, so both
+    engines evaluate the identical expression tree and a half-ulp
+    divergence between two different corr implementations can never
+    surface at a .5 rounding boundary (r8 ADVICE item).  DuckDB's
+    x/0 is NULL natively, matching try_divide."""
+    return (
+        f"covar_samp({x}, {y})"
+        f" / (stddev_samp({x}) * stddev_samp({y}))"
+    )
+
+
 @query(
     "d11_agg_stats",
     oracle="""
     SELECT l_returnflag,
            ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
            ROUND(var_samp(l_quantity), 4) AS var_qty,
-           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND("""
+    + _safe_corr_sql("l_quantity", "l_extendedprice")
+    + """, 4) AS corr_qty_price,
            ROUND(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc
     FROM lineitem
     GROUP BY l_returnflag
@@ -966,7 +981,7 @@ _D25_PAIRS = (
     WITH c AS (SELECT
     """
     + ",\n".join(
-        f"      CAST(ROUND(corr({x}, {y}) * 1e6) AS BIGINT) AS c{i}"
+        f"      CAST(ROUND({_safe_corr_sql(x, y)} * 1e6) AS BIGINT) AS c{i}"
         for i, (x, y) in enumerate(_D25_PAIRS)
     )
     + """
@@ -1017,7 +1032,9 @@ def d25_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS icept_milli,
            CAST(ROUND(regr_r2(l_extendedprice, l_quantity) * 1000000)
                 AS BIGINT) AS r2_micro,
-           CAST(ROUND(corr(l_extendedprice, l_quantity) * 1000000)
+           CAST(ROUND("""
+    + _safe_corr_sql("l_extendedprice", "l_quantity")
+    + """ * 1000000)
                 AS BIGINT) AS corr_micro
     FROM lineitem
     GROUP BY l_returnflag

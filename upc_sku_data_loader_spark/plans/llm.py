@@ -942,7 +942,12 @@ def _k18_build(
     n_reps, n_gram_occ = g.select(
         F.count(F.lit(1)), F.coalesce(F.sum(F.size("grams")), F.lit(0))
     ).first()
-    csr_bytes = 4 * n_gram_occ + 32 * n_reps
+    # 4 B/uint32 gram occurrence + 1 B/vocab-entry bool LUT per task
+    # (vocab <= gram occurrences, so 5x bounds both) + 32 B/rep of
+    # int64 ids/perm/indptr, then x2 for the transient doubling during
+    # np.unique/astype on the driver (r8 ADVICE: the old 4x estimate
+    # undercounted peak memory by up to ~50% near the ceiling)
+    csr_bytes = 2 * (5 * n_gram_occ + 32 * n_reps)
     if n_reps <= _K18_KERNEL_MAX_REPS and csr_bytes <= _K18_KERNEL_MAX_BYTES:
         import numpy as np
         import pandas as pd
