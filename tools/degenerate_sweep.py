@@ -25,6 +25,7 @@ Usage:
     python tools/degenerate_sweep.py [names...]       # default: all 339
     python tools/degenerate_sweep.py --empty [...]    # ZERO-ROW tables
     python tools/degenerate_sweep.py --extreme [...]  # non-finite / multibyte / int64-edge
+    python tools/degenerate_sweep.py --nulls [...]    # NULLs in every nullable column
 
 --empty swaps the fixture for schema-correct zero-row tables: the
 shapes that break driver-side seed collects (first() on nothing),
@@ -45,6 +46,19 @@ allowed to throw differently than its oracle.
   custkey/orderkey at 2^62+i): arithmetic on key-derived values
   (salting by multiplication, key*constant bucketing) overflows under
   ANSI mode exactly like a snowflake-id corpus would at 100 TB.
+
+--nulls is the fourth mode: SQL NULL in every non-key column of every
+table (plus a NULL timestamp, a NULL grouping key, a NULL whole
+embedding and an embedding containing a NULL element).  Real ingested
+corpora are full of NULLs, and the engines disagree exactly where the
+other three modes can't see:
+- ORDER BY: Spark ASC is NULLS FIRST, DuckDB ASC is NULLS LAST — any
+  top-k whose row SET admits a NULL sort key silently diverges,
+- pandas-UDF round-trips: NULL float → NaN inside the Arrow batch and
+  NULL list → None (numpy kernels throw on None rows),
+- three-value logic in conditional tallies (x <> x vs NOT x = x),
+- time-ordered operators fed a NULL timestamp (lag/lead/sessionization
+  have no defensible position for a timeless event).
 """
 
 from __future__ import annotations
@@ -296,6 +310,134 @@ def build_extreme(out: Path) -> str:
     return str(out)
 
 
+def build_nulls(out: Path) -> str:
+    """Fourth-mode fixture: a NULL in every nullable non-key column.
+
+    Keys (the *key columns and doc_id/vec_id/event_id) stay non-null —
+    a NULL primary key is a corrupt upstream extract, not a data shape
+    this engine promises semantics for — with ONE exception: a single
+    NULL events.user_id row (anonymous traffic is a real corpus shape).
+    Everything else gets exactly one NULL somewhere: measures, labels,
+    text, timestamps, a whole embedding, and one embedding element.
+    """
+    out.mkdir(parents=True, exist_ok=True)
+    import datetime
+
+    def ts(day, h=0):
+        return datetime.datetime(2024, 1, day, h)
+
+    def write(name, cols, schema):
+        pq.write_table(pa.table(cols, schema=pa.schema(schema)), f"{out}/{name}.parquet")
+
+    write("region", {"r_regionkey": [0, 1], "r_name": ["AMERICA", None]},
+          [("r_regionkey", pa.int32()), ("r_name", pa.string())])
+    write("nation",
+          {"n_nationkey": [0, 1], "n_name": [None, "FRANCE"],
+           "n_regionkey": [0, 1]},
+          [("n_nationkey", pa.int32()), ("n_name", pa.string()),
+           ("n_regionkey", pa.int32())])
+    write("customer",
+          {"c_custkey": [1, 2, 3],
+           "c_name": [None, "c#2", "c#3"],
+           "c_nationkey": [0, 1, 0],
+           "c_acctbal": [100.5, None, -7.25],
+           "c_mktsegment": ["BUILDING", None, "MACHINERY"]},
+          [("c_custkey", pa.int64()), ("c_name", pa.string()),
+           ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+           ("c_mktsegment", pa.string())])
+    write("supplier",
+          {"s_suppkey": [1, 2], "s_name": ["s#1", None],
+           "s_nationkey": [0, 1], "s_acctbal": [None, 12.5]},
+          [("s_suppkey", pa.int64()), ("s_name", pa.string()),
+           ("s_nationkey", pa.int32()), ("s_acctbal", pa.float64())])
+    write("part",
+          {"p_partkey": [1, 2, 3],
+           "p_name": ["alpha beta", None, "gamma delta"],
+           "p_brand": ["Brand#1", "Brand#2", None],
+           "p_type": [None, "TYPE B", "TYPE A"],
+           "p_size": [1, None, 25],
+           "p_retailprice": [901.0, 1000.5, None]},
+          [("p_partkey", pa.int64()), ("p_name", pa.string()),
+           ("p_brand", pa.string()), ("p_type", pa.string()),
+           ("p_size", pa.int32()), ("p_retailprice", pa.float64())])
+    write("orders",
+          {"o_orderkey": [11, 12, 13, 14],
+           "o_custkey": [1, 1, 2, 3],
+           "o_orderstatus": ["F", "O", None, "O"],
+           "o_totalprice": [100.0, None, 150.5, 99.99],
+           "o_orderdate": [ts(1), ts(2), ts(3), None],
+           "o_orderpriority": [None, "2-HIGH", "3-MEDIUM", "1-URGENT"]},
+          [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+           ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+           ("o_orderdate", pa.timestamp("us")), ("o_orderpriority", pa.string())])
+    write("lineitem",
+          {"l_orderkey": [11, 11, 12, 13, 14],
+           "l_partkey": [1, 2, 3, 1, 2],
+           "l_suppkey": [1, 2, 1, 2, 1],
+           "l_linenumber": [1, 2, 1, 1, 1],
+           "l_quantity": [1.0, None, 3.0, 4.0, 5.0],
+           "l_extendedprice": [10.5, 20.25, None, 40.75, 50.5],
+           "l_discount": [0.0, 0.05, 0.1, None, 0.0],
+           "l_tax": [0.0, 0.02, None, 0.0, 0.08],
+           "l_returnflag": ["N", None, "A", "N", "R"],
+           "l_linestatus": ["O", "F", "F", None, "F"],
+           "l_shipdate": [ts(2), ts(3), None, ts(5), ts(6)]},
+          [("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+           ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+           ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+           ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+           ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+           ("l_shipdate", pa.timestamp("us"))])
+    # NULL value / event_type / props / ts / user_id — one each,
+    # interleaved with enough normal rows for sessions and windows
+    write("events",
+          {"event_id": [1, 2, 3, 4, 5, 6, 7, 8],
+           "ts": [ts(1, 1), ts(1, 2), None, ts(1, 4),
+                  ts(2, 1), ts(2, 2), ts(2, 3), ts(2, 4)],
+           "user_id": [7, 7, 7, None, 7, 8, 8, 9],
+           "event_type": ["purchase", None, "purchase", "view",
+                          "click", "purchase", "view", "click"],
+           "value": [1.5, None, 2.0, None, 2.5, 4.0, 0.0, 3.25],
+           "props": ["{}", '{"k": 1}', None, "{}", "{}", "{}", "{}", "{}"]},
+          [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+           ("user_id", pa.int64()), ("event_type", pa.string()),
+           ("value", pa.float64()), ("props", pa.string())])
+    # NULL text vs EMPTY text are distinct shapes; NULL lang/source/
+    # n_chars; an exact-dup pair so dedup ops still cluster
+    docs = [
+        (1, "same text here for everyone", "en", "web", 27),
+        (2, "same text here for everyone", "en", "web", 27),
+        (3, None, "en", "web", None),
+        (4, "", "en", "web", 0),
+        (5, "plain ascii document for scoring", None, "synth", 32),
+        (6, "another ordinary document body", "en", None, 30),
+    ]
+    write("documents",
+          {"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs],
+           "lang": [d[2] for d in docs], "source": [d[3] for d in docs],
+           "n_chars": [d[4] for d in docs]},
+          [("doc_id", pa.int64()), ("text", pa.string()),
+           ("lang", pa.string()), ("source", pa.string()),
+           ("n_chars", pa.int64())])
+    # one NULL whole-embedding, one embedding with a NULL element, one
+    # NULL label; a dup pair keeps the dedup/ANN ops non-trivial
+    vecs = [
+        (1, None, 0),
+        (2, [1.0, None, 3.0, 4.0], 1),
+        (3, [1.0, 2.0, 3.0, 4.0], None),
+        (4, [1.0, 2.0, 3.0, 4.0], 2),
+        (5, [4.0, 3.0, 2.0, 1.0], 2),
+        (6, [0.5, 1.5, 2.5, 3.5], 0),
+    ]
+    write("embeddings",
+          {"vec_id": [v[0] for v in vecs],
+           "embedding": [v[1] for v in vecs],
+           "label": [v[2] for v in vecs]},
+          [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())),
+           ("label", pa.int32())])
+    return str(out)
+
+
 def build_empty(out: Path) -> str:
     """Zero-row variants of every table, exact fixture schemas."""
     out.mkdir(parents=True, exist_ok=True)
@@ -308,14 +450,17 @@ def build_empty(out: Path) -> str:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a not in ("--empty", "--extreme")]
+    args = [a for a in sys.argv[1:] if a not in ("--empty", "--extreme", "--nulls")]
     empty = "--empty" in sys.argv[1:]
     extreme = "--extreme" in sys.argv[1:]
+    nulls = "--nulls" in sys.argv[1:]
     names = args or list(QUERIES)
     if empty:
         sf_dir = build_empty(REPO / ".scratch" / "degenerate_empty")
     elif extreme:
         sf_dir = build_extreme(REPO / ".scratch" / "degenerate_extreme")
+    elif nulls:
+        sf_dir = build_nulls(REPO / ".scratch" / "degenerate_nulls")
     else:
         sf_dir = build(REPO / ".scratch" / "degenerate")
     spark = get_spark(app_name="degenerate_sweep")

@@ -17,29 +17,43 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-# --- finite-vector convention (--extreme sweep) -------------------------
+# --- finite-vector convention (--extreme / --nulls sweeps) --------------
 # Numeric embedding kernels (KNN, ANN, dedup, centroid, quantize,
-# projection) operate over FINITE vectors only: a NaN/Inf component makes
-# every derived similarity/statistic undefined, numpy and DuckDB disagree
-# on NaN ordering inside argsort/ROW_NUMBER, and the pandas-UDF output
-# path renders NaN as NULL.  Both engines apply the identical predicate
-# at ingestion; non-finite vectors simply do not participate.
+# projection) operate over FINITE, FULLY-PRESENT vectors only: a NaN/Inf
+# component makes every derived similarity/statistic undefined, numpy and
+# DuckDB disagree on NaN ordering inside argsort/ROW_NUMBER, the
+# pandas-UDF output path renders NaN as NULL, and a NULL vector (or a
+# NULL component) has no geometric meaning at all — DuckDB's
+# list_cosine_similarity throws on it outright.  Both engines apply the
+# identical predicate at ingestion; invalid vectors simply do not
+# participate.  (NULL handling is explicit on both sides because the
+# engines' bare lambdas diverge: Spark's `exists` yields NULL for a
+# NULL element — row dropped by a WHERE — while DuckDB's list_filter
+# silently SKIPS NULL elements — row kept.)
 
 
 def finite_vec(vec: Column | str) -> Column:
-    """True iff every component of ``vec`` is finite (Spark side)."""
+    """True iff ``vec`` is non-NULL and every component is non-NULL and
+    finite (Spark side)."""
     c = F.col(vec) if isinstance(vec, str) else vec
-    return ~F.exists(
-        c,
-        lambda x: F.isnan(x)
-        | (x == F.lit(float("inf")))
-        | (x == F.lit(float("-inf"))),
+    return F.coalesce(
+        ~F.exists(
+            c,
+            lambda x: x.isNull()
+            | F.isnan(x)
+            | (x == F.lit(float("inf")))
+            | (x == F.lit(float("-inf"))),
+        ),
+        F.lit(False),
     )
 
 
 def finite_vec_sql(col: str) -> str:
     """DuckDB twin of :func:`finite_vec`."""
-    return f"len(list_filter({col}, x -> NOT isfinite(x))) = 0"
+    return (
+        f"COALESCE(len(list_filter({col},"
+        " x -> x IS NULL OR NOT isfinite(x))) = 0, FALSE)"
+    )
 
 
 def as_double(vec: Column | str) -> Column:

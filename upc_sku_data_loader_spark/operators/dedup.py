@@ -48,7 +48,13 @@ def minhash_signatures(
     Explode-then-min keeps the hash work inside whole-stage codegen
     (n_hashes expressions per shingle row) instead of interpreted
     array lambdas.
+
+    NULL-text docs do not participate (--nulls sweep): without the
+    filter, ``shingles(split(NULL))`` silently collapses to ``[""]``
+    (concat_ws skips NULL inputs), giving a contentless doc a REAL
+    signature that collides with every empty doc.
     """
+    docs = docs.filter(F.col(text_col).isNotNull())
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(F.split(F.col(text_col), " "), shingle_k)).alias("sh"),
@@ -132,7 +138,12 @@ def verify_jaccard(
     shingle_k: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs; keep ≥ threshold."""
+    """Exact shingle-set Jaccard for candidate pairs; keep ≥ threshold.
+
+    NULL-text docs drop out (same convention as minhash_signatures) —
+    they can have no candidate pairs upstream, and an inner join on a
+    filtered side keeps the verify stage total."""
+    docs = docs.filter(F.col(text_col).isNotNull())
     sets = docs.select(
         F.col(id_col).alias("doc_id"),
         shingles(F.split(F.col(text_col), " "), shingle_k).alias("sh_set"),

@@ -256,7 +256,14 @@ def d7_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d8_agg_collect",
     oracle="""
     SELECT c_nationkey,
-           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+           -- collections exclude NULLs on both engines (--nulls sweep):
+           -- Spark's collect_set skips NULL members outright, so the
+           -- oracle filters them too; an all-NULL group is the EMPTY
+           -- string (Spark array_join of []), never SQL NULL
+           COALESCE(array_to_string(list_sort(
+               list(DISTINCT c_mktsegment)
+                 FILTER (WHERE c_mktsegment IS NOT NULL)), ','), '')
+             AS segments,
            COUNT(DISTINCT c_mktsegment) AS n_segments
     FROM customer
     GROUP BY c_nationkey
@@ -950,9 +957,18 @@ def d24_modern_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, map-side partials, no joins; at 100 TB this is the
     cheapest possible "per-group extremes + predicates" report."""
     o = load(spark, sf_dir, "orders")
-    # tie-safe argmax/argmin: order by (price, key) pairs
-    pk = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
-    pk_min = F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")).alias("nk"))
+    # tie-safe argmax/argmin: order by (price, key) pairs.  The pair is
+    # NULL whenever the price is (--nulls sweep): a bare struct is never
+    # NULL even when its first field is, so a NULL-price row would win
+    # the argmax on Spark while DuckDB's max_by ignores NULL ordering
+    # values — gating the struct pins the shared "NULL price cannot be
+    # an extreme" semantics (an all-NULL group yields NULL on both).
+    has_price = F.col("o_totalprice").isNotNull()
+    pk = F.when(has_price, F.struct(F.col("o_totalprice"), F.col("o_orderkey")))
+    pk_min = F.when(
+        has_price,
+        F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")).alias("nk")),
+    )
     return o.groupBy("o_orderpriority").agg(
         F.count_if(F.col("o_totalprice") > 150000.0).alias("n_big"),
         F.bool_and(F.col("o_totalprice") > 0.0).alias("all_positive"),

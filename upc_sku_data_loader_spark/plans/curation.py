@@ -279,7 +279,8 @@ def k25_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
                1e-12) AS scale,
              embedding
       FROM embeddings
-      WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+      WHERE COALESCE(len(list_filter(embedding,
+                    x -> x IS NULL OR NOT isfinite(x))) = 0, FALSE)
     )
     SELECT vec_id,
            scale,

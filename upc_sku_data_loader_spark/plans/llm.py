@@ -71,7 +71,8 @@ def k1_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared by k2 and k20 (cluster resolution over the same pair set).
 K2_ORACLE = """
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                  WHERE text IS NOT NULL),
     sh AS (
       SELECT doc_id,
              list_distinct(list_transform(
@@ -165,29 +166,46 @@ def k4_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "k5_vector_ops",
+    # Per-vector metrics stay a full-table projection (no row is dropped),
+    # so an INVALID vector (NULL, or any NULL component — --nulls sweep)
+    # carries NULL metrics on both engines.  Spark's aggregate() lambda
+    # yields that NULL naturally; DuckDB's list_sum/list_transform SKIP
+    # NULL elements (silently computing a partial norm), so the oracle
+    # gates every metric on the shared validity predicate explicitly.
     oracle=f"""
     SELECT vec_id,
-           ROUND({V.l2_norm_sql('embedding')}, 6) AS l2_norm,
-           ROUND({V.l1_norm_sql('embedding')}, 6) AS l1_norm,
-           ROUND(CAST(embedding[1] AS DOUBLE) / {V.l2_norm_sql('embedding')}, 6) AS unit_first,
-           ROUND(list_sum(CAST(embedding AS DOUBLE[])), 6) AS dot_with_ones
+           CASE WHEN {V.finite_vec_sql('embedding')}
+                THEN ROUND({V.l2_norm_sql('embedding')}, 6) END AS l2_norm,
+           CASE WHEN {V.finite_vec_sql('embedding')}
+                THEN ROUND({V.l1_norm_sql('embedding')}, 6) END AS l1_norm,
+           CASE WHEN {V.finite_vec_sql('embedding')}
+                THEN ROUND(CAST(embedding[1] AS DOUBLE)
+                           / {V.l2_norm_sql('embedding')}, 6) END AS unit_first,
+           CASE WHEN {V.finite_vec_sql('embedding')}
+                THEN ROUND(list_sum(CAST(embedding AS DOUBLE[])), 6)
+                END AS dot_with_ones
     FROM embeddings
     """,
 )
 def k5_vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     v = V.as_double(F.col("embedding"))
+    ok = V.finite_vec(F.col("embedding"))
+
+    def gated(expr):
+        return F.when(ok, expr)
+
     return e.select(
         "vec_id",
-        F.round(V.l2_norm(v), 6).alias("l2_norm"),
-        F.round(V.l1_norm(v), 6).alias("l1_norm"),
+        gated(F.round(V.l2_norm(v), 6)).alias("l2_norm"),
+        gated(F.round(V.l1_norm(v), 6)).alias("l1_norm"),
         # try_divide: the zero vector has no unit form — NULL on both
         # engines (DuckDB x/0 → NULL), not an ANSI crash
-        F.round(F.try_divide(F.element_at(v, 1), V.l2_norm(v)), 6).alias(
-            "unit_first"
-        ),
-        F.round(
-            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x), 6
+        gated(
+            F.round(F.try_divide(F.element_at(v, 1), V.l2_norm(v)), 6)
+        ).alias("unit_first"),
+        gated(
+            F.round(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x), 6)
         ).alias("dot_with_ones"),
     )
 
@@ -201,13 +219,13 @@ def k5_vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # components: the driver's canonicalizer cannot hash ArrayType cells
     # (r1 verdict), and decimal rendering pads scale identically in both
     # engines ('0.500000'), unlike raw double→string formatting.
-    oracle="""
+    oracle=f"""
     WITH flat AS (
       SELECT label,
              unnest(CAST(embedding AS DOUBLE[])) AS v,
              unnest(generate_series(1, len(embedding))) AS pos
       FROM embeddings
-      WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+      WHERE {V.finite_vec_sql('embedding')}
     ),
     per_pos AS (
       SELECT label, pos, ROUND(AVG(v), 6) AS c
@@ -218,8 +236,8 @@ def k5_vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
              list(CAST(CAST(c AS DECIMAL(18,6)) AS VARCHAR) ORDER BY pos), ','
            ) AS centroid,
            (SELECT COUNT(*) FROM embeddings e
-            WHERE e.label = per_pos.label
-              AND len(list_filter(e.embedding, x -> NOT isfinite(x))) = 0)
+            WHERE e.label IS NOT DISTINCT FROM per_pos.label
+              AND {V.finite_vec_sql('e.embedding')})
              AS n_vectors
     FROM per_pos
     GROUP BY label

@@ -623,7 +623,8 @@ _SEMD_TAU = 0.35  # cosine threshold, chosen for this corpus's cosine range
     oracle=f"""
     WITH fe AS (
       SELECT * FROM embeddings
-      WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+      WHERE COALESCE(len(list_filter(embedding,
+                    x -> x IS NULL OR NOT isfinite(x))) = 0, FALSE)
     ),
     seeds AS (
       SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
@@ -793,10 +794,12 @@ _KM_UPDATE_SQL = """
 @query(
     "k42_kmeans",
     oracle=f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH fe AS (SELECT * FROM embeddings
+                WHERE {V.finite_vec_sql('embedding')}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM fe),
     c0 AS (
       SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
-      FROM embeddings ORDER BY vec_id LIMIT {_KM_K}
+      FROM fe ORDER BY vec_id LIMIT {_KM_K}
     ),
     a1 AS ({_KM_ASSIGN_SQL.format(E="e", C="c0")}),
     c1 AS ({_KM_UPDATE_SQL.format(A="a1")}),
@@ -822,9 +825,14 @@ def k42_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid means round to 6 dp on both engines so reduction-order
     ulps cannot flip an argmin or a mean.  Init is the deterministic
     first-k rows by vec_id (seeding strategy is orthogonal — k-means++
-    would slot in as one extra bounded pass)."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    would slot in as one extra bounded pass).  Finite-vector convention
+    (functions/vectors.py): NULL/NaN/Inf vectors join neither seeding
+    nor assignment — a NULL vector would crash the driver-side seed
+    materialization outright (--nulls sweep)."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(V.finite_vec("embedding"))
+        .select("vec_id", V.as_double(F.col("embedding")).alias("v"))
     )
     cents = [
         (int(r["vec_id"]), [float(x) for x in r["v"]])
@@ -983,6 +991,7 @@ _FPS_SQL_DIST = (
     oracle=f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE {V.finite_vec_sql('embedding')}
     ),
     p0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
     d1 AS (
@@ -1046,9 +1055,14 @@ def k47_coreset_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows; with it, k rounds → k scans as documented.  Final assignment
     is the k42 literal-centroid argmin — map-only.  All distances are
     rounded to 6 dp before every argmax / argmin / LEAST so greedy
-    choices cannot diverge across engines."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    choices cannot diverge across engines.  Finite-vector convention
+    (functions/vectors.py): NULL/NaN/Inf vectors are neither candidate
+    centers nor assignees — a NULL vector would crash the driver-side
+    seed row (--nulls sweep)."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(V.finite_vec("embedding"))
+        .select("vec_id", V.as_double(F.col("embedding")).alias("v"))
     )
     seed = e.orderBy("vec_id").limit(1).collect()
     if not seed:  # empty table: no centers, no assignment
@@ -1255,7 +1269,8 @@ _RP_DIMS = 16  # target dimensionality
       SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
       FROM embeddings,
            UNNEST(generate_series(1, len(embedding))) AS s(i)
-      WHERE len(list_filter(embedding, y -> NOT isfinite(y))) = 0
+      WHERE COALESCE(len(list_filter(embedding,
+                    y -> y IS NULL OR NOT isfinite(y))) = 0, FALSE)
     ),
     proj AS (
       SELECT x.vec_id, j,

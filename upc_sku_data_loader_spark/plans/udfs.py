@@ -63,7 +63,8 @@ def j1_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                                               x -> x * x))), 6) AS l2_norm
     FROM embeddings
-    WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+    WHERE COALESCE(len(list_filter(embedding,
+                    x -> x IS NULL OR NOT isfinite(x))) = 0, FALSE)
     """,
 )
 def j2_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
