@@ -39,10 +39,18 @@ def asof_join(
     right_values: Sequence[str] = (),
 ) -> DataFrame:
     """Left as-of join; output = left columns + ``asof_<right_ts>`` +
-    ``asof_<v>`` for each requested right value column."""
+    ``asof_<v>`` for each requested right value column.
+
+    NULL-timestamp convention (--nulls sweep): a right row with NULL
+    ``right_ts`` can never be "at or before" anything, so it is dropped
+    here — under the union's NULLS-FIRST sort it would otherwise pose
+    as a match preceding every left row.  A LEFT row with NULL ts keeps
+    its row with a NULL match (it sorts first, so its preceding frame
+    is empty) — the timeless probe has no as-of answer."""
     keys = [on] if isinstance(on, str) else list(on)
     carried = [right_ts, *right_values]
 
+    right = right.filter(F.col(right_ts).isNotNull())
     rt = right.select(
         *keys,
         F.col(right_ts).alias("__ts"),

@@ -616,11 +616,14 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM events e JOIN c ON c.user_id = e.user_id
           WHERE e.event_type = 'purchase' AND e.ts > c.t2
           GROUP BY e.user_id)
-    SELECT COUNT(v.user_id) AS n_view,
-           COUNT(c.user_id) AS n_click,
-           COUNT(p.user_id) AS n_purchase,
-           ROUND(COUNT(c.user_id) * 1.0 / COUNT(v.user_id), 6) AS view_to_click,
-           ROUND(COUNT(p.user_id) * 1.0 / COUNT(c.user_id), 6) AS click_to_purchase
+    -- stage counts count the stage TIMESTAMPS (t1/t2/t3), not user_id:
+    -- COUNT(user_id) would silently drop the anonymous (NULL user_id)
+    -- funnel row that Spark's count("t1") includes (--nulls sweep)
+    SELECT COUNT(v.t1) AS n_view,
+           COUNT(c.t2) AS n_click,
+           COUNT(p.t3) AS n_purchase,
+           ROUND(COUNT(c.t2) * 1.0 / COUNT(v.t1), 6) AS view_to_click,
+           ROUND(COUNT(p.t3) * 1.0 / COUNT(c.t2), 6) AS click_to_purchase
     FROM v
     LEFT JOIN c ON c.user_id = v.user_id
     LEFT JOIN p ON p.user_id = v.user_id
@@ -1570,11 +1573,18 @@ def q26_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q27_last_touch_attribution",
     oracle="""
+    -- NULL-timestamp convention (--nulls sweep): a timeless TOUCH can
+    -- never be "most recent preceding" (the CASE requires ts), and a
+    -- timeless PURCHASE sorts before the timeline (NULLS FIRST — the
+    -- Spark default) so its preceding frame is empty and it lands in
+    -- the 'none' bucket with its revenue preserved.
     WITH seq AS (
       SELECT user_id, event_id, ts, event_type, value,
              last_value(CASE WHEN event_type IN ('view', 'click')
+                              AND ts IS NOT NULL
                              THEN event_type END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
+               OVER (PARTITION BY user_id
+                     ORDER BY ts NULLS FIRST, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                AS last_touch
       FROM events
@@ -1609,7 +1619,11 @@ def q27_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     touch = F.last(
-        F.when(F.col("event_type").isin("view", "click"), F.col("event_type")),
+        F.when(
+            F.col("event_type").isin("view", "click")
+            & F.col("ts").isNotNull(),
+            F.col("event_type"),
+        ),
         ignorenulls=True,
     ).over(w)
     return (
@@ -1650,8 +1664,11 @@ def q27_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(m.cohort_week AS DATE) AS cohort_week,
            m.week_offset,
            s.n_users,
+           -- NULLS FIRST pins Spark's ASC default: an undated purchase
+           -- (NULL week_offset, --nulls sweep) counts into every
+           -- cumulative point rather than re-ordering per engine
            ROUND(SUM(m.revenue) OVER (PARTITION BY m.cohort_week
-                                      ORDER BY m.week_offset)
+                                      ORDER BY m.week_offset NULLS FIRST)
                  / s.n_users, 6) AS cum_ltv_per_user
     FROM weekly m JOIN sizes s ON s.cohort_week = m.cohort_week
     """,
@@ -2353,8 +2370,11 @@ def q37_ship_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) AS new_customers
       FROM first_seen GROUP BY wk
     )
+    -- NULLS FIRST pins Spark's ASC default: customers whose every
+    -- order is undated (NULL week, --nulls sweep) enter the curve
+    -- before week one rather than re-ordering per engine
     SELECT week_start, new_customers,
-           CAST(SUM(new_customers) OVER (ORDER BY week_start
+           CAST(SUM(new_customers) OVER (ORDER BY week_start NULLS FIRST
                                          ROWS UNBOUNDED PRECEDING)
                 AS BIGINT) AS cumulative_uniques
     FROM per_week

@@ -1407,7 +1407,11 @@ _K74_KEEP = 500_000
     scored AS (
       SELECT doc_id, n_tokens, n_uniq, n_chars, n_digits,
              (1000000 * n_uniq) // n_tokens AS ttr_micro,
-             (1000000 * n_digits) // n_chars AS digit_micro
+             -- lazy CASE on both engines: the empty document has
+             -- n_chars = 0 and Spark's ANSI div THROWS where DuckDB
+             -- returns NULL (--nulls sweep)
+             CASE WHEN n_chars = 0 THEN NULL
+                  ELSE (1000000 * n_digits) // n_chars END AS digit_micro
       FROM feats
     )
     SELECT doc_id, n_tokens, ttr_micro, digit_micro,
@@ -1451,7 +1455,10 @@ def k74_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         F.expr("(1000000 * n_uniq) div n_tokens").alias("ttr_micro"),
-        F.expr("(1000000 * n_digits) div n_chars").alias("digit_micro"),
+        F.expr(
+            "CASE WHEN n_chars = 0 THEN NULL"
+            " ELSE (1000000 * n_digits) div n_chars END"
+        ).alias("digit_micro"),
     )
     score = (
         F.lit(_K74_W_TTR) * F.col("ttr_micro")

@@ -28,6 +28,10 @@ from ..registry import query
 from ..streaming.sources import read_events_stream, run_available_now
 
 # Shared DuckDB gaps-and-islands sessionization (twin for I3 and I6).
+# NULL-timestamp convention (--nulls sweep): an event with no timestamp
+# belongs to no window or session on EITHER engine — Spark's window()/
+# session_window() already drop NULL event times, the oracles filter
+# them, and the pandas sessionizers drop NaT at ingestion.
 SESSION_SQL = """
 WITH ordered AS (
   SELECT user_id, ts, value, event_id,
@@ -35,6 +39,7 @@ WITH ordered AS (
                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS is_new
   FROM events
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
@@ -51,16 +56,17 @@ FROM sess
 GROUP BY user_id, sid
 """
 
-# Pandas-UDF twin of SESSION_SQL: Arrow's from_pandas conversion on the
-# applyInPandas OUTPUT path renders float NaN as NULL (pandas uses NaN
-# as its missing-value marker), so a pandas-backed sessionizer CANNOT
-# emit NaN — the pinned contract for i6/i6b is therefore "total_value
-# is NULL when the session's float sum is NaN" (any NaN member, or +Inf
-# and -Inf together), while the JVM-native i3 keeps NaN.  Identical
-# rows otherwise.
+# Pandas-UDF twin of SESSION_SQL: Arrow renders float NaN as NULL on
+# the applyInPandas OUTPUT path (pandas uses NaN as its missing-value
+# marker), and symmetrically a NULL `value` arrives INSIDE the pandas
+# batch as NaN — the two are indistinguishable to a pandas kernel.  The
+# pinned contract for i6/i6b is therefore "total_value is NULL when the
+# session contains any NULL or NaN value (or +Inf and -Inf together)",
+# while the JVM-native i3 keeps NaN and skips NULLs like SQL SUM.
+# Identical rows otherwise.
 SESSION_SQL_PANDAS = SESSION_SQL.replace(
     "ROUND(SUM(value), 4) AS total_value",
-    "CASE WHEN isnan(SUM(value)) THEN NULL"
+    "CASE WHEN COUNT(value) != COUNT(*) OR isnan(SUM(value)) THEN NULL"
     " ELSE ROUND(SUM(value), 4) END AS total_value",
 )
 
@@ -76,6 +82,7 @@ SESSION_SQL_PANDAS = SESSION_SQL.replace(
            COUNT(*) AS n_events,
            """ + fsum_sql("value", "total_value") + """
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -102,6 +109,7 @@ def i1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events
     FROM events
     CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -143,6 +151,7 @@ def i3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            COUNT(*) AS n_events
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -185,7 +194,11 @@ def i5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sessionize_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values(["ts", "event_id"])
+    # NULL-timestamp convention (module docstring): NaT events belong to
+    # no session — without the filter, pandas sorts NaT LAST and the
+    # state machine's `NaT - end >= gap` (always False) silently merges
+    # the timeless event into whichever session came last
+    pdf = pdf[pdf["ts"].notna()].sort_values(["ts", "event_id"])
     gap = pd.Timedelta(minutes=30)
     out = []
     start = end = None
@@ -233,6 +246,7 @@ WITH ordered AS (
                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS is_new
   FROM events
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
@@ -254,10 +268,10 @@ FROM agg
 QUALIFY sid < MAX(sid) OVER (PARTITION BY user_id)
 """
 
-# Same Arrow NaN->NULL output contract as SESSION_SQL_PANDAS (see there).
+# Same Arrow NaN<->NULL contract as SESSION_SQL_PANDAS (see there).
 CLOSED_SESSION_SQL_PANDAS = CLOSED_SESSION_SQL.replace(
     "ROUND(SUM(value), 4) AS total_value",
-    "CASE WHEN isnan(SUM(value)) THEN NULL"
+    "CASE WHEN COUNT(value) != COUNT(*) OR isnan(SUM(value)) THEN NULL"
     " ELSE ROUND(SUM(value), 4) END AS total_value",
 )
 
@@ -275,7 +289,9 @@ def _sessionize_with_state(key, pdfs, state):
         end_us, n, total = 0, 0, 0.0
     out = []
     for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
+        # NaT filter: same NULL-timestamp convention as _sessionize_pdf
+        # (astype(int64) of NaT would also fabricate a sentinel time)
+        pdf = pdf[pdf["ts"].notna()].sort_values(["ts", "event_id"])
         ts_us = pdf["ts"].astype("int64") // 1000
         for t, val in zip(ts_us, pdf["value"]):
             t = int(t)
@@ -429,6 +445,7 @@ def i8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events
     FROM events
     CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -617,6 +634,7 @@ def i16_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS is_new
       FROM events
+      WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
@@ -694,6 +712,7 @@ def i17_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            COUNT(DISTINCT user_id) AS n_users
     FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
     GROUP BY ws, event_type
     """,
 )
@@ -715,9 +734,15 @@ def i18_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir).withColumn(
         "tse", F.col("ts").cast("timestamp")
     )
-    bucketed = stream.select(
-        F.window("tse", "1 hour").alias("w"), "event_type", "user_id"
-    ).dropDuplicates(["w", "event_type", "user_id"])
+    bucketed = (
+        stream
+        # COUNT(DISTINCT user_id) skips NULL users; the dedup-then-count
+        # rewrite would count the anonymous (NULL) key once per group,
+        # so the equivalence claim requires dropping it here (--nulls)
+        .filter(F.col("user_id").isNotNull())
+        .select(F.window("tse", "1 hour").alias("w"), "event_type", "user_id")
+        .dropDuplicates(["w", "event_type", "user_id"])
+    )
     counted = bucketed.groupBy("w", "event_type").agg(
         F.count(F.lit(1)).alias("n_users")
     )

@@ -233,15 +233,25 @@ def c7_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "c8_join_asof",
+    # NULL-timestamp convention (operators/asof.py): timeless clicks
+    # never match; timeless purchases keep their row with a NULL match
+    # (routed around the native ASOF, whose NULL-probe behavior is
+    # engine-specific).
     oracle="""
     WITH purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
-         clicks    AS (SELECT * FROM events WHERE event_type = 'click')
+         clicks    AS (SELECT * FROM events
+                       WHERE event_type = 'click' AND ts IS NOT NULL)
     SELECT p.event_id, p.user_id,
            CAST(p.ts AS TIMESTAMP) AS ts,
            CAST(c.ts AS TIMESTAMP) AS asof_click_ts
-    FROM purchases p
+    FROM (SELECT * FROM purchases WHERE ts IS NOT NULL) p
     ASOF LEFT JOIN clicks c
       ON p.user_id = c.user_id AND p.ts >= c.ts
+    UNION ALL
+    SELECT event_id, user_id,
+           CAST(ts AS TIMESTAMP) AS ts,
+           CAST(NULL AS TIMESTAMP) AS asof_click_ts
+    FROM purchases WHERE ts IS NULL
     """,
 )
 def c8_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -305,6 +305,7 @@ _GAP_S = 1800  # 30-minute inactivity gap
                     OR LAG(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events
+      WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     s AS (
@@ -334,7 +335,13 @@ def t5_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    # NULL-timestamp convention (events_streams.py SESSION_SQL note):
+    # a timeless event belongs to no session on either engine
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id")
+    )
     flagged = e.withColumn(
         "is_new",
         F.when(
@@ -482,7 +489,10 @@ def t6_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t7_asof_interpolated",
     oracle="""
     WITH ev AS (
+      -- NULL-timestamp convention: timeless quotes and ticks are off
+      -- the timeline on both engines (--nulls sweep)
       SELECT user_id, event_type, value, epoch_us(ts) AS tus FROM events
+      WHERE ts IS NOT NULL
     ),
     quotes AS (
       SELECT user_id, tus,
@@ -540,11 +550,15 @@ def t7_asof_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     double is rounded (6 dp)."""
     from pyspark.sql import Window
 
-    ev = load(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        "value",
-        F.expr("ts_ns div 1000").alias("tus"),
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            "value",
+            F.expr("ts_ns div 1000").alias("tus"),
+        )
     )
     quotes = (
         ev.filter(F.col("event_type") == "purchase")
@@ -622,8 +636,10 @@ def _ewma_sql() -> str:
     )
     return f"""
     WITH p AS (
+      -- NULL-timestamp convention: a timeless purchase has no place in
+      -- the lag kernel's ordering on either engine (--nulls sweep)
       SELECT user_id, ts, event_id, value
-      FROM events WHERE event_type = 'purchase'
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
     )
     SELECT user_id, ts, event_id, value,
            ROUND(({num}) / ({den}), 6) AS ewma10
@@ -673,7 +689,7 @@ def t8_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         load(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
+        .filter((F.col("event_type") == "purchase") & F.col("ts").isNotNull())
         .select("user_id", "ts", "event_id", "value")
         .withColumn("ewma10", F.round(num / den, 6))
     )
@@ -1273,7 +1289,7 @@ def t14_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
              """ + fsum_sql("value", "day_value") + """
       FROM events
-      WHERE event_type = 'purchase'
+      WHERE event_type = 'purchase' AND ts IS NOT NULL
       GROUP BY user_id, day
     )
     SELECT user_id, day,
@@ -1307,7 +1323,7 @@ def t15_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = (
         load(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
+        .filter((F.col("event_type") == "purchase") & F.col("ts").isNotNull())
         .groupBy(
             "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
         )
@@ -1340,6 +1356,7 @@ def t15_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
              lag(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS prev
       FROM events
+      WHERE ts IS NOT NULL
     ),
     c AS (
       SELECT prev, event_type AS cur, COUNT(*) AS n
@@ -1367,7 +1384,9 @@ def t16_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    e = load(spark, sf_dir, "events")
+    # NULL-timestamp convention: a timeless event has no position in
+    # the per-user sequence, so it forms no transition on either engine
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = e.select(
         "event_type", F.lag("event_type").over(w).alias("prev")
