@@ -64,16 +64,25 @@ def extract_features(media: DataFrame) -> DataFrame:
             if pdf.empty:
                 continue
             payloads = pdf["payload"]
+            # NULL payload → NULL features (--nulls sweep): a missing
+            # blob keeps its metadata row; nullable Int64/Int32 dtypes
+            # carry the None through the Arrow output path
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": payloads.map(len).astype("int64"),
+                    "n_bytes": payloads.map(
+                        lambda b: len(b) if b is not None else None
+                    ).astype("Int64"),
                     "payload_sha256": payloads.map(
                         lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                        if b is not None
+                        else None
                     ),
-                    "head_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype(
-                        "int32"
-                    ),
+                    "head_byte": payloads.map(
+                        lambda b: None
+                        if b is None
+                        else (b[0] if len(b) else -1)
+                    ).astype("Int32"),
                 }
             )
 
@@ -101,6 +110,8 @@ def sample_frames(
                 continue
             out: list[tuple[int, int, int, str]] = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # NULL payload → no frames (--nulls)
+                    continue
                 data = bytes(payload)
                 n_frames = min(
                     max_frames, max(1, -(-len(data) // frame_bytes))
@@ -150,6 +161,8 @@ def windowed_segments(
                 continue
             out: list[tuple[int, int, int, int, str]] = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # NULL payload → no segments (--nulls)
+                    continue
                 data = bytes(payload)
                 n_seg = min(
                     max_segments, max(1, -(-len(data) // hop_bytes))

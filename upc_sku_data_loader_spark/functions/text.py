@@ -62,9 +62,16 @@ def lexicon_score_sql(toks_expr: str, words: list[str]) -> str:
 
 def fingerprint(text: Column | str) -> Column:
     """Shape fingerprint: md5 of the sorted distinct token set — stable
-    under token reordering/duplication (key-collapse style dedup)."""
+    under token reordering/duplication (key-collapse style dedup).
+
+    NULL text → NULL fingerprint (--nulls sweep): without the gate,
+    concat_ws silently renders the NULL token array as '' and a
+    contentless doc collides with the genuinely-empty one."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(c, " ")))))
+    return F.when(
+        c.isNotNull(),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(c, " "))))),
+    )
 
 
 def fingerprint_sql(expr: str) -> str:

@@ -1316,7 +1316,10 @@ def k60_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT split,
            COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-           bit_xor(CAST(CONCAT('0x', substr(h, 1, 15)) AS BIGINT))
+           -- '0x' || …: CONCAT would swallow a NULL hash into the
+           -- bare string '0x' and crash the cast (--nulls sweep);
+           -- || propagates NULL and bit_xor skips it (both engines)
+           bit_xor(CAST('0x' || substr(h, 1, 15) AS BIGINT))
              AS content_checksum
     FROM surv
     GROUP BY split

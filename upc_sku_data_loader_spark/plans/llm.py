@@ -602,6 +602,7 @@ def k15_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(least(8, greatest(1, ceil(strlen(text) / 256.0))) AS INT) - 1
              )) AS frame_index
       FROM documents
+      WHERE text IS NOT NULL
     )
     SELECT doc_id,
            CAST(frame_index AS INT) AS frame_index,
@@ -1616,10 +1617,15 @@ def k15c_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     nw, nh = w, h
                 else:
                     nw, nh = (w * 224) // m, (h * 224) // m
-                digest = hashlib.sha256(bytes(payload)).hexdigest()
-                fp = hashlib.md5(
-                    f"{digest}-{nw}x{nh}".encode()
-                ).hexdigest()
+                if payload is None:
+                    # NULL payload → NULL fingerprint; dims stay (the
+                    # oracle's sha256(NULL) || … is NULL too) (--nulls)
+                    fp = None
+                else:
+                    digest = hashlib.sha256(bytes(payload)).hexdigest()
+                    fp = hashlib.md5(
+                        f"{digest}-{nw}x{nh}".encode()
+                    ).hexdigest()
                 out["doc_id"].append(doc_id)
                 out["width"].append(w)
                 out["height"].append(h)
@@ -1933,6 +1939,7 @@ def k54_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(least(10, greatest(1, ceil(strlen(text) / 120.0))) AS INT) - 1
              )) AS seg_index
       FROM documents
+      WHERE text IS NOT NULL
     )
     SELECT doc_id,
            CAST(seg_index AS INT) AS seg_index,

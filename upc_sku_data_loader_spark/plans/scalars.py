@@ -35,7 +35,9 @@ from ..registry import query
     SELECT p_partkey,
            upper(p_name) AS up,
            lower(p_brand) AS lo,
-           trim(concat('  ', p_name, '  ')) AS trimmed,
+           -- || not concat(): DuckDB's concat() SKIPS NULL arguments
+           -- while Spark's concat is NULL-propagating (--nulls sweep)
+           trim('  ' || p_name || '  ') AS trimmed,
            lpad(p_brand, 12, '*') AS lpadded,
            rpad(p_brand, 12, '-') AS rpadded,
            substring(p_name, 2, 5) AS sub25,
@@ -332,7 +334,9 @@ def h8_map(spark: SparkSession, sf_dir: str) -> DataFrame:
            props->>'$.k' AS k_str,
            CAST(props->>'$.k' AS INT) AS k_int,
            CAST(props->>'$.k' AS INT) % 10 AS k_mod10,
-           json_valid(props) AS is_valid_json
+           -- COALESCE: a NULL payload is NOT valid JSON on either
+           -- engine (Spark's isNotNull() check is already False there)
+           COALESCE(json_valid(props), FALSE) AS is_valid_json
     FROM events
     """,
 )
@@ -358,7 +362,9 @@ def h9_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            md5(text) AS text_md5,
            sha256(text) AS text_sha256,
-           md5(concat(lang, ':', source)) AS meta_md5
+           -- || not concat(): NULL-propagating like Spark's concat, so
+           -- a record with a missing field has a NULL digest (--nulls)
+           md5(lang || ':' || source) AS meta_md5
     FROM documents
     """,
 )
@@ -454,17 +460,30 @@ def h13_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     including the double, whose shortest-round-trip text form must
     parse back to the identical bits."""
     o = load(spark, sf_dir, "orders")
+
+    # NULL fields serialize as JSON null (--nulls sweep): bare concat
+    # is NULL-propagating, so ONE missing column would null the whole
+    # payload and every extraction with it — while the oracle, which
+    # recomputes from source columns, keeps the present fields.
+    def jnum(c):
+        return F.coalesce(F.col(c).cast("string"), F.lit("null"))
+
+    def jstr(c):
+        return F.coalesce(
+            F.concat(F.lit('"'), F.col(c), F.lit('"')), F.lit("null")
+        )
+
     j = o.select(
         "o_orderkey",
         F.concat(
             F.lit('{"id":'), F.col("o_orderkey").cast("string"),
-            F.lit(',"price":'), F.col("o_totalprice").cast("string"),
+            F.lit(',"price":'), jnum("o_totalprice"),
             F.lit(',"meta":{"flag":'),
             F.when(F.col("o_orderkey") % 5 == 0, F.lit("true")).otherwise(
                 F.lit("false")
             ),
-            F.lit('},"tags":["'), F.col("o_orderpriority"),
-            F.lit('","'), F.col("o_orderstatus"), F.lit('"]}'),
+            F.lit('},"tags":['), jstr("o_orderpriority"),
+            F.lit(","), jstr("o_orderstatus"), F.lit("]}"),
         ).alias("payload"),
     ).select("o_orderkey", F.parse_json("payload").alias("v"))
     return j.select(

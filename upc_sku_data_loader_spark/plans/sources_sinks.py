@@ -561,7 +561,9 @@ def a10_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a11_text_source",
     oracle="""
-    SELECT doc_id, len(string_split(text, ' ')) AS n_words, n_chars
+    SELECT doc_id,
+           len(string_split(COALESCE(text, ''), ' ')) AS n_words,
+           length(COALESCE(text, '')) AS n_chars
     FROM documents
     """,
 )
@@ -570,14 +572,19 @@ def a11_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reader splits on the first '|' and recomputes word counts.
     Oracle reads the original table, proving the text hop round-trips.
     Line-oriented text is the lowest-common-denominator crawl format —
-    splittable, so 100 TB of it parallelizes per HDFS/S3 block."""
+    splittable, so 100 TB of it parallelizes per HDFS/S3 block.
+    NULL text canonicalizes to the empty string on BOTH sides (--nulls
+    sweep): a line-oriented file has no NULL representation, so the hop
+    is lossy there by construction and the oracle models the loss."""
     path = _scratch(sf_dir, "documents_txt")
     shutil.rmtree(path, ignore_errors=True)
     d = load(spark, sf_dir, "documents")
     d.select(
-        F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text")).alias(
-            "value"
-        )
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit("|"),
+            F.coalesce(F.col("text"), F.lit("")),
+        ).alias("value")
     ).write.mode("overwrite").text(path)
     lines = spark.read.text(path)
     doc_id = F.split("value", r"\|", 2).getItem(0).cast("long")
@@ -635,7 +642,7 @@ def a12_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
            LEAD(ts) OVER w AS valid_to,
            (LEAD(ts) OVER w IS NULL) AS is_current
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
     """,
 )
 def etl_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,7 +651,9 @@ def etl_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     (open-ended validity for the latest).  The warehouse pattern for
     'latest record wins' upserts with full history retained.  One
     window shuffle on user_id; event_id breaks ts ties so version
-    numbering is deterministic cross-engine."""
+    numbering is deterministic cross-engine.  The oracle pins NULLS
+    FIRST (Spark's ASC default): an undated change record versions
+    BEFORE recorded history rather than re-ordering per engine."""
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events")
@@ -905,7 +914,11 @@ def a15_clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderkey, o_orderpriority, o_totalprice, 1 AS batch_id
     FROM orders
-    WHERE o_orderpriority NOT IN (SELECT DISTINCT o_orderpriority FROM delta)
+    -- IS NULL OR: a NULL-priority row lives in Spark's
+    -- __HIVE_DEFAULT_PARTITION__, which the delta never touches; bare
+    -- NOT IN would three-valued-logic it out of existence (--nulls)
+    WHERE o_orderpriority IS NULL
+       OR o_orderpriority NOT IN (SELECT DISTINCT o_orderpriority FROM delta)
     UNION ALL
     SELECT o_orderkey, o_orderpriority, o_totalprice, batch_id FROM delta
     """,
@@ -2064,7 +2077,9 @@ _FW_KEY_W, _FW_NAME_W, _FW_BAL_W = 8, 20, 12
     "a24_fixed_width_source",
     oracle=f"""
     SELECT s_suppkey,
-           TRIM(SUBSTRING(s_name, 1, {_FW_NAME_W})) AS s_name,
+           -- COALESCE: a copybook field has no NULL — a NULL name
+           -- serializes as blanks and reads back empty (--nulls sweep)
+           TRIM(SUBSTRING(COALESCE(s_name, ''), 1, {_FW_NAME_W})) AS s_name,
            CAST(CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS DOUBLE) / 100.0
              AS s_acctbal_2dp
     FROM supplier
@@ -2090,12 +2105,24 @@ def a24_fixed_width_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicit ROUND before the integer cast: Spark's double→bigint cast
     # truncates while DuckDB's rounds, so the rounding must be shared
     cents = F.round(F.col("s_acctbal") * 100, 0).cast("bigint")
+    # Copybook files have no NULL (--nulls sweep): a NULL name is a
+    # blank (reads back empty — documented lossy); a NULL balance is a
+    # blank sign + blank magnitude that try_cast reads back as NULL.
     line = F.concat(
         F.lpad(F.col("s_suppkey").cast("string"), _FW_KEY_W, "0"),
-        F.rpad(F.substring(F.col("s_name"), 1, _FW_NAME_W), _FW_NAME_W, " "),
+        F.rpad(
+            F.substring(F.coalesce(F.col("s_name"), F.lit("")), 1, _FW_NAME_W),
+            _FW_NAME_W,
+            " ",
+        ),
         # copybook-style leading sign byte + zero-padded magnitude
-        F.when(cents < 0, F.lit("-")).otherwise(F.lit("+")),
-        F.lpad(F.abs(cents).cast("string"), _FW_BAL_W - 1, "0"),
+        F.when(cents < 0, F.lit("-"))
+        .when(cents.isNotNull(), F.lit("+"))
+        .otherwise(F.lit(" ")),
+        F.coalesce(
+            F.lpad(F.abs(cents).cast("string"), _FW_BAL_W - 1, "0"),
+            F.lit(" " * (_FW_BAL_W - 1)),
+        ),
     )
     shutil.rmtree(path, ignore_errors=True)
     s.select(line.alias("value")).coalesce(1).write.mode("overwrite").text(path)
@@ -2105,7 +2132,11 @@ def a24_fixed_width_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign = F.when(
         F.substring("value", b0, 1) == "-", F.lit(-1).cast("bigint")
     ).otherwise(F.lit(1).cast("bigint"))
-    mag = F.substring("value", b0 + 1, _FW_BAL_W - 1).cast("bigint")
+    # try_cast: the blank (NULL-balance) magnitude field is not a
+    # number — it reads back as NULL, not as an ANSI cast crash
+    mag = F.expr(
+        f"try_cast(substring(value, {b0 + 1}, {_FW_BAL_W - 1}) AS bigint)"
+    )
     return raw.select(
         F.substring("value", k0, _FW_KEY_W).cast("bigint").alias("s_suppkey"),
         F.trim(F.substring("value", n0, _FW_NAME_W)).alias("s_name"),

@@ -401,7 +401,14 @@ def k37_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Edge building is inverted-index based (docs sharing a shingle),
     never all-pairs."""
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", "lang", F.split("text", " ").alias("t"))
+    # NULL-text docs form no shingles (operators/dedup.py convention:
+    # concat_ws would silently shingle split(NULL) into [""]); they
+    # re-enter below as their own singleton components, matching the
+    # oracle's all-documents closure base.
+    toks = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", "lang", F.split("text", " ").alias("t"))
+    )
     sh = toks.select(
         "doc_id", "lang", F.explode(F.expr(_SHINGLE_EXPR)).alias("s")
     ).distinct()
@@ -1206,8 +1213,11 @@ def k48_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
       FROM documents
     )
+    -- lang NULLS FIRST pins Spark's ASC default for the NULL-language
+    -- stratum (--nulls sweep); rk and doc_id are never NULL
     SELECT doc_id, lang, rk AS round,
-           ROW_NUMBER() OVER (ORDER BY rk, lang, doc_id) AS position
+           ROW_NUMBER() OVER (ORDER BY rk, lang NULLS FIRST, doc_id)
+             AS position
     FROM ranked
     """,
 )
@@ -1465,7 +1475,8 @@ def k55_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.shard_id,
            COUNT(*) AS n_docs,
            CAST(SUM(a.ntok) AS BIGINT) AS n_tokens,
-           bit_xor(CAST(CONCAT('0x', substr(md5(d.text), 1, 15))
+           -- '0x' || …: NULL-propagating (see k46's note; --nulls)
+           bit_xor(CAST('0x' || substr(md5(d.text), 1, 15)
                         AS BIGINT)) AS content_checksum
     FROM assigned a JOIN documents d USING (doc_id)
     GROUP BY a.shard_id

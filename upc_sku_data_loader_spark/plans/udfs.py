@@ -30,7 +30,10 @@ from ..registry import query
     "j1_python_udf",
     oracle="""
     SELECT o_orderkey,
-           CASE WHEN o_totalprice < 50000 THEN 'low'
+           -- explicit NULL arm first: a bare ELSE would sweep NULL
+           -- prices into 'high' while the Python UDF returns 'unknown'
+           CASE WHEN o_totalprice IS NULL THEN 'unknown'
+                WHEN o_totalprice < 50000 THEN 'low'
                 WHEN o_totalprice < 150000 THEN 'mid'
                 ELSE 'high' END AS tier
     FROM orders
@@ -176,11 +179,16 @@ def j5_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # nullable Int64: NULL text arrives as None and must leave
+            # as NULL counts (bare int64 astype throws on NaN; --nulls)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_chars_py": pdf["text"].str.len().astype("int64"),
-                    "n_tokens_py": pdf["text"].str.split(" ").map(len).astype("int64"),
+                    "n_chars_py": pdf["text"].str.len().astype("Int64"),
+                    "n_tokens_py": pdf["text"]
+                    .str.split(" ")
+                    .map(len, na_action="ignore")
+                    .astype("Int64"),
                 }
             )
 
@@ -227,8 +235,11 @@ def j6_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            FLOOR(o_totalprice * 100.0) AS price_cents,
-           CASE WHEN o_totalprice >= 150000.0 THEN 'high' ELSE 'normal' END
-             AS price_band
+           -- explicit NULL arm: pyarrow's if_else propagates a NULL
+           -- price to a NULL band; a bare ELSE would say 'normal'
+           CASE WHEN o_totalprice IS NULL THEN NULL
+                WHEN o_totalprice >= 150000.0 THEN 'high'
+                ELSE 'normal' END AS price_band
     FROM orders
     """,
 )
@@ -269,12 +280,20 @@ def j7_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "j8_pandas_window_udaf",
+    # Arrow NaN<->NULL contract (events_streams.py SESSION_SQL_PANDAS):
+    # a NULL price inside the frame arrives in pandas as NaN and
+    # poisons mean() to NaN -> NULL out, where SQL AVG would skip it --
+    # the oracle models the poisoning explicitly.  NULLS FIRST pins
+    # Spark's ASC default for NULL order dates.
     oracle="""
     SELECT o_custkey, o_orderkey,
-           ROUND(AVG(o_totalprice) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll_avg
+           CASE WHEN COUNT(*) OVER w != COUNT(o_totalprice) OVER w
+                THEN NULL
+                ELSE ROUND(AVG(o_totalprice) OVER w, 6) END AS roll_avg
     FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
+      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
     """,
 )
 def j8_pandas_window_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -260,7 +260,8 @@ def e8_win_first_last_over(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CUME_DIST() OVER w, 6) AS cume,
            CAST(NTILE(4) OVER w AS INT) AS quartile
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice NULLS FIRST, o_orderkey)
     """,
 )
 def e9_win_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,7 +353,9 @@ def e10_win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
              w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS second_observed
     FROM p
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    -- ts NULLS FIRST pins Spark's ASC default: a timeless reading
+    -- sorts before the sequence on both engines (--nulls sweep)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
     """,
 )
 def e11_win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
