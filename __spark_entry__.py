@@ -176,6 +176,34 @@ ROUND10_PLAN = [
     "etl7_dq_expectations", "etl8_snapshot_diff",
 ]
 
+# Pinned round-11 window, computed by tools/window_plan.plan(11, ledger)
+# UNDER THE ASSUMPTION that CORRECTNESS_r09 and CORRECTNESS_r10 land
+# 50/50 green on ROUND9_PLAN / ROUND10_PLAN: the maintenance rotation's
+# next tranche of oldest-green re-checks (r3/r4-era names).  If any r9
+# or r10 name lands red, REGENERATE with
+# `python tools/window_plan.py --round 11` — reds outrank re-checks.
+# All 50 pre-validated through the Arrow driver-fetch replay in round 9
+# (tools/driver_fetch_replay.py; log in REPLAY_r11_window.log).
+ROUND11_PLAN = [
+    "etl_scd2_history", "g6_setop_all", "h12_bitwise",
+    "h14_collation_group", "h15_try_functions", "j8_pandas_window_udaf",
+    "j9_apply_in_arrow", "k14b_simhash_md5", "k15c_multimodal_resize",
+    "k16b_ann_ivf_seeded", "k40_shard_assign", "k44_dup_ngram_coverage",
+    "k45_contamination_score", "k46_source_token_budget", "k47_coreset_fps",
+    "k48_length_buckets", "k49_curriculum_interleave", "k50_bm25_topk",
+    "k51_pmi_collocations", "k52_token_entropy", "k53_random_projection",
+    "k54_containment_pairs", "k55_bigram_logprob", "q16_supplier_part_counts",
+    "q19_disjunctive_predicates", "q20_dominant_suppliers", "q21_waiting_suppliers",
+    "q22_dormant_customers", "q_cohort_retention", "q_event_funnel",
+    "s1_sql_passthrough", "s5_sql_parameterized", "s6_sql_pipe_syntax",
+    "t7_asof_interpolated", "t8_ewma", "t9_mad_outliers",
+    "b14_sentinel_normalize", "c14_join_bloom_filtered", "c15_join_fuzzy",
+    "c16_geo_radius_join", "c17_interval_overlap_join", "d22_count_min_sketch",
+    "d24_modern_aggs", "d26_regr_stats", "d32_weighted_median",
+    "etl15_skew_report", "i13_stream_sliding_window", "i15_stream_dedup_watermarked",
+    "i16_stream_outer_join", "i17_stream_session_window",
+]
+
 # Contract rows-only trio — never eligible for a driver window (each has a
 # hash-checked twin; see tests/test_contract.py).
 ROWS_ONLY = ["k14_simhash", "k16_ann_ivf", "i10_output_modes_triggers"]

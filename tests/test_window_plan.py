@@ -94,6 +94,25 @@ def test_pinned_round10_plan_matches_planner_under_green_r9():
     assert all(n in ORACLES for n in entrymod.ROUND10_PLAN)
 
 
+def test_pinned_round11_plan_matches_planner_under_green_r9_r10():
+    """ROUND11_PLAN is the planner's round-11 output UNDER THE ASSUMPTION
+    that CORRECTNESS_r09 and CORRECTNESS_r10 land 50/50 green on the
+    shipped ROUND9_PLAN / ROUND10_PLAN.  Missing future rounds are
+    simulated green; once real results land, the frozen max_round=10
+    ledger is used as-is.  Any red in r9/r10 outranks re-checks —
+    regenerate the pin then."""
+    ledger = load_ledger(max_round=10)
+    if not any(rnd >= 9 for rnd, _ in ledger.values()):
+        for n in entrymod.ROUND9_PLAN:
+            ledger[n] = (9, True)
+    if not any(rnd >= 10 for rnd, _ in ledger.values()):
+        for n in entrymod.ROUND10_PLAN:
+            ledger[n] = (10, True)
+    assert plan(11, ledger) == entrymod.ROUND11_PLAN
+    assert len(set(entrymod.ROUND11_PLAN)) == WINDOW
+    assert all(n in ORACLES for n in entrymod.ROUND11_PLAN)
+
+
 def test_planner_round8_shape():
     """Round-8 window over the frozen post-r7 ledger: 50 unique
     hash-checkable names, spill trio first, never-windowed/red before any
