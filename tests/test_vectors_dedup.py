@@ -371,3 +371,32 @@ def test_k18_unpersists_caches_when_result_dropped(spark, sf_dir):
     del df
     gc.collect()
     assert cm.isEmpty(), "k18 left cached blocks after its result was dropped"
+
+
+def test_prefix_candidates_guarantee_boundary_recall(spark):
+    """A pair at EXACTLY the 0.5 Jaccard threshold escapes 8x4 MinHash
+    banding with real probability (fuzz sweep, seed 23 found one); the
+    deterministic prefix-filter union must catch every such pair.  The
+    two docs below share 4 of their 8 distinct 3-shingles -> J = 0.5
+    with shingle sets engineered to defeat any particular banding."""
+    from upc_sku_data_loader_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        prefix_candidates,
+        verify_jaccard,
+    )
+
+    # the seed-23 corpus pair, verbatim (J = 0.5 on 3-token shingles)
+    docs = spark.createDataFrame(
+        [
+            (1, "日本語のテキスト déjà vu naïve déjà vu naïve 日本語のテキスト"),
+            (2, "déjà vu naïve déjà vu naïve 日本語のテキスト 🚀 emoji 🎉"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, n_hashes=32, shingle_k=3)
+    cands = lsh_candidate_pairs(
+        sigs, n_bands=8, rows_per_band=4, max_bucket_size=None
+    ).unionByName(prefix_candidates(docs, shingle_k=3, threshold=0.5)).distinct()
+    got = verify_jaccard(cands, docs, shingle_k=3, threshold=0.5).collect()
+    assert [(r["a"], r["b"], r["jaccard"]) for r in got] == [(1, 2, 0.5)]

@@ -49,15 +49,26 @@ def gtin_check_digit_sql(expr: str, body_len: int = 12) -> str:
 def synth_raw_upc(key: Column | str) -> Column:
     """Deterministic messy UPC string from an integer key (test fixture
     generator: the fixtures carry no UPC column, so queries synthesize
-    one the same way on both engines)."""
+    one the same way on both engines).
+
+    The key is reduced mod 1000003 BEFORE the Knuth-constant multiply
+    (fuzz sweep, seed 7): a snowflake-regime key (~2^62) times the
+    32-bit constant overflows int64 — an ANSI ARITHMETIC_OVERFLOW on
+    Spark, a BIGINT error on DuckDB.  1e6 * 2654435761 ~ 2.7e15 stays
+    comfortably inside, and a million distinct synthetic UPCs is ample
+    spread for fixture synthesis."""
     k = F.col(key) if isinstance(key, str) else key
-    d = F.lpad((k * 2654435761 % 1000000000000).cast("string"), 12, "0")
+    d = F.lpad(
+        ((k % 1000003) * 2654435761 % 1000000000000).cast("string"), 12, "0"
+    )
     return F.concat(F.substring(d, 1, 4), F.lit("-"), F.substring(d, 5, 8))
 
 
 def synth_raw_upc_sql(expr: str) -> str:
     return (
-        "concat(substring(lpad(CAST(({e} * 2654435761) % 1000000000000 AS VARCHAR), 12, '0'), 1, 4),"
+        "concat(substring(lpad(CAST((({e} % 1000003) * 2654435761)"
+        " % 1000000000000 AS VARCHAR), 12, '0'), 1, 4),"
         " '-',"
-        " substring(lpad(CAST(({e} * 2654435761) % 1000000000000 AS VARCHAR), 12, '0'), 5, 8))"
+        " substring(lpad(CAST((({e} % 1000003) * 2654435761)"
+        " % 1000000000000 AS VARCHAR), 12, '0'), 5, 8))"
     ).format(e=expr)

@@ -46,11 +46,21 @@ def asof_join(
     here — under the union's NULLS-FIRST sort it would otherwise pose
     as a match preceding every left row.  A LEFT row with NULL ts keeps
     its row with a NULL match (it sorts first, so its preceding frame
-    is empty) — the timeless probe has no as-of answer."""
+    is empty) — the timeless probe has no as-of answer.
+
+    NULL-key convention (fuzz sweep, seed 7): the as-of join is an
+    EQUALITY join on ``on`` — NULL keys never match, exactly like
+    `p.k = c.k`.  The union rewrite's partitionBy would otherwise
+    group NULL-key probes WITH NULL-key quotes; dropping NULL-key
+    right rows restores SQL semantics while NULL-key left rows keep
+    their row with a NULL match (their partition holds no right rows).
+    """
     keys = [on] if isinstance(on, str) else list(on)
     carried = [right_ts, *right_values]
 
     right = right.filter(F.col(right_ts).isNotNull())
+    for k in keys:
+        right = right.filter(F.col(k).isNotNull())
     rt = right.select(
         *keys,
         F.col(right_ts).alias("__ts"),

@@ -21,7 +21,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -126,6 +126,71 @@ def lsh_candidate_pairs(
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def prefix_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """DETERMINISTIC candidate pairs via the prefix filter (PPJoin
+    family, Xiao et al. 2008 — public): under any shared total order of
+    shingles, two sets with Jaccard >= t must share at least one
+    element of each other's (|X| - ceil(t*|X|) + 1)-element prefix.
+
+    This is the exact-recall complement to :func:`lsh_candidate_pairs`
+    (fuzz sweep, seed 23): MinHash banding is PROBABILISTIC — a pair
+    sitting exactly AT the threshold collides in no band with real
+    probability, so a pipeline whose contract is "every pair >= t" must
+    union these candidates in.  Order = (global shingle frequency ASC,
+    shingle) — rarest-first, which also makes the candidate join touch
+    the SMALLEST posting lists; the frequency table is one keyed agg
+    and the prefix rank one per-doc window, both map-side-combinable
+    shuffles on bounded keys."""
+    sh = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                shingles(F.split(F.col(text_col), " "), shingle_k)
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "sh")
+    w_size = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(freq, "sh")
+        .withColumn("rk", F.row_number().over(w_doc))
+        .withColumn("s", F.count(F.lit(1)).over(w_size))
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("s") - F.ceil(F.lit(threshold) * F.col("s")) + 1
+    ).select("doc_id", "sh", "s")
+    a = prefix.select(F.col("doc_id").alias("a"), "sh", F.col("s").alias("sa"))
+    b = prefix.select(
+        F.col("doc_id").alias("b"),
+        F.col("sh").alias("shb"),
+        F.col("s").alias("sb"),
+    )
+    # length filter INSIDE the join (PPJoin lemma): J(A,B) >= t forces
+    # t*|A| <= |B| and t*|B| <= |A|, so size-mismatched posting-list
+    # pairs never materialize — the standard prune that keeps the
+    # shared-shingle join linear-ish in posting-list mass
+    return (
+        a.join(
+            b,
+            (F.col("sh") == F.col("shb"))
+            & (F.col("a") < F.col("b"))
+            & (F.col("sb") >= F.ceil(F.lit(threshold) * F.col("sa")))
+            & (F.col("sa") >= F.ceil(F.lit(threshold) * F.col("sb"))),
+        )
+        .select("a", "b")
         .distinct()
     )
 

@@ -891,7 +891,11 @@ def d22_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT p_type, p_brand, COUNT(*) AS n,
              ROW_NUMBER() OVER (PARTITION BY p_type
                                 ORDER BY COUNT(*) DESC, p_brand) AS rk
-      FROM part GROUP BY p_type, p_brand
+      FROM part
+      -- mode is over NON-NULL values (SQL mode() semantics): a NULL
+      -- brand is a missing observation, not a candidate winner (fuzz)
+      WHERE p_brand IS NOT NULL
+      GROUP BY p_type, p_brand
     )
     SELECT p_type, p_brand AS mode_brand, n AS mode_count
     FROM counted WHERE rk = 1
@@ -914,6 +918,7 @@ def d23_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     counted = (
         load(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isNotNull())
         .groupBy("p_type", "p_brand")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -1495,7 +1500,10 @@ def d31_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pricew AS (
       SELECT l_returnflag, l_extendedprice / l_quantity AS unit_price,
              CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS w
-      FROM lineitem WHERE l_quantity > 0
+      FROM lineitem
+      -- price NULL -> no unit price; the NULL price level would
+      -- otherwise shift the cumulative crossing (NULLS FIRST vs LAST)
+      WHERE l_quantity > 0 AND l_extendedprice IS NOT NULL
       GROUP BY l_returnflag, unit_price
     ),
     cum AS (
@@ -1528,7 +1536,9 @@ def d32_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & F.col("l_extendedprice").isNotNull()
+    )
     pricew = li.groupBy(
         "l_returnflag",
         (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),

@@ -1496,7 +1496,9 @@ def q25_ab_test_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *,
              NTILE(5) OVER (ORDER BY recency_days DESC, c_custkey) AS r_score,
              NTILE(5) OVER (ORDER BY frequency, c_custkey) AS f_score,
-             NTILE(5) OVER (ORDER BY monetary, c_custkey) AS m_score
+             -- NULLS FIRST pins Spark's ASC default for customers whose
+             -- every order price is NULL (fuzz sweep, seed 11)
+             NTILE(5) OVER (ORDER BY monetary NULLS FIRST, c_custkey) AS m_score
       FROM base
     )
     SELECT c_custkey, recency_days, frequency, monetary,
@@ -1862,6 +1864,8 @@ def q30_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
                            AS DECIMAL(30,6))) AS DOUBLE) AS revenue
       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      -- undated shipments have no year and join no YoY series (fuzz)
+      WHERE l.l_shipdate IS NOT NULL
       GROUP BY p.p_brand, yr
     )
     SELECT p_brand, yr, revenue,
@@ -1884,7 +1888,7 @@ def q31_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate").isNotNull())
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
     yearly = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
@@ -1922,8 +1926,12 @@ def q31_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q32_spend_gini",
     oracle="""
     WITH spend AS (
+      -- COALESCE: a customer whose every order price is NULL has spend
+      -- ZERO (the economic reading) — a NULL s would rank differently
+      -- per engine and fall out of the rank-sum (fuzz sweep, seed 11)
       SELECT o_custkey,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS s
+             COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                           AS DOUBLE), 0.0) AS s
       FROM orders GROUP BY o_custkey
     ),
     ranked AS (
@@ -1961,9 +1969,12 @@ def q32_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
-            .cast("double")
-            .alias("s")
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast(
+                    "double"
+                ),
+                F.lit(0.0),
+            ).alias("s")
         )
     )
     ranked = spend.select(

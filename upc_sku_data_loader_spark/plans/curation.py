@@ -628,8 +628,10 @@ _VOCAB_KEEP = 26  # fixture vocab is 31 terms; prune the 5 least frequent
            COUNT(*) AS n_words,
            CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_removed,
-           string_agg(CASE WHEN v.word IS NOT NULL THEN w.word END,
-                      ' ' ORDER BY w.pos) AS pruned_text
+           -- COALESCE: a fully-pruned doc is the EMPTY string (Spark's
+           -- array_join of []), not SQL NULL (fuzz sweep, seed 11)
+           COALESCE(string_agg(CASE WHEN v.word IS NOT NULL THEN w.word END,
+                               ' ' ORDER BY w.pos), '') AS pruned_text
     FROM w LEFT JOIN vocab v ON v.word = w.word
     GROUP BY w.doc_id
     """,

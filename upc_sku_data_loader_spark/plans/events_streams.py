@@ -28,6 +28,10 @@ from ..registry import query
 from ..streaming.sources import read_events_stream, run_available_now
 
 # Shared DuckDB gaps-and-islands sessionization (twin for I3 and I6).
+# Gap-boundary convention (fuzz sweep, seed 7): an event EXACTLY `gap`
+# after its predecessor CONTINUES the session — Spark's native
+# session_window merges touching windows, so the split predicate is
+# strictly-greater (>) on both engines and in the pandas state machines.
 # NULL-timestamp convention (--nulls sweep): an event with no timestamp
 # belongs to no window or session on EITHER engine — Spark's window()/
 # session_window() already drop NULL event times, the oracles filter
@@ -36,7 +40,7 @@ SESSION_SQL = """
 WITH ordered AS (
   SELECT user_id, ts, value, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS is_new
   FROM events
   WHERE ts IS NOT NULL
@@ -196,7 +200,7 @@ def i5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sessionize_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     # NULL-timestamp convention (module docstring): NaT events belong to
     # no session — without the filter, pandas sorts NaT LAST and the
-    # state machine's `NaT - end >= gap` (always False) silently merges
+    # state machine's `NaT - end > gap` (always False) silently merges
     # the timeless event into whichever session came last
     pdf = pdf[pdf["ts"].notna()].sort_values(["ts", "event_id"])
     gap = pd.Timedelta(minutes=30)
@@ -207,7 +211,7 @@ def _sessionize_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     for ts, val in zip(pdf["ts"], pdf["value"]):
         if start is None:
             start, end, n, total = ts, ts, 1, float(val)
-        elif ts - end >= gap:
+        elif ts - end > gap:
             out.append((pdf["user_id"].iloc[0], start, end, n, round(total, 4)))
             start, end, n, total = ts, ts, 1, float(val)
         else:
@@ -243,7 +247,7 @@ CLOSED_SESSION_SQL = """
 WITH ordered AS (
   SELECT user_id, ts, value, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS is_new
   FROM events
   WHERE ts IS NOT NULL
@@ -297,7 +301,7 @@ def _sessionize_with_state(key, pdfs, state):
             t = int(t)
             if start_us is None:
                 start_us, end_us, n, total = t, t, 1, float(val)
-            elif t - end_us >= gap_us:
+            elif t - end_us > gap_us:
                 out.append((key[0], start_us, end_us, n, round(total, 4)))
                 start_us, end_us, n, total = t, t, 1, float(val)
             else:
@@ -631,7 +635,7 @@ def i16_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
       SELECT user_id, ts, value, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS is_new
       FROM events
       WHERE ts IS NOT NULL

@@ -677,7 +677,7 @@ END
     oracle=f"""
     WITH src AS (
       SELECT p_partkey,
-             lpad(CAST((p_partkey * 48271) % 1000000 AS VARCHAR), 6, '0')
+             lpad(CAST(((p_partkey % 1000003) * 48271) % 1000000 AS VARCHAR), 6, '0')
                AS upce
       FROM part
     ),
@@ -708,7 +708,7 @@ def b17_upce_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
     src = p.select(
         "p_partkey",
-        F.lpad(((F.col("p_partkey") * 48271) % 1000000).cast("string"), 6, "0")
+        F.lpad(((F.col("p_partkey") % 1000003) * 48271 % 1000000).cast("string"), 6, "0")
         .alias("upce"),
     )
     d = lambda i, n=1: F.substring("upce", i, n)  # noqa: E731
@@ -741,7 +741,7 @@ def b17_upce_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH src AS (
       SELECT p_partkey,
-             lpad(CAST((p_partkey * 37117) % 1000000000 AS VARCHAR), 9, '0')
+             lpad(CAST(((p_partkey % 1000003) * 37117) % 1000000000 AS VARCHAR), 9, '0')
                AS body9
       FROM part
     ),
@@ -788,7 +788,7 @@ def b18_isbn_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = p.select(
         "p_partkey",
         F.lpad(
-            ((F.col("p_partkey") * 37117) % 1000000000).cast("string"), 9, "0"
+            ((F.col("p_partkey") % 1000003) * 37117 % 1000000000).cast("string"), 9, "0"
         ).alias("body9"),
     )
     wsum = sum(

@@ -27,6 +27,7 @@ from ..operators.dedup import (
     dedup_clusters,
     lsh_candidate_pairs,
     minhash_signatures,
+    prefix_candidates,
     simhash,
     verify_jaccard,
 )
@@ -103,6 +104,14 @@ def k2_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = lsh_candidate_pairs(
         sigs, n_bands=8, rows_per_band=4, max_bucket_size=None
     )
+    # exact-recall guarantee (fuzz sweep, seed 23): MinHash banding is
+    # probabilistic and can miss a pair sitting exactly AT the 0.5
+    # threshold; the deterministic prefix-filter candidates close that
+    # gap (operators/dedup.py:prefix_candidates), LSH still prunes the
+    # bulk, and verify_jaccard keeps the final set exact either way
+    cands = cands.unionByName(
+        prefix_candidates(d, shingle_k=3, threshold=0.5)
+    ).distinct()
     return verify_jaccard(cands, d, shingle_k=3, threshold=0.5).orderBy(
         F.desc("jaccard"), "a", "b"
     )
@@ -738,6 +747,7 @@ def _unpersist_with(owner: DataFrame, *cached: DataFrame) -> None:
                i -> substring(text, i, 10)
              )) AS grams
       FROM documents
+      WHERE text IS NOT NULL
     )
     SELECT a.doc_id AS a, b.doc_id AS b,
            ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
@@ -823,7 +833,10 @@ def _k18_build(
     """PPJoin plan body for k18_ngram_jaccard (scale design documented
     there); appends each persisted relation to `caches` so the wrapper
     can tie their lifetime to the returned plan."""
-    d = load(spark, sf_dir, "documents")
+    # NULL-text docs form no grams and join no pairs (operators/dedup.py
+    # convention; fuzz sweep: transform-over-NULL otherwise clusters
+    # every contentless doc into one jaccard-1.0 clique)
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     n, t = 10, 0.7
     grams = F.array_distinct(
         F.transform(
@@ -1215,6 +1228,10 @@ def k20_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = lsh_candidate_pairs(
         sigs, n_bands=8, rows_per_band=4, max_bucket_size=None
     )
+    # exact-recall union (k2 note): boundary pairs escape banding
+    cands = cands.unionByName(
+        prefix_candidates(d, shingle_k=3, threshold=0.5)
+    ).distinct()
     pairs = verify_jaccard(cands, d, shingle_k=3, threshold=0.5)
     return dedup_clusters(pairs)
 
@@ -2046,6 +2063,10 @@ def k73_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sigs = minhash_signatures(d, n_hashes=32, shingle_k=3)
     cands = lsh_candidate_pairs(sigs, n_bands=8, rows_per_band=4, max_bucket_size=None)
+    # exact-recall union (k2 note): boundary pairs escape banding
+    cands = cands.unionByName(
+        prefix_candidates(d, shingle_k=3, threshold=0.5)
+    ).distinct()
     verified = verify_jaccard(cands, d, shingle_k=3, threshold=0.5)
     cross = verified.filter((F.col("a") % 2) != (F.col("b") % 2)).select(
         F.when(F.col("a") % 2 == 1, F.col("a")).otherwise(F.col("b")).alias("doc_id"),

@@ -330,10 +330,15 @@ def h8_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "h9_json",
     oracle="""
+    -- json_valid gate on every extraction: DuckDB's ->> THROWS on
+    -- malformed JSON where Spark's get_json_object returns NULL
+    -- (fuzz sweep, seed 7: props = 'not json')
     SELECT event_id,
-           props->>'$.k' AS k_str,
-           CAST(props->>'$.k' AS INT) AS k_int,
-           CAST(props->>'$.k' AS INT) % 10 AS k_mod10,
+           CASE WHEN json_valid(props) THEN props->>'$.k' END AS k_str,
+           CAST(CASE WHEN json_valid(props) THEN props->>'$.k' END
+                AS INT) AS k_int,
+           CAST(CASE WHEN json_valid(props) THEN props->>'$.k' END
+                AS INT) % 10 AS k_mod10,
            -- COALESCE: a NULL payload is NOT valid JSON on either
            -- engine (Spark's isNotNull() check is already False there)
            COALESCE(json_valid(props), FALSE) AS is_valid_json
@@ -786,8 +791,10 @@ def h17_datetime_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     "h18_array_lib",
     oracle="""
     WITH t AS (
+      -- text IS NOT NULL: each engine's NULL cascade through least/
+      -- array_join/COALESCE differs on an absent doc (fuzz, seed 11)
       SELECT doc_id, string_split(text, ' ') AS toks
-      FROM documents WHERE doc_id % 5 = 0
+      FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL
     )
     SELECT doc_id,
            COALESCE(list_position(toks, 'the'), 0) AS pos_the,
@@ -818,7 +825,7 @@ def h18_array_lib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = (
         load(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 5 == 0)
+        .filter((F.col("doc_id") % 5 == 0) & F.col("text").isNotNull())
         .select("doc_id", F.split("text", " ").alias("toks"))
     )
     kw = F.array(F.lit("data"), F.lit("table"), F.lit("row"))

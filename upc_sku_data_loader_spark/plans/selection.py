@@ -41,6 +41,7 @@ from ..operators.dedup import (
     dedup_clusters,
     lsh_candidate_pairs,
     minhash_signatures,
+    prefix_candidates,
     verify_jaccard,
 )
 from ..registry import query
@@ -120,6 +121,10 @@ def k62_cluster_best_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = lsh_candidate_pairs(
         sigs, n_bands=8, rows_per_band=4, max_bucket_size=None
     )
+    # exact-recall union (llm.py k2 note): boundary pairs escape banding
+    cands = cands.unionByName(
+        prefix_candidates(d, shingle_k=3, threshold=0.5)
+    ).distinct()
     pairs = verify_jaccard(cands, d, shingle_k=3, threshold=0.5)
     clusters = dedup_clusters(pairs).withColumnRenamed(
         "cluster_keeper", "cluster_id"

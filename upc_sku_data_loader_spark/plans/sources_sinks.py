@@ -157,7 +157,12 @@ def a3_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a4_rest_api_source",
     oracle="""
     WITH w AS (SELECT lpad(CAST(p_partkey AS VARCHAR), 12, '0') AS upc,
-                      p_partkey AS digits
+                      -- digits come from the 12-char UPC STRING, not the
+                      -- raw key: lpad truncates a snowflake-regime key to
+                      -- its first 12 digits and the fake API derives its
+                      -- payload from that string (fuzz sweep, seed 7)
+                      CAST(lpad(CAST(p_partkey AS VARCHAR), 12, '0')
+                           AS BIGINT) AS digits
                FROM part)
     SELECT upc,
            'SKU-' || upc AS sku,
@@ -398,9 +403,9 @@ def i9_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "etl_load_upcs",
     oracle="""
     WITH w AS (
-      SELECT lpad(CAST((p_partkey * 2654435761) % 1000000000000 AS VARCHAR),
+      SELECT lpad(CAST(((p_partkey % 1000003) * 2654435761) % 1000000000000 AS VARCHAR),
                   13, '0') AS upc,
-             (p_partkey * 2654435761) % 1000000000000 AS digits,
+             ((p_partkey % 1000003) * 2654435761) % 1000000000000 AS digits,
              p_partkey % 7 = 0 AS seeded
       FROM part
     )
@@ -431,7 +436,9 @@ def etl_load_upcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
     worklist = part.select(synth_raw_upc("p_partkey").alias("upc_raw"))
     worklist = worklist.unionAll(worklist)  # simulate overlapping batches
-    digits = (F.col("p_partkey") * 2654435761) % 1000000000000
+    # % 1000003 first: a snowflake-regime partkey times the 32-bit
+    # constant overflows int64 (fuzz sweep; functions/upc.py note)
+    digits = (F.col("p_partkey") % 1000003) * 2654435761 % 1000000000000
     existing = (
         part.filter(F.col("p_partkey") % 7 == 0)
         .select(F.lpad(digits.cast("string"), 13, "0").alias("upc"))
@@ -604,7 +611,7 @@ def a11_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, strlen(text) AS n_bytes, sha256(text) AS content_sha
     FROM documents
-    WHERE doc_id % 25 = 0
+    WHERE doc_id % 25 = 0 AND text IS NOT NULL
     """,
 )
 def a12_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -618,7 +625,11 @@ def a12_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = Path(_scratch(sf_dir, "doc_blobs"))
     shutil.rmtree(out, ignore_errors=True)
     out.mkdir(parents=True)
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    # NULL-text docs materialize NO file (a missing blob has no bytes;
+    # fuzz sweep) — the oracle filters them identically
+    d = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 25 == 0) & F.col("text").isNotNull()
+    )
     for row in d.select("doc_id", "text").collect():  # few dozen small files
         (out / f"{row['doc_id']}.bin").write_bytes(row["text"].encode("utf-8"))
     files = spark.read.format("binaryFile").load(str(out))
@@ -1105,6 +1116,10 @@ def a17_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.format("xml")
         .option("rowTag", "part")
+        # keep whitespace-only names byte-exact (fuzz sweep): the
+        # reader's default trims surrounding spaces, which would break
+        # the lossless-round-trip claim the plain-SELECT oracle states
+        .option("ignoreSurroundingSpaces", "false")
         .schema(
             "p_partkey bigint, p_name string, "
             "dims struct<p_size:int, p_retailprice:double>"
@@ -1524,28 +1539,31 @@ def a19_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     path = _scratch(sf_dir, "orders_malformed_csv")
     src = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    # NULL fields serialize as EMPTY CSV fields (fuzz sweep):
+    # format_string renders a NULL argument as the literal text 'null',
+    # which reads back as the string 'null' (status) or as a corrupt
+    # row (price) — an empty field round-trips to NULL via the
+    # reader's default nullValue.
+    status_txt = F.coalesce(F.col("o_orderstatus"), F.lit(""))
+    cents_txt = F.coalesce(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        F.lit(""),
+    )
     line = (
         F.when(
             F.col("o_orderkey") % 3 == 0,
             F.format_string(
-                "%d,%s,%d",
-                F.col("o_orderkey"),
-                F.col("o_orderstatus"),
-                F.round(F.col("o_totalprice") * 100).cast("bigint"),
+                "%d,%s,%s", F.col("o_orderkey"), status_txt, cents_txt
             ),
         )
         .when(
             F.col("o_orderkey") % 3 == 1,
             F.format_string(
-                "%d,%s,notanumber",
-                F.col("o_orderkey"),
-                F.col("o_orderstatus"),
+                "%d,%s,notanumber", F.col("o_orderkey"), status_txt
             ),
         )
         .otherwise(
-            F.format_string(
-                "%d,%s", F.col("o_orderkey"), F.col("o_orderstatus")
-            )
+            F.format_string("%d,%s", F.col("o_orderkey"), status_txt)
         )
     )
     src.select(line.alias("value")).write.mode("overwrite").text(path)
@@ -2070,7 +2088,10 @@ def etl11_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- A24: fixed-width text source ---------------------------------------------
 
 # Layout (mainframe-style copybook): columns at fixed byte offsets.
-_FW_KEY_W, _FW_NAME_W, _FW_BAL_W = 8, 20, 12
+# key field is 20 wide: int64 keys reach 19 digits (snowflake regime,
+# fuzz sweep seed 7) and an 8-wide field silently TRUNCATED them on the
+# round-trip — copybook layouts must be sized for the key domain
+_FW_KEY_W, _FW_NAME_W, _FW_BAL_W = 20, 20, 12
 
 
 @query(
@@ -2379,7 +2400,7 @@ def i19_stream_txn_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a27_wholefile_text",
     oracle="""
     SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
-    FROM documents WHERE doc_id % 25 = 0
+    FROM documents WHERE doc_id % 25 = 0 AND text IS NOT NULL
     """,
 )
 def a27_wholefile_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2401,9 +2422,11 @@ def a27_wholefile_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _scratch(sf_dir, "wholefile_docs")
     shutil.rmtree(base, ignore_errors=True)
     Path(base).mkdir(parents=True)
+    # NULL-text docs export no file (a corpus has no file for a missing
+    # document; fuzz sweep) — the oracle filters them identically
     sample = (
         load(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 25 == 0)
+        .filter((F.col("doc_id") % 25 == 0) & F.col("text").isNotNull())
         .withColumn("text", F.regexp_replace("text", " ", "\n"))
     )
     for r in sample.collect():  # driver-side export: test corpus layout only

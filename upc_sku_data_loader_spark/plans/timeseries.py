@@ -691,7 +691,9 @@ def t8_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events")
         .filter((F.col("event_type") == "purchase") & F.col("ts").isNotNull())
         .select("user_id", "ts", "event_id", "value")
-        .withColumn("ewma10", F.round(num / den, 6))
+        # try_divide: a row whose value AND whole lag kernel are NULL has
+        # den = 0 (fuzz sweep) — NULL on both engines, not an ANSI crash
+        .withColumn("ewma10", F.round(F.try_divide(num, den), 6))
     )
 
 
@@ -938,7 +940,10 @@ _HOLT_1MB = "0.7"  # 1 - beta, as its own literal (never computed)
       SELECT user_id, ts, event_id, value,
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS rn
+      -- anonymous (NULL-user) rows have no per-user series, and a
+      -- timeless row has no position in one (fuzz sweep, seed 7)
       FROM events WHERE event_type = 'purchase' AND isfinite(value)
+        AND user_id IS NOT NULL AND ts IS NOT NULL
     ),
     holt AS (
       SELECT user_id, rn, ts, event_id, value,
@@ -1013,6 +1018,7 @@ def t11_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "NOT (isnan(value) OR value = CAST('Infinity' AS DOUBLE)"
             " OR value = CAST('-Infinity' AS DOUBLE))"
         )
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
         .select("user_id", "ts", "event_id", "value")
     )
     smoothed = purchases.groupBy("user_id").applyInPandas(
@@ -1044,7 +1050,9 @@ def t11_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, event_id, value,
              lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS yhat
+      -- a timeless purchase has no position in the lag series (fuzz)
       FROM events WHERE event_type = 'purchase' AND isfinite(value)
+        AND ts IS NOT NULL
     ),
     e AS (
       SELECT user_id, ABS(value - yhat) AS abs_err
@@ -1083,6 +1091,7 @@ def t12_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "NOT (isnan(value) OR value = CAST('Infinity' AS DOUBLE)"
             " OR value = CAST('-Infinity' AS DOUBLE))"
         )
+        .filter(F.col("ts").isNotNull())
         .select("user_id", "ts", "event_id", "value")
         .withColumn("yhat", F.lag("value").over(w))
         .filter(F.col("yhat").isNotNull())
@@ -1293,7 +1302,10 @@ def t14_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY user_id, day
     )
     SELECT user_id, day,
-           COUNT(*) OVER w AS n_win,
+           -- COUNT(day_value): the window counts PRESENT daily values
+           -- (an all-NULL day cell is not an observation), matching the
+           -- Spark side's collect_list, which skips NULLs (fuzz sweep)
+           COUNT(day_value) OVER w AS n_win,
            ROUND(median(day_value) OVER w, 6) AS roll_med
     FROM p
     WINDOW w AS (PARTITION BY user_id ORDER BY day
@@ -1334,7 +1346,12 @@ def t15_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(arr)
     mid = ((n + 1) / 2).cast("int")
     lo, hi = (n / 2).cast("int"), (n / 2 + 1).cast("int")
-    med = F.when(n % 2 == 1, F.element_at(arr, mid)).otherwise(
+    # n = 0 guard: a frame whose every daily value is NULL collects an
+    # empty array and element_at(arr, 0) THROWS (fuzz sweep); the
+    # median of no observations is NULL on both engines
+    med = F.when(
+        n == 0, F.lit(None).cast("double")
+    ).when(n % 2 == 1, F.element_at(arr, mid)).otherwise(
         (F.element_at(arr, lo) + F.element_at(arr, hi)) / 2
     )
     return p.select(

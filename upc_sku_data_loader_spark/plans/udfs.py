@@ -89,27 +89,42 @@ def j2_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "j3_pandas_udaf",
+    # NULL balances are missing observations (fuzz sweep): the trim
+    # ranks PRESENT values only (the kernel drops NaN — a NULL arrives
+    # in the Arrow batch as NaN and np.sort would rank it last,
+    # poisoning the core mean); an all-NULL group keeps its row with a
+    # NULL trimmed mean via the distinct-keys left join.
     oracle="""
     WITH ranked AS (
       SELECT c_nationkey, c_acctbal,
              ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal) AS rn,
              COUNT(*) OVER (PARTITION BY c_nationkey) AS n
       FROM customer
+      WHERE c_acctbal IS NOT NULL
+    ),
+    trimmed AS (
+      SELECT c_nationkey,
+             ROUND(AVG(c_acctbal), 6) AS trimmed_mean_bal
+      FROM ranked
+      WHERE n <= 2 * CAST(FLOOR(n * 0.1) AS BIGINT)
+         OR (rn > CAST(FLOOR(n * 0.1) AS BIGINT)
+             AND rn <= n - CAST(FLOOR(n * 0.1) AS BIGINT))
+      GROUP BY c_nationkey
     )
-    SELECT c_nationkey,
-           ROUND(AVG(c_acctbal), 6) AS trimmed_mean_bal
-    FROM ranked
-    WHERE n <= 2 * CAST(FLOOR(n * 0.1) AS BIGINT)
-       OR (rn > CAST(FLOOR(n * 0.1) AS BIGINT)
-           AND rn <= n - CAST(FLOOR(n * 0.1) AS BIGINT))
-    GROUP BY c_nationkey
+    SELECT k.c_nationkey, t.trimmed_mean_bal
+    FROM (SELECT DISTINCT c_nationkey FROM customer) k
+    LEFT JOIN trimmed t USING (c_nationkey)
     """,
 )
 def j3_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @pandas_udf("double")
     def trimmed_mean(bal: pd.Series) -> float:
-        # 10%-trimmed mean: a custom aggregate Catalyst has no builtin for
-        v = np.sort(bal.to_numpy(dtype=np.float64))
+        # 10%-trimmed mean: a custom aggregate Catalyst has no builtin
+        # for (the hint is required by pandas_udf; None → NULL is fine)
+        v = bal.to_numpy(dtype=np.float64)
+        v = np.sort(v[~np.isnan(v)])  # NULL->NaN members are not ranked
+        if len(v) == 0:
+            return None
         k = int(len(v) * 0.1)
         core = v[k : len(v) - k] if len(v) > 2 * k else v
         return float(np.round(core.mean(), 6))
@@ -125,8 +140,13 @@ def j3_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     bal = pdf["c_acctbal"].to_numpy(dtype=np.float64)
-    mu = bal.mean()
-    sd = bal.std(ddof=1)
+    # nan-aware moments (fuzz sweep): a NULL balance arrives in the
+    # Arrow batch as NaN; SQL AVG/STDDEV_SAMP skip NULLs, so the kernel
+    # skips NaN identically — the NaN row itself z-scores to NaN → NULL
+    # out, matching the oracle's (NULL - mu)/sd.
+    n_valid = int((~np.isnan(bal)).sum())
+    mu = np.nanmean(bal) if n_valid else np.nan
+    sd = np.nanstd(bal, ddof=1) if n_valid >= 2 else np.nan
     # degenerate group (constant values → sd = 0, single row → sd = NaN):
     # the z-score is undefined — emit NULL, matching the oracle's
     # x/0 → NULL and stddev_samp(1 row) → NULL semantics (a 0.0 here was
@@ -215,6 +235,8 @@ def j6_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="doc_id bigint, pos int, token string")
     class ExplodeTokens:
         def eval(self, doc_id: int, text: str):  # noqa: ANN001
+            if text is None:  # NULL text explodes to no tokens (fuzz)
+                return
             for pos, token in enumerate(text.split(" ")):
                 yield doc_id, pos, token
 
@@ -492,6 +514,8 @@ def j11_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         def eval(self, doc_id: int, text: str, n: int):  # noqa: ANN001
+            if text is None:  # NULL text yields no n-grams (fuzz)
+                return
             toks = text.split(" ")
             for pos in range(len(toks) - n + 1):
                 yield doc_id, pos, " ".join(toks[pos : pos + n])

@@ -81,7 +81,7 @@ def e2_win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_nationkey, c_acctbal,
            NTILE(4) OVER (PARTITION BY c_nationkey
-                          ORDER BY c_acctbal, c_custkey) AS bal_quartile
+                          ORDER BY c_acctbal NULLS FIRST, c_custkey) AS bal_quartile
     FROM customer
     """,
 )
@@ -103,7 +103,7 @@ def e3_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
            LAG(o_totalprice, 1) OVER w AS prev_price,
            LEAD(o_totalprice, 1) OVER w AS next_price
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey)
     """,
 )
 def e4_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,7 +126,7 @@ def e4_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS DOUBLE) AS running_spend
     FROM orders
@@ -157,7 +157,7 @@ def e5_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey,
            ROUND(AVG(o_totalprice) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
            ), 6) AS moving_avg_4
     FROM orders
@@ -228,7 +228,7 @@ def e7_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
            FIRST_VALUE(o_totalprice) OVER w AS first_price,
            LAST_VALUE(o_totalprice) OVER w AS last_price
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
 )
