@@ -2230,7 +2230,9 @@ def q35_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
              CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS rev
+      -- an undated purchase sits on no calendar day (fuzz, seed 42)
       FROM events WHERE event_type = 'purchase' AND isfinite(value)
+        AND ts IS NOT NULL
       GROUP BY day
     ),
     med AS (SELECT median(rev) AS med_rev FROM daily),
@@ -2281,6 +2283,7 @@ def q36_revenue_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "NOT (isnan(value) OR value = CAST('Infinity' AS DOUBLE)"
             " OR value = CAST('-Infinity' AS DOUBLE))"
         )
+        .filter(F.col("ts").isNotNull())
         .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
         .agg(
             F.sum(F.col("value").cast("decimal(30,6)"))

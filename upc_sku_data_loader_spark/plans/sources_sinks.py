@@ -2291,15 +2291,20 @@ def a26_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     # the CSV WRITER trims leading/trailing whitespace by default —
     # disable both so fields ending in whitespace/newlines survive
+    # explicit NULL sentinel on BOTH hops (fuzz sweep, seed 42): with
+    # the default nullValue "" the reader maps an EMPTY quoted field to
+    # NULL, silently conflating the empty document with the missing one
     staged.write.mode("overwrite").option("header", True).option(
         "quoteAll", True
     ).option("ignoreLeadingWhiteSpace", False).option(
         "ignoreTrailingWhiteSpace", False
-    ).csv(path)
+    ).option("nullValue", "\\N").csv(path)
     return (
         spark.read.schema("doc_id bigint, excerpt string, n_chars bigint")
         .option("header", True)
         .option("multiLine", True)
+        .option("nullValue", "\\N")
+        .option("emptyValue", "")
         .csv(path)
     )
 

@@ -245,8 +245,9 @@ def t3_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t4_ohlc_downsample",
     oracle="""
     WITH e AS (
+      -- an undated tick belongs to no bar (fuzz sweep, seed 99)
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day, ts, event_id, value
-      FROM events WHERE event_type = 'purchase'
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
     ),
     r AS (
       SELECT day, value,
@@ -274,7 +275,7 @@ def t4_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     compaction: at 100 TB it is a single keyed shuffle."""
     e = (
         load(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
+        .filter((F.col("event_type") == "purchase") & F.col("ts").isNotNull())
         .select(
             F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
             F.struct("ts", "event_id").alias("k"),
