@@ -2,7 +2,8 @@
 fixture — the debugging companion to tools/degenerate_sweep.py.
 
 Usage:
-    python tools/nulls_debug.py [--mode nulls|degenerate|extreme] name [name...]
+    python tools/nulls_debug.py [--mode=nulls|degenerate|extreme] name [name...]
+    python tools/nulls_debug.py --mode=fuzz:SEED name [name...]
 """
 
 from __future__ import annotations
@@ -26,9 +27,19 @@ def main() -> int:
     for a in sys.argv[1:]:
         if a.startswith("--mode="):
             mode = a.split("=", 1)[1]
-    builder = {"nulls": build_nulls, "degenerate": build, "extreme": build_extreme}[mode]
-    sf_dir = builder(REPO / ".scratch" / f"degenerate_{mode}"
-                     if mode != "degenerate" else REPO / ".scratch" / "degenerate")
+    if mode.startswith("fuzz:"):
+        from tools.fuzz_sweep import build as build_fuzz
+
+        seed = int(mode.split(":", 1)[1])
+        sf_dir = build_fuzz(REPO / ".scratch" / f"fuzz_seed{seed}", seed, 48)
+    else:
+        builder = {
+            "nulls": build_nulls,
+            "degenerate": build,
+            "extreme": build_extreme,
+        }[mode]
+        sf_dir = builder(REPO / ".scratch" / f"degenerate_{mode}"
+                         if mode != "degenerate" else REPO / ".scratch" / "degenerate")
     spark = get_spark(app_name="nulls_debug")
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connect(sf_dir)

@@ -657,7 +657,11 @@ def i16_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     wm AS (SELECT 1000 * (epoch_us(MAX(ts)) // 1000) AS wm_us FROM events)
     SELECT user_id, session_start, session_end, n_events, total_value
     FROM agg, wm
-    WHERE epoch_us(session_end + INTERVAL 30 MINUTE) < wm.wm_us
+    -- <= : Spark evicts a session when the watermark REACHES the
+    -- window end (inclusive) — a session whose end+gap coincides with
+    -- the final watermark IS emitted (fuzz sweep, seed 202's 15-min
+    -- grid produced the exact coincidence)
+    WHERE epoch_us(session_end + INTERVAL 30 MINUTE) <= wm.wm_us
     """,
 )
 def i17_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
