@@ -52,12 +52,50 @@ from ..functions.vectors import finite_vec
 def _load_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load embeddings under the finite-vector convention (see
     functions/vectors.py): NaN/Inf-bearing vectors do not participate in
-    any similarity kernel, matching the oracles' identical predicate."""
+    any similarity kernel, matching the oracles' identical predicate.
+
+    The JVM-side HOF filter here is for paths whose downstream work runs
+    JVM-side (ann_ivf's Lloyd aggregate / assignment UDFs).  The numpy
+    fast paths load RAW via :func:`_raw_vecs` and drop invalid rows
+    inside the Arrow kernel (:func:`_finite_rows`) instead — the round-9
+    per-load HOF re-scan (4 predicates x d elements x n rows, three
+    times per broadcast-KNN plan) cost the vector family ~35 % at bench
+    sf0.1, while `np.isfinite(mat).all(axis=1)` is free next to the
+    matmul."""
     return (
         load(spark, sf_dir, "embeddings")
         .filter(finite_vec("embedding"))
         .select("vec_id", "embedding")
     )
+
+
+def _raw_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unfiltered (vec_id, embedding) load for the numpy kernels, which
+    enforce the finite-vector convention row-wise via :func:`_finite_rows`."""
+    return load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+
+def _finite_rows(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids int64[n], float64[n,d]) of the FINITE rows of an
+    embeddings pandas batch — the numpy twin of ``finite_vec``.
+
+    Arrow renders a NULL vector as None and a NULL float component as
+    NaN (verified: pa.list_(float32).to_pandas), so the None guard plus
+    ``np.isfinite`` reproduces the JVM/oracle predicate exactly.  The
+    returned matrix is NOT normalized (callers decide)."""
+    emb = pdf["embedding"].to_numpy()
+    if len(emb) == 0:
+        return np.empty(0, np.int64), np.zeros((0, 1))
+    present = np.fromiter((e is not None for e in emb), bool, len(emb))
+    ids = pdf["vec_id"].to_numpy()[present]
+    emb = emb[present]
+    if len(emb) == 0:
+        return np.empty(0, np.int64), np.zeros((0, 1))
+    # object→float64 astype maps a stray None to NaN on the non-Arrow
+    # (plain toPandas) path too, so both entrances land on the same check
+    mat = np.vstack(emb).astype(np.float64, copy=False)
+    keep = np.isfinite(mat).all(axis=1)
+    return ids[keep].astype(np.int64), mat[keep]
 
 SIM_DECIMALS = 6
 
@@ -76,12 +114,12 @@ def _normalized(mat: np.ndarray) -> np.ndarray:
 def embedding_matrix(spark: SparkSession, sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     """(vec_ids int64[n], L2-normalized float64[n,d]) — the broadcast-side
     matrix for the SMALL-reference strategy only; the blocked strategy
-    never calls this (no full-table driver collect at scale)."""
-    pdf = _load_vecs(spark, sf_dir).toPandas()
-    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-    if len(pdf) == 0:  # np.vstack of nothing throws; 0×1 keeps callers 2-D
+    never calls this (no full-table driver collect at scale).  Finiteness
+    is enforced numpy-side (one pass, free next to the matmul) instead of
+    a JVM HOF re-scan of the parquet."""
+    ids, mat = _finite_rows(_raw_vecs(spark, sf_dir).toPandas())
+    if len(ids) == 0:  # 0×1 keeps callers 2-D
         return ids, np.zeros((0, 1))
-    mat = np.vstack(pdf["embedding"].to_numpy())
     return ids, _normalized(mat)
 
 
@@ -203,12 +241,13 @@ def _chunk_topk(
     return tuple(np.concatenate(cols) for cols in zip(*outs))  # type: ignore[return-value]
 
 
-def _pick_strategy(
-    strategy: str, reference: DataFrame, spark: SparkSession
-) -> str:
+def _pick_strategy(strategy: str, raw_reference: DataFrame) -> str:
     if strategy == "auto":
-        # parquet count is metadata-only (rowgroup footers), cheap even at scale
-        return "broadcast" if reference.count() <= BROADCAST_MAX_ROWS else "blocked"
+        # RAW parquet count is metadata-only (rowgroup footers), cheap even
+        # at scale.  The pre-filter count is a conservative stand-in for
+        # the post-finiteness count (raw >= finite), so "auto" never
+        # broadcasts a side the threshold would have rejected.
+        return "broadcast" if raw_reference.count() <= BROADCAST_MAX_ROWS else "blocked"
     if strategy not in ("broadcast", "blocked"):
         raise ValueError(f"unknown similarity strategy {strategy!r}")
     return strategy
@@ -237,10 +276,10 @@ def _knn_broadcast(
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         all_ids, all_mat = bc.value
         for pdf in batches:
-            if pdf.empty:
+            cids, cmat = _finite_rows(pdf)
+            if len(cids) == 0:
                 continue
-            cids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            cmat = _normalized(np.vstack(pdf["embedding"].to_numpy()))
+            cmat = _normalized(cmat)
             q, nb, sim, rank = _chunk_topk(cids, cmat, all_ids, all_mat, k)
             yield pd.DataFrame(
                 {"q_vec_id": q, "neighbor_id": nb, "sim": sim,
@@ -252,17 +291,16 @@ def _knn_broadcast(
 
 
 def _pair_topk_pdf(q_pdf: pd.DataFrame, r_pdf: pd.DataFrame, k: int) -> pd.DataFrame:
-    """Shared cogroup kernel: per-query top-k of q_pdf against r_pdf."""
+    """Shared cogroup kernel: per-query top-k of q_pdf against r_pdf.
+    Finiteness enforced numpy-side on BOTH sides (see _finite_rows)."""
     cols = ["q_vec_id", "neighbor_id", "sim"]
-    if q_pdf.empty or r_pdf.empty:
+    qids, qmat = _finite_rows(q_pdf) if not q_pdf.empty else (np.empty(0, np.int64), np.zeros((0, 1)))
+    rids, rmat = _finite_rows(r_pdf) if not r_pdf.empty else (np.empty(0, np.int64), np.zeros((0, 1)))
+    if len(qids) == 0 or len(rids) == 0:
         return pd.DataFrame(columns=cols).astype(
             {"q_vec_id": "int64", "neighbor_id": "int64", "sim": "float64"}
         )
-    qids = q_pdf["vec_id"].to_numpy(dtype=np.int64)
-    qmat = _normalized(np.vstack(q_pdf["embedding"].to_numpy()))
-    rids = r_pdf["vec_id"].to_numpy(dtype=np.int64)
-    rmat = _normalized(np.vstack(r_pdf["embedding"].to_numpy()))
-    q, nb, sim, _ = _chunk_topk(qids, qmat, rids, rmat, k)
+    q, nb, sim, _ = _chunk_topk(qids, _normalized(qmat), rids, _normalized(rmat), k)
     return pd.DataFrame({"q_vec_id": q, "neighbor_id": nb, "sim": sim})
 
 
@@ -319,7 +357,7 @@ def _knn_blocked(
 ) -> DataFrame:
     """Exact KNN without any driver-side collect: grid-blocked cogroup
     matmul top-k, then a global window re-rank."""
-    ref = _load_vecs(spark, sf_dir)
+    ref = _raw_vecs(spark, sf_dir)
 
     def per_cell(q_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
         return _pair_topk_pdf(q_pdf, r_pdf, k)
@@ -346,12 +384,13 @@ def knn_join(
     strategy: str = "auto",
     n_blocks: int = 8,
 ) -> DataFrame:
-    """K nearest neighbors for each (optionally filtered) query vector."""
-    queries = _load_vecs(spark, sf_dir)
+    """K nearest neighbors for each (optionally filtered) query vector.
+    Non-finite/NULL vectors drop inside the Arrow kernels (query AND
+    reference side), so results match the HOF-filtered plan exactly."""
+    queries = _raw_vecs(spark, sf_dir)
     if query_filter:
         queries = queries.filter(query_filter)
-    ref = _load_vecs(spark, sf_dir)
-    if _pick_strategy(strategy, ref, spark) == "broadcast":
+    if _pick_strategy(strategy, _raw_vecs(spark, sf_dir)) == "broadcast":
         return _knn_broadcast(spark, sf_dir, queries, k)
     return _knn_blocked(spark, sf_dir, queries, k, n_blocks)
 
@@ -407,18 +446,18 @@ def dedup_embedding(
     for small references; the blocked strategy computes a per-block
     min-dup-id partial and reduces with a keyed min — associative, so
     bit-identical to the broadcast answer."""
-    vecs = _load_vecs(spark, sf_dir)
-    if _pick_strategy(strategy, vecs, spark) == "broadcast":
+    vecs = _raw_vecs(spark, sf_dir)
+    if _pick_strategy(strategy, vecs) == "broadcast":
         ids, mat = embedding_matrix(spark, sf_dir)
         bc = spark.sparkContext.broadcast((ids, mat))
 
         def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             all_ids, all_mat = bc.value
             for pdf in batches:
-                if pdf.empty:
+                cids, cmat = _finite_rows(pdf)
+                if len(cids) == 0:
                     continue
-                cids = pdf["vec_id"].to_numpy(dtype=np.int64)
-                cmat = _normalized(np.vstack(pdf["embedding"].to_numpy()))
+                cmat = _normalized(cmat)
                 dup_of = _dup_of_block(cids, cmat, all_ids, all_mat, tau)
                 yield pd.DataFrame(
                     {
@@ -433,22 +472,24 @@ def dedup_embedding(
         )
 
     # fresh load → distinct lineage, avoids self-join ambiguity in cogroup
-    ref = _load_vecs(spark, sf_dir)
+    ref = _raw_vecs(spark, sf_dir)
 
     def per_cell(q_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
-        if q_pdf.empty:
+        cids, cmat = _finite_rows(q_pdf) if not q_pdf.empty else (
+            np.empty(0, np.int64), np.zeros((0, 1)))
+        if len(cids) == 0:
             return pd.DataFrame(
                 {"vec_id": pd.array([], dtype="int64"),
                  "dup_of": pd.array([], dtype="Int64")}
             )
-        cids = q_pdf["vec_id"].to_numpy(dtype=np.int64)
-        if r_pdf.empty:
+        rids, rmat = _finite_rows(r_pdf) if not r_pdf.empty else (
+            np.empty(0, np.int64), np.zeros((0, 1)))
+        if len(rids) == 0:
             dup_of: list[int | None] = [None] * len(cids)
         else:
-            cmat = _normalized(np.vstack(q_pdf["embedding"].to_numpy()))
-            rids = r_pdf["vec_id"].to_numpy(dtype=np.int64)
-            rmat = _normalized(np.vstack(r_pdf["embedding"].to_numpy()))
-            dup_of = _dup_of_block(cids, cmat, rids, rmat, tau)
+            dup_of = _dup_of_block(
+                cids, _normalized(cmat), rids, _normalized(rmat), tau
+            )
         return pd.DataFrame(
             {"vec_id": cids, "dup_of": pd.array(dup_of, dtype="Int64")}
         )
