@@ -141,12 +141,7 @@ ROUND9_PLAN = [
     "a10_orc_roundtrip", "a11_text_source",
 ]
 
-# The active driver window IS the pinned round-9 plan (rotated 2026-08-15
-# per the r8 verdict item 2: CORRECTNESS_r08 landed 50/50 green on
-# ROUND8_PLAN, so the pre-computed ROUND9_PLAN ships verbatim —
-# re-verified this round: plan(9, load_ledger(max_round=8)) equals the
-# constant, and all 50 replayed green in REPLAY_r9_window.log).
-_PRIORITY = list(ROUND9_PLAN)
+# (superseded 2026-08-16: the active window is now ROUND10_PLAN, below)
 
 # Pinned round-10 window, computed by tools/window_plan.plan(10, ledger)
 # UNDER THE ASSUMPTION that CORRECTNESS_r09 lands 50/50 green on
@@ -176,6 +171,13 @@ ROUND10_PLAN = [
     "etl7_dq_expectations", "etl8_snapshot_diff",
 ]
 
+# The active driver window IS the pinned round-10 plan (rotated
+# 2026-08-16 per the r9 verdict item 2: CORRECTNESS_r09 landed 50/50
+# green on ROUND9_PLAN, so the pre-computed ROUND10_PLAN ships verbatim
+# — re-verified this round: plan(10, load_ledger(max_round=9)) equals
+# the constant, and all 50 replayed green in REPLAY_r10_window.log).
+_PRIORITY = list(ROUND10_PLAN)
+
 # Pinned round-11 window, computed by tools/window_plan.plan(11, ledger)
 # UNDER THE ASSUMPTION that CORRECTNESS_r09 and CORRECTNESS_r10 land
 # 50/50 green on ROUND9_PLAN / ROUND10_PLAN: the maintenance rotation's
@@ -202,6 +204,35 @@ ROUND11_PLAN = [
     "d24_modern_aggs", "d26_regr_stats", "d32_weighted_median",
     "etl15_skew_report", "i13_stream_sliding_window", "i15_stream_dedup_watermarked",
     "i16_stream_outer_join", "i17_stream_session_window",
+]
+
+# Pinned round-12 window, computed by tools/window_plan.plan(12, ledger)
+# UNDER THE ASSUMPTION that CORRECTNESS_r10 and CORRECTNESS_r11 land
+# 50/50 green on ROUND10_PLAN / ROUND11_PLAN: the maintenance rotation's
+# next tranche of oldest-green re-checks (the remaining r5 names, then
+# the r6-era sources/sinks tier).  If any r10 or r11 name lands red,
+# REGENERATE with `python tools/window_plan.py --round 12` — reds
+# outrank re-checks.  All 50 pre-validated through the Arrow
+# driver-fetch replay in round 10 (tools/driver_fetch_replay.py; log in
+# REPLAY_r12_window.log).
+ROUND12_PLAN = [
+    "i18_stream_distinct_users", "k19_curation_pipeline", "k21_train_split",
+    "k24_quality_repetition", "k36_chunk_dedup_global", "k41_semdedup",
+    "k42_kmeans", "k43_graph_pagerank", "k56_curation_scorecard",
+    "k58_shard_manifest", "k61_pretrain_pipeline", "k63_dsir_importance",
+    "k68_bpe_merges", "k69_bpe_encode", "k71_triangle_count",
+    "k72_link_prediction", "k73_incremental_dedup", "k76_bpe_roundtrip",
+    "k78_k_anonymity", "k81_tokenizer_fertility", "k83_langid_metrics",
+    "q12_ship_delay_classes", "q25_ab_test_chi2", "q30_price_elasticity",
+    "q36_revenue_streaks", "q39_behavior_entropy", "s2_sql_cte_window",
+    "s3_sql_recursive_cte", "s4_sql_lateral_topk", "s7_sql_scripting",
+    "s8_sql_udf", "s9_sql_execute_immediate", "t10_cusum_changepoint",
+    "t19_fano_burstiness", "t1_resample_gapfill", "t5_sessionize_batch",
+    "a15_clustered_write", "a16_python_datasource", "a17_xml_source",
+    "a21_parquet_bloom_write", "a22_managed_table", "a23_glob_recursive_read",
+    "a24_fixed_width_source", "a25_jdbc_partitioned_read", "a26_csv_multiline",
+    "a27_wholefile_text", "a28_metadata_columns", "b13_gtin_convert",
+    "b16_gs1_prefix_lookup", "b17_upce_expand",
 ]
 
 # Contract rows-only trio — never eligible for a driver window (each has a

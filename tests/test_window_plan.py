@@ -45,7 +45,7 @@ def test_pinned_plans_partition_the_registry():
         f"gap: {sorted(set(QUERIES) - union)}; extra: {sorted(union - set(QUERIES))}"
     )
     assert sum(len(g) for g in groups) == len(QUERIES), "overlap between groups"
-    assert entrymod._PRIORITY == entrymod.ROUND9_PLAN  # r9 rotation shipped verbatim
+    assert entrymod._PRIORITY == entrymod.ROUND10_PLAN  # r10 rotation shipped verbatim
     assert len(entrymod.ROUND7_PLAN) == WINDOW
     assert len(entrymod.ROUND8_SPILL) == 3
     # rows-only trio is exactly the un-oracled set
@@ -81,13 +81,14 @@ def test_pinned_round9_plan_matches_planner():
 def test_pinned_round10_plan_matches_planner_under_green_r9():
     """ROUND10_PLAN is the planner's round-10 output UNDER THE ASSUMPTION
     that CORRECTNESS_r09 lands 50/50 green on ROUND9_PLAN (the shipped
-    window).  Until r9 results exist the green-r9 scenario is simulated;
-    once they land, the frozen max_round=9 ledger is used as-is.  If r9
-    lands any red, ROUND10_PLAN must be regenerated (reds outrank green
-    re-checks) and this pin updated."""
+    window).  Any ROUND9_PLAN name missing a >=9 ledger entry is padded
+    green PER-NAME (a partially recorded round previously made this
+    assertion fail confusingly instead of pointing at the stale pin);
+    a recorded r9 RED is never overwritten — it correctly breaks the
+    pin, which must then be regenerated (reds outrank re-checks)."""
     ledger = load_ledger(max_round=9)
-    if not any(rnd >= 9 for rnd, _ in ledger.values()):
-        for n in entrymod.ROUND9_PLAN:
+    for n in entrymod.ROUND9_PLAN:
+        if n not in ledger or ledger[n][0] < 9:
             ledger[n] = (9, True)
     assert plan(10, ledger) == entrymod.ROUND10_PLAN
     assert len(set(entrymod.ROUND10_PLAN)) == WINDOW
@@ -97,20 +98,40 @@ def test_pinned_round10_plan_matches_planner_under_green_r9():
 def test_pinned_round11_plan_matches_planner_under_green_r9_r10():
     """ROUND11_PLAN is the planner's round-11 output UNDER THE ASSUMPTION
     that CORRECTNESS_r09 and CORRECTNESS_r10 land 50/50 green on the
-    shipped ROUND9_PLAN / ROUND10_PLAN.  Missing future rounds are
-    simulated green; once real results land, the frozen max_round=10
-    ledger is used as-is.  Any red in r9/r10 outranks re-checks —
-    regenerate the pin then."""
+    shipped ROUND9_PLAN / ROUND10_PLAN.  Missing future results are
+    padded green PER-NAME (any plan name without a >=9 / >=10 entry),
+    so a partially recorded round can't make this fail confusingly; a
+    recorded red is never overwritten — it correctly breaks the pin,
+    which must then be regenerated (reds outrank re-checks)."""
     ledger = load_ledger(max_round=10)
-    if not any(rnd >= 9 for rnd, _ in ledger.values()):
-        for n in entrymod.ROUND9_PLAN:
+    for n in entrymod.ROUND9_PLAN:
+        if n not in ledger or ledger[n][0] < 9:
             ledger[n] = (9, True)
-    if not any(rnd >= 10 for rnd, _ in ledger.values()):
-        for n in entrymod.ROUND10_PLAN:
+    for n in entrymod.ROUND10_PLAN:
+        if n not in ledger or ledger[n][0] < 10:
             ledger[n] = (10, True)
     assert plan(11, ledger) == entrymod.ROUND11_PLAN
     assert len(set(entrymod.ROUND11_PLAN)) == WINDOW
     assert all(n in ORACLES for n in entrymod.ROUND11_PLAN)
+
+
+def test_pinned_round12_plan_matches_planner_under_green_r10_r11():
+    """ROUND12_PLAN is the planner's round-12 output UNDER THE ASSUMPTION
+    that CORRECTNESS_r10 and CORRECTNESS_r11 land 50/50 green on the
+    shipped ROUND10_PLAN / ROUND11_PLAN.  Missing future results are
+    padded green PER-NAME (any plan name without a >=10 / >=11 entry);
+    a recorded red is never overwritten — it correctly breaks the pin,
+    which must then be regenerated (reds outrank re-checks)."""
+    ledger = load_ledger(max_round=11)
+    for n in entrymod.ROUND10_PLAN:
+        if n not in ledger or ledger[n][0] < 10:
+            ledger[n] = (10, True)
+    for n in entrymod.ROUND11_PLAN:
+        if n not in ledger or ledger[n][0] < 11:
+            ledger[n] = (11, True)
+    assert plan(12, ledger) == entrymod.ROUND12_PLAN
+    assert len(set(entrymod.ROUND12_PLAN)) == WINDOW
+    assert all(n in ORACLES for n in entrymod.ROUND12_PLAN)
 
 
 def test_planner_round8_shape():

@@ -44,13 +44,18 @@ def measured_in_scaling_md() -> set[str]:
     return names
 
 
-def time_one(spark, name: str, sf_dir: str, reps: int) -> tuple[float, int]:
-    best, rows = float("inf"), 0
+def time_one(spark, name: str, sf_dir: str, reps: int) -> tuple[float, int, list[float]]:
+    """(best wall, rows, per-rep walls).  For entries with a one-time
+    idempotent fixture build (a25's embedded-Derby load), rep 1 pays the
+    build and later reps measure the operator alone — so `best` is the
+    operator-only number and reps[0] - best approximates the build."""
+    walls: list[float] = []
+    rows = 0
     for _ in range(reps):
         t0 = time.time()
         rows = QUERIES[name](spark, sf_dir).count()
-        best = min(best, time.time() - t0)
-    return best, rows
+        walls.append(time.time() - t0)
+    return min(walls), rows, walls
 
 
 def main() -> int:
@@ -90,8 +95,8 @@ def main() -> int:
           f"reps={args.reps} gate<={args.gate}x", flush=True)
     for i, name in enumerate(names, 1):
         try:
-            t_base, r_base = time_one(spark, name, args.base, args.reps)
-            t_scaled, r_scaled = time_one(spark, name, args.scaled, args.reps)
+            t_base, r_base, w_base = time_one(spark, name, args.base, args.reps)
+            t_scaled, r_scaled, w_scaled = time_one(spark, name, args.scaled, args.reps)
         except Exception as exc:  # noqa: BLE001 — record and keep sweeping
             msg = str(exc).splitlines()[0][:200]
             errors.append((name, msg))
@@ -104,7 +109,9 @@ def main() -> int:
         ratio = t_scaled / t_base if t_base > 0 else float("inf")
         rec = {"name": name, "base_sec": round(t_base, 3),
                "scaled_sec": round(t_scaled, 3), "ratio": round(ratio, 2),
-               "rows_base": r_base, "rows_scaled": r_scaled}
+               "rows_base": r_base, "rows_scaled": r_scaled,
+               "reps_base_sec": [round(w, 3) for w in w_base],
+               "reps_scaled_sec": [round(w, 3) for w in w_scaled]}
         if out:
             out.write(json.dumps(rec) + "\n")
             out.flush()

@@ -56,7 +56,12 @@ def synth_raw_upc(key: Column | str) -> Column:
     32-bit constant overflows int64 — an ANSI ARITHMETIC_OVERFLOW on
     Spark, a BIGINT error on DuckDB.  1e6 * 2654435761 ~ 2.7e15 stays
     comfortably inside, and a million distinct synthetic UPCs is ample
-    spread for fixture synthesis."""
+    spread for fixture synthesis.
+
+    Collision caveat (engine-identical, so never a parity issue): keys
+    congruent mod 1000003 synthesize the SAME UPC, so any dedup/upsert
+    keyed on the synthetic UPC (etl_load_upcs) changes cardinality once
+    a fixture carries >= 1000003 distinct part keys (~sf>=10)."""
     k = F.col(key) if isinstance(key, str) else key
     d = F.lpad(
         ((k % 1000003) * 2654435761 % 1000000000000).cast("string"), 12, "0"

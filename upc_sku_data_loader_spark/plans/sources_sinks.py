@@ -429,6 +429,10 @@ def etl_load_upcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The worklist is messy on purpose: synth_raw_upc emits 'dddd-dddddddd'
     strings (dash stripped by B9 normalize) and every UPC appears twice
     (overlapping pages — G4 dedup collapses them).
+
+    Cardinality caveat (engine-identical; functions/upc.py): keys
+    congruent mod 1000003 synthesize the same UPC, so at >= 1000003
+    distinct part keys (~sf>=10) the dedup/upsert collapses extra rows.
     """
     from ..functions.upc import synth_raw_upc
     from ..pipelines.etl import load_upcs
@@ -927,9 +931,14 @@ def a15_clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     -- IS NULL OR: a NULL-priority row lives in Spark's
     -- __HIVE_DEFAULT_PARTITION__, which the delta never touches; bare
-    -- NOT IN would three-valued-logic it out of existence (--nulls)
+    -- NOT IN would three-valued-logic it out of existence (--nulls).
+    -- The subquery-side IS NOT NULL makes the NOT IN NULL-proof BY
+    -- CONSTRUCTION: today delta's IN-list filter can't admit a NULL
+    -- priority, but if that predicate is ever loosened, one NULL in the
+    -- subquery would silently empty this whole branch (r9 advice).
     WHERE o_orderpriority IS NULL
-       OR o_orderpriority NOT IN (SELECT DISTINCT o_orderpriority FROM delta)
+       OR o_orderpriority NOT IN (SELECT DISTINCT o_orderpriority FROM delta
+                                  WHERE o_orderpriority IS NOT NULL)
     UNION ALL
     SELECT o_orderkey, o_orderpriority, o_totalprice, batch_id FROM delta
     """,
@@ -2198,18 +2207,41 @@ def a25_jdbc_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     url = f"jdbc:derby:{db};create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     src = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    # Adaptive insert parallelism: embedded Derby's per-connection insert
-    # throughput (~16k rows/s) floors the fixture load at scale and
-    # scales with writers (10× replica, 1.5M rows: 2 conns 47 s → 8
-    # conns 26 s; 16/32 no better), but extra connections are pure
-    # overhead on small loads (sf0.1, 150k rows: 8 conns 4.7 s vs 2
-    # conns 2.1 s) — so one writer per ~200k rows, clamped to [2, 8].
-    # The row count is a parquet metadata lookup, not a scan.  The
-    # operator under test is the partitioned READ below (3.3 s at 10×).
-    n_writers = max(2, min(8, int(src.count()) // 200_000 + 1))
-    src.coalesce(n_writers).write.mode("overwrite").format("jdbc").option(
-        "url", url
-    ).option("dbtable", "ORDERS_LOAD").options(**props).save()
+    n_src = int(src.count())  # parquet metadata lookup, not a scan
+
+    # IDEMPOTENT fixture load: the Derby table is a pure function of
+    # (sf_dir, orders), so if it already holds exactly n_src rows the
+    # single-process embedded-Derby REBUILD is skipped.  This keeps
+    # repeated invocations (scale-sweep reps, pytest) timing the
+    # operator under test — the partitioned READ — instead of the
+    # fixture write, which at the 10× replica dominated the sweep row
+    # 20.5:1 (r9 verdict: "split a25's sweep timing").  A partial load
+    # from a crashed writer can't match the full count, so it rebuilds.
+    def _loaded_rows() -> int:
+        try:
+            return int(
+                spark.read.format("jdbc")
+                .option("url", url)
+                .option("query", "SELECT COUNT(*) AS N FROM ORDERS_LOAD")
+                .options(**props)
+                .load()
+                .first()["N"]
+            )
+        except Exception:  # noqa: BLE001 — table absent on first build
+            return -1
+
+    if _loaded_rows() != n_src:
+        # Adaptive insert parallelism: embedded Derby's per-connection
+        # insert throughput (~16k rows/s) floors the fixture load at
+        # scale and scales with writers (10× replica, 1.5M rows: 2
+        # conns 47 s → 8 conns 26 s; 16/32 no better), but extra
+        # connections are pure overhead on small loads (sf0.1, 150k
+        # rows: 8 conns 4.7 s vs 2 conns 2.1 s) — so one writer per
+        # ~200k rows, clamped to [2, 8].
+        n_writers = max(2, min(8, n_src // 200_000 + 1))
+        src.coalesce(n_writers).write.mode("overwrite").format("jdbc").option(
+            "url", url
+        ).option("dbtable", "ORDERS_LOAD").options(**props).save()
     bounds = src.agg(
         F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
     ).first()

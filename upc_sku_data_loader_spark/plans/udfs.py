@@ -113,7 +113,8 @@ def j2_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT k.c_nationkey, t.trimmed_mean_bal
     FROM (SELECT DISTINCT c_nationkey FROM customer) k
-    LEFT JOIN trimmed t USING (c_nationkey)
+    LEFT JOIN trimmed t
+      ON k.c_nationkey IS NOT DISTINCT FROM t.c_nationkey
     """,
 )
 def j3_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
