@@ -26,6 +26,8 @@ Usage:
     python tools/degenerate_sweep.py --empty [...]    # ZERO-ROW tables
     python tools/degenerate_sweep.py --extreme [...]  # non-finite / multibyte / int64-edge
     python tools/degenerate_sweep.py --nulls [...]    # NULLs in every nullable column
+    python tools/degenerate_sweep.py --megadoc [...]  # megabyte-scale single docs
+    python tools/degenerate_sweep.py --nfd [...]      # NFC/NFD normalization twins
 
 --empty swaps the fixture for schema-correct zero-row tables: the
 shapes that break driver-side seed collects (first() on nothing),
@@ -438,6 +440,114 @@ def build_nulls(out: Path) -> str:
     return str(out)
 
 
+def build_megadoc(out: Path) -> str:
+    """Fifth-mode fixture: MEGABYTE-SCALE single documents (the r9
+    SCALING.md unswept dimension — per-row memory, not value semantics).
+
+    Every non-documents table reuses build()'s small shapes; documents
+    swaps in the per-row memory stressors a 100 TB crawl actually
+    contains:
+    - a ~2 MiB natural-ish document (sentence loop with a drifting
+      counter so gram sets are large but not degenerate),
+    - an EXACT duplicate of it (dedup ops must cluster two multi-MiB
+      payloads without materializing the pair cross product),
+    - a ~1 MiB single-token document with NO whitespace (tokenizers,
+      BPE merges, word-based quality ratios all see one giant token),
+    - a ~1 MiB document that is ONE boilerplate line repeated (the
+      k24/k44 repetition/dup-gram worst case: maximal duplicate-gram
+      density at minimal vocabulary),
+    - a ~1 MiB multibyte (CJK) document (byte length ~3x codepoint
+      length — probes byte-vs-char buffer assumptions),
+    - two ordinary small docs so per-language/per-source groups keep
+      realistic shapes.
+    The sweep's question is NOT value parity alone but whether the
+    gram/token exploders (k18/k24/k44, chunkers, fingerprints) survive
+    per-row blowup: a 2 MiB doc is ~2M character 5-grams — the
+    per-task working set must stay bounded by Arrow batching, never by
+    whole-document cross products."""
+    out.mkdir(parents=True, exist_ok=True)
+    build(out)  # small shapes for every other table
+    sent = ("the quick brown fox jumps over the lazy dog while %d "
+            "analysts watch the warehouse burn down quietly. ")
+    big = "".join(sent % i for i in range(9000))            # ~2.0 MiB
+    one_token = "x" * (1 << 20)                             # 1 MiB, no whitespace
+    boiler = ("subscribe to our newsletter for updates\n" * 26000)  # ~1 MiB
+    cjk = "大規模な言語モデルの学習データを整備する。" * 50000     # ~1M chars, ~3 MiB utf-8
+    docs = [
+        (1, big, "en", "web"),
+        (2, big, "en", "web"),            # exact MiB-scale dup pair
+        (3, one_token, "en", "synth"),
+        (4, boiler, "en", "web"),
+        (5, cjk, "ja", "web"),
+        (6, "a small ordinary document about parts and orders", "en", "web"),
+        (7, "another small document mentioning suppliers", "en", "synth"),
+    ]
+    pq.write_table(
+        pa.table(
+            {"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs],
+             "lang": [d[2] for d in docs], "source": [d[3] for d in docs],
+             "n_chars": [len(d[1]) for d in docs]},
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("text", pa.string()),
+                 ("lang", pa.string()), ("source", pa.string()),
+                 ("n_chars", pa.int64())]
+            ),
+        ),
+        f"{out}/documents.parquet",
+    )
+    return str(out)
+
+
+def build_nfd(out: Path) -> str:
+    """Sixth-mode fixture: Unicode NORMALIZATION-FORM twins (the r9
+    SCALING.md probe).  The same VISIBLE text appears twice — once NFC
+    (precomposed, e.g. U+00E9) and once NFD (decomposed, e.g. e +
+    U+0301) — as distinct doc_ids.
+
+    Ground truth both engines share today: neither Spark nor DuckDB
+    normalizes, so the twins are DIFFERENT strings everywhere (hash,
+    group, dedup, length: len(NFD) > len(NFC)) and the sweep must PASS
+    — consistency, not unification.  The documented divergence point
+    (tests/test_unicode_norm.py): any future NORMALIZING tokenizer or
+    fingerprint (NFC/NFKC fold before hashing) would merge exactly
+    these twin pairs and break engine parity unless BOTH sides
+    normalize identically.  A visible-dup pair of non-twin docs keeps
+    dedup ops non-trivial."""
+    out.mkdir(parents=True, exist_ok=True)
+    build(out)
+    import unicodedata as ud
+
+    visible = [
+        "café résumé naïve déjà vu",             # Latin + combining accents
+        "el niño señor año peña",                # Spanish ñ
+        "Viêt Nam tiếng Việt điển hình",         # stacked Vietnamese diacritics
+        "각 한국어 조합형",                      # Hangul jamo composition
+    ]
+    docs = []
+    did = 1
+    for text in visible:
+        nfc, nfd = ud.normalize("NFC", text), ud.normalize("NFD", text)
+        assert nfc != nfd, f"twin collapsed: {text!r}"
+        docs.append((did, nfc, "xx", "nfc")); did += 1
+        docs.append((did, nfd, "xx", "nfd")); did += 1
+    docs.append((did, "identical ascii duplicate line", "en", "web")); did += 1
+    docs.append((did, "identical ascii duplicate line", "en", "web")); did += 1
+    pq.write_table(
+        pa.table(
+            {"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs],
+             "lang": [d[2] for d in docs], "source": [d[3] for d in docs],
+             "n_chars": [len(d[1]) for d in docs]},
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("text", pa.string()),
+                 ("lang", pa.string()), ("source", pa.string()),
+                 ("n_chars", pa.int64())]
+            ),
+        ),
+        f"{out}/documents.parquet",
+    )
+    return str(out)
+
+
 def build_empty(out: Path) -> str:
     """Zero-row variants of every table, exact fixture schemas."""
     out.mkdir(parents=True, exist_ok=True)
@@ -450,17 +560,19 @@ def build_empty(out: Path) -> str:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a not in ("--empty", "--extreme", "--nulls")]
-    empty = "--empty" in sys.argv[1:]
-    extreme = "--extreme" in sys.argv[1:]
-    nulls = "--nulls" in sys.argv[1:]
+    flags = ("--empty", "--extreme", "--nulls", "--megadoc", "--nfd")
+    args = [a for a in sys.argv[1:] if a not in flags]
     names = args or list(QUERIES)
-    if empty:
+    if "--empty" in sys.argv[1:]:
         sf_dir = build_empty(REPO / ".scratch" / "degenerate_empty")
-    elif extreme:
+    elif "--extreme" in sys.argv[1:]:
         sf_dir = build_extreme(REPO / ".scratch" / "degenerate_extreme")
-    elif nulls:
+    elif "--nulls" in sys.argv[1:]:
         sf_dir = build_nulls(REPO / ".scratch" / "degenerate_nulls")
+    elif "--megadoc" in sys.argv[1:]:
+        sf_dir = build_megadoc(REPO / ".scratch" / "degenerate_megadoc")
+    elif "--nfd" in sys.argv[1:]:
+        sf_dir = build_nfd(REPO / ".scratch" / "degenerate_nfd")
     else:
         sf_dir = build(REPO / ".scratch" / "degenerate")
     spark = get_spark(app_name="degenerate_sweep")

@@ -2,7 +2,7 @@
 fixture — the debugging companion to tools/degenerate_sweep.py.
 
 Usage:
-    python tools/nulls_debug.py [--mode=nulls|degenerate|extreme] name [name...]
+    python tools/nulls_debug.py [--mode=nulls|degenerate|extreme|megadoc|nfd] name [name...]
     python tools/nulls_debug.py --mode=fuzz:SEED name [name...]
 """
 
@@ -18,7 +18,9 @@ from upc_sku_data_loader_spark import plans  # noqa: F401,E402
 from upc_sku_data_loader_spark.registry import QUERIES, ORACLES  # noqa: E402
 from upc_sku_data_loader_spark.session import get_spark  # noqa: E402
 from tools.parity import canon_rows, duck_connect  # noqa: E402
-from tools.degenerate_sweep import build, build_extreme, build_nulls  # noqa: E402
+from tools.degenerate_sweep import (  # noqa: E402
+    build, build_extreme, build_megadoc, build_nfd, build_nulls,
+)
 
 
 def main() -> int:
@@ -37,6 +39,8 @@ def main() -> int:
             "nulls": build_nulls,
             "degenerate": build,
             "extreme": build_extreme,
+            "megadoc": build_megadoc,
+            "nfd": build_nfd,
         }[mode]
         sf_dir = builder(REPO / ".scratch" / f"degenerate_{mode}"
                          if mode != "degenerate" else REPO / ".scratch" / "degenerate")

@@ -218,21 +218,32 @@ _STRIDE = 24
 @query(
     "k25_doc_chunking",
     oracle=f"""
+    -- per-token chunk-membership enumeration (each token belongs to at
+    -- most ceil(CHUNK/STRIDE) = 2 overlapping chunks), then group by
+    -- (doc, chunk): the chunk-start lateral replicated the token list
+    -- per chunk row — O(n^2/STRIDE) bytes on megabyte docs (r10 sweep)
     WITH d AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents
     ),
-    s AS (
-      SELECT doc_id, ws,
-             unnest(range(0, len(ws), {_STRIDE})) AS start
+    tok AS (
+      SELECT doc_id, UNNEST(ws) AS w,
+             UNNEST(generate_series(0, len(ws) - 1)) AS p
       FROM d
+    ),
+    mem AS (
+      SELECT doc_id, w, p,
+             UNNEST(generate_series(
+               greatest(CAST(ceil((p - {_CHUNK - 1}) / {_STRIDE}.0) AS BIGINT),
+                        0),
+               p // {_STRIDE})) AS chunk_idx
+      FROM tok
     )
     SELECT doc_id,
-           CAST(start / {_STRIDE} AS BIGINT) AS chunk_idx,
-           least(len(ws) - start, {_CHUNK}) AS n_tokens,
-           array_to_string(
-             list_slice(ws, start + 1, least(start + {_CHUNK}, len(ws))), ' ')
-             AS chunk_text
-    FROM s
+           chunk_idx,
+           COUNT(*) AS n_tokens,
+           string_agg(w, ' ' ORDER BY p) AS chunk_text
+    FROM mem
+    GROUP BY doc_id, chunk_idx
     """,
 )
 def k25_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,16 +535,16 @@ _SPAN = 2  # words per span: 181/500 fixture docs contain a duplicate 2-span
 @query(
     "k30_dedup_spans",
     oracle=f"""
+    -- token-position zip + group by span index: the span-offset lateral
+    -- replicated the token list per span row — O(n^2/SPAN) bytes on
+    -- megabyte docs (r10 --megadoc sweep)
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-    s AS (SELECT doc_id, ws,
-                 unnest(range(0, (len(ws) + {_SPAN} - 1) // {_SPAN})) AS pos
-          FROM d),
-    sp AS (SELECT doc_id, pos,
-                  array_to_string(
-                    list_slice(ws, pos * {_SPAN} + 1,
-                               least(pos * {_SPAN} + {_SPAN}, len(ws))), ' ')
-                    AS span
-           FROM s),
+    tok AS (SELECT doc_id, UNNEST(ws) AS w,
+                   UNNEST(generate_series(0, len(ws) - 1)) AS p
+            FROM d),
+    sp AS (SELECT doc_id, p // {_SPAN} AS pos,
+                  string_agg(w, ' ' ORDER BY p) AS span
+           FROM tok GROUP BY doc_id, p // {_SPAN}),
     k AS (SELECT doc_id, pos, span,
                  ROW_NUMBER() OVER (PARTITION BY doc_id, span ORDER BY pos) AS rn
           FROM sp)
@@ -690,11 +701,19 @@ def k31_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(string_split(text, ' ')) AS n
       FROM documents
     ),
+    -- zipped UNNESTs over SHIFTED-COPY gram lists: both the lateral
+    -- (FROM d, UNNEST(generate_series...) + list_slice per row) and a
+    -- list_slice-inside-list_transform are O(n) PER GRAM in DuckDB —
+    -- quadratic on a megabyte-scale document (--megadoc sweep finding,
+    -- r10: the oracle alone ran >240 s on a 153k-token doc; measured
+    -- 10k/20k/40k tokens -> 2.9/11.4/41.8 s).  list_zip of ng shifted
+    -- slices costs ng O(n) slices ONCE per doc; 160k tokens -> 0.03 s.
     g2 AS (
-      SELECT doc_id, i,
-             array_to_string(list_slice(t, i, i + 1), ' ') AS gram
-      FROM d, UNNEST(generate_series(1, n - 1)) AS s(i)
-      WHERE n >= 2
+      SELECT doc_id,
+             UNNEST(generate_series(1, n - 1)) AS i,
+             UNNEST(list_transform(list_zip(t[1:n-1], t[2:n]),
+                    s -> concat(s[1], ' ', s[2]))) AS gram
+      FROM d WHERE n >= 2
     ),
     dup2 AS (
       SELECT doc_id, i FROM (
@@ -707,10 +726,13 @@ def k31_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id
     ),
     g5 AS (
-      SELECT doc_id, i,
-             array_to_string(list_slice(t, i, i + 4), ' ') AS gram
-      FROM d, UNNEST(generate_series(1, n - 4)) AS s(i)
-      WHERE n >= 5
+      SELECT doc_id,
+             UNNEST(generate_series(1, n - 4)) AS i,
+             UNNEST(list_transform(
+                    list_zip(t[1:n-4], t[2:n-3], t[3:n-2], t[4:n-1], t[5:n]),
+                    s -> concat(s[1], ' ', s[2], ' ', s[3], ' ', s[4], ' ', s[5])))
+               AS gram
+      FROM d WHERE n >= 5
     ),
     dup5 AS (
       SELECT doc_id, i FROM (
@@ -826,11 +848,15 @@ def k44_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
              substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_eval
       FROM documents
     ),
+    -- one-pass 5-gram list via zip of shifted slices (the lateral
+    -- list_slice form is O(n^2) on megabyte docs; r10 megadoc sweep)
     g AS (
-      SELECT doc_id, is_eval, i,
-             array_to_string(list_slice(t, i, i + 4), ' ') AS gram
-      FROM d, UNNEST(generate_series(1, n - 4)) AS s(i)
-      WHERE n >= 5
+      SELECT doc_id, is_eval,
+             UNNEST(list_transform(
+                    list_zip(t[1:n-4], t[2:n-3], t[3:n-2], t[4:n-1], t[5:n]),
+                    s -> concat(s[1], ' ', s[2], ' ', s[3], ' ', s[4], ' ', s[5])))
+               AS gram
+      FROM d WHERE n >= 5
     ),
     ev AS (SELECT DISTINCT gram FROM g WHERE is_eval),
     m AS (

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import weakref
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -740,14 +742,27 @@ def _unpersist_with(owner: DataFrame, *cached: DataFrame) -> None:
 @query(
     "k18_ngram_jaccard",
     oracle="""
-    WITH g AS (
-      SELECT doc_id, n_chars,
-             list_distinct(list_transform(
-               generate_series(1, greatest(length(text) - 9, 1)),
-               i -> substring(text, i, 10)
-             )) AS grams
+    WITH s0 AS (
+      -- per-codepoint split ONCE, grams as a 10-way shifted zip:
+      -- substring(text, i, 10) is O(i) on multibyte-aware VARCHAR, so
+      -- the per-offset lambda was O(n^2) — >240 s on a 2 MiB document
+      -- (r10 --megadoc sweep); the zip shape is linear (2M chars
+      -- 1.55 s).  Short texts (< 10 cp) keep the original substring
+      -- form: the zip's negative slice bounds would wrap from the end.
+      SELECT doc_id, n_chars, text, length(text) AS n,
+             string_split(text, '') AS c
       FROM documents
       WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN n >= 10 THEN list_distinct(list_transform(
+               list_zip(c[1:n-9], c[2:n-8], c[3:n-7], c[4:n-6], c[5:n-5],
+                        c[6:n-4], c[7:n-3], c[8:n-2], c[9:n-1], c[10:n]),
+               s -> concat(s[1], s[2], s[3], s[4], s[5],
+                           s[6], s[7], s[8], s[9], s[10])))
+             ELSE [substring(text, 1, 10)] END AS grams
+      FROM s0
     )
     SELECT a.doc_id AS a, b.doc_id AS b,
            ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
@@ -838,20 +853,49 @@ def _k18_build(
     # every contentless doc into one jaccard-1.0 clique)
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     n, t = 10, 0.7
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length("text") - (n - 1), F.lit(1))),
-            lambda i: F.col("text").substr(i, F.lit(n)),
-        )
-    )
-    # hashed grams EVERYWHERE past extraction: 8-byte keys/arrays instead
-    # of 10-char strings, for both the shuffle and the verify intersect
-    # (64-bit collisions are negligible vs the 6-dp jaccard contract)
-    docs = d.select(
-        "doc_id",
-        "n_chars",
-        F.transform(grams, lambda s: F.xxhash64(s)).alias("grams"),
-    )
+
+    # Gram extraction + hashing in ONE Arrow-batched pandas UDF: the
+    # previous JVM form — transform(sequence(...), i -> substr(text, i,
+    # 10)) then transform(grams, xxhash64) — is quadratic on megabyte
+    # documents (substr's UTF8 codepoint seek is O(i) per gram, and a
+    # higher-order-function lambda over a millions-element array pays
+    # interpreted per-element overhead that measured >400 s/doc on the
+    # r10 --megadoc sweep vs ~3 s here).  Python slices by codepoint —
+    # identical gram semantics to the oracle's per-codepoint split —
+    # and dict.fromkeys preserves first-occurrence order, matching
+    # array_distinct, so the tier-0 exact-cluster key is unchanged in
+    # structure.  Hashes are engine-internal (the oracle compares raw
+    # grams); blake2b-64 replaces xxhash64 with the same negligible
+    # 64-bit collision class.  At 100 TB, cap Arrow batch bytes
+    # (spark.sql.execution.arrow.maxRecordsPerBatch) so a batch of
+    # megabyte documents stays executor-resident.
+    @F.pandas_udf("array<long>")
+    def _gram_hashes(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        def h(s: str) -> int:
+            return (
+                int.from_bytes(
+                    hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+                )
+                - 2**63
+            )
+
+        def g(text):
+            if text is None:
+                return None
+            if len(text) < n:  # substr(1, n) of a short text is the text
+                return [h(text)]
+            return [
+                h(s)
+                for s in dict.fromkeys(
+                    text[i : i + n] for i in range(len(text) - n + 1)
+                )
+            ]
+
+        return texts.map(g)
+
+    docs = d.select("doc_id", "n_chars", _gram_hashes("text").alias("grams"))
     # tier 0: cluster exact (grams, n_chars) duplicates; rep = min doc_id.
     # persist(): the clustered relation fans out to six DAG branches
     # (inverted index, df stats, both join sides, both verify sides) and
@@ -1667,10 +1711,12 @@ _PMI_MIN_COUNT = 20
              len(string_split(text, ' ')) AS n
       FROM documents
     ),
+    -- zipped UNNESTs of two shifted slices (each O(n) once per doc):
+    -- the lateral t[i]/t[i+1] form replicates the token list per row,
+    -- O(n^2) bytes on megabyte docs (--megadoc sweep finding, r10)
     bg AS (
-      SELECT t[i] AS w1, t[i + 1] AS w2
-      FROM d, UNNEST(generate_series(1, n - 1)) AS s(i)
-      WHERE n >= 2
+      SELECT UNNEST(t[1:n-1]) AS w1, UNNEST(t[2:n]) AS w2
+      FROM d WHERE n >= 2
     ),
     big AS (
       SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY w1, w2
@@ -1844,11 +1890,16 @@ _CONT_DF_CAP = 64  # drop boilerplate grams appearing in > this many docs
              len(string_split(text, ' ')) AS n
       FROM documents
     ),
+    -- one-pass 8-gram list via 8-way zip of shifted slices: the
+    -- lateral list_slice form is O(n^2) on megabyte docs (r10 sweep)
     g AS (
-      SELECT DISTINCT doc_id,
-             array_to_string(list_slice(t, i, i + {_CONT_N - 1}), ' ') AS gram
-      FROM d, UNNEST(generate_series(1, n - {_CONT_N - 1})) AS s(i)
-      WHERE n >= {_CONT_N}
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               list_zip(t[1:n-7], t[2:n-6], t[3:n-5], t[4:n-4],
+                        t[5:n-3], t[6:n-2], t[7:n-1], t[8:n]),
+               s -> concat(s[1], ' ', s[2], ' ', s[3], ' ', s[4], ' ',
+                           s[5], ' ', s[6], ' ', s[7], ' ', s[8])))) AS gram
+      FROM d WHERE n >= {_CONT_N}
     ),
     keep AS (
       SELECT gram FROM g GROUP BY gram

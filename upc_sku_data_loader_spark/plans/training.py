@@ -289,11 +289,18 @@ def k35_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
              (len(string_split(text, ' ')) + {CHUNK} - 1) // {CHUNK} AS nch
       FROM documents
     ),
+    -- token-position zip + group by chunk index: the lateral
+    -- list_slice form replicated the token list per chunk row —
+    -- O(n^2/CHUNK) bytes on megabyte docs (r10 megadoc sweep)
+    tok AS (
+      SELECT doc_id, UNNEST(t) AS w,
+             UNNEST(generate_series(0, len(t) - 1)) AS pos
+      FROM d
+    ),
     ch AS (
-      SELECT doc_id, i AS idx,
-             array_to_string(list_slice(t, i * {CHUNK} + 1,
-                                        i * {CHUNK} + {CHUNK}), ' ') AS chunk
-      FROM d, UNNEST(generate_series(0, nch - 1)) AS g(i)
+      SELECT doc_id, pos // {CHUNK} AS idx,
+             string_agg(w, ' ' ORDER BY pos) AS chunk
+      FROM tok GROUP BY doc_id, pos // {CHUNK}
     ),
     marked AS (
       SELECT doc_id, idx, chunk,
@@ -1373,10 +1380,12 @@ def k53_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(string_split(text, ' ')) AS n
       FROM documents
     ),
+    -- zipped UNNESTs of shifted slices, O(n) once per doc: the lateral
+    -- t[i] form replicates the token list per row — O(n^2) bytes on
+    -- megabyte docs (--megadoc sweep finding, r10)
     bg AS (
-      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
-      FROM d, UNNEST(generate_series(1, n - 1)) AS s(i)
-      WHERE n >= 2
+      SELECT doc_id, UNNEST(t[1:n-1]) AS w1, UNNEST(t[2:n]) AS w2
+      FROM d WHERE n >= 2
     ),
     big AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY w1, w2),
     uni AS (SELECT w1, COUNT(*) AS c_x FROM bg GROUP BY w1),
@@ -1857,10 +1866,12 @@ def k76_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(string_split(text, ' ')) AS n
       FROM documents
     ),
+    -- zipped UNNESTs of three shifted slices (O(n) once per doc; the
+    -- lateral t[i] form is O(n^2) on megabyte docs — r10 megadoc sweep)
     tg AS (
-      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
-      FROM d, UNNEST(generate_series(1, n - 2)) AS s(i)
-      WHERE n >= 3
+      SELECT doc_id, UNNEST(t[1:n-2]) AS w1, UNNEST(t[2:n-1]) AS w2,
+             UNNEST(t[3:n]) AS w3
+      FROM d WHERE n >= 3
     ),
     c3 AS (SELECT w1, w2, w3, COUNT(*) AS c FROM tg GROUP BY w1, w2, w3),
     c2 AS (SELECT w1, w2, COUNT(*) AS c FROM tg GROUP BY w1, w2),
