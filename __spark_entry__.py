@@ -235,6 +235,35 @@ ROUND12_PLAN = [
     "b16_gs1_prefix_lookup", "b17_upce_expand",
 ]
 
+# Pinned round-13 window, computed by tools/window_plan.plan(13, ledger)
+# UNDER THE ASSUMPTION that CORRECTNESS_r10/r11/r12 land 50/50 green on
+# ROUND10_PLAN / ROUND11_PLAN / ROUND12_PLAN: the maintenance rotation's
+# next tranche of oldest-green re-checks (the r6-era aggregate/scalar/ETL
+# names, then the r7-era LLM tier).  If any r10–r12 name lands red,
+# REGENERATE with `python tools/window_plan.py --round 13` — reds
+# outrank re-checks.  All 50 pre-validated through the Arrow
+# driver-fetch replay in round 10 (tools/driver_fetch_replay.py; log in
+# REPLAY_r13_window.log).
+ROUND13_PLAN = [
+    "b18_isbn_convert", "d14_agg_approx_percentile", "d19_hll_merge",
+    "d20_unpivot", "d23_agg_mode", "d25_corr_matrix",
+    "d27_listagg", "d28_geomean", "d29_higher_moments",
+    "d30_welch_ttest", "d31_bootstrap_ci", "e11_win_ignore_nulls",
+    "e9_win_percent_cume", "etl10_lambda_merge", "etl11_write_audit_publish",
+    "etl12_data_vault_load", "etl13_fk_conformance", "etl14_scd3_prior_value",
+    "etl3_incremental_merge", "etl4_partition_overwrite", "etl5_observed_load",
+    "etl9_late_dim_backfill", "f5_keyset_pagination", "h13_variant_extract",
+    "h16_map_hof", "h17_datetime_extended", "h18_array_lib",
+    "h19_timezone_functions", "h20_generators", "h21_binary_encoding",
+    "j10_pandas_iter_udf", "j11_polymorphic_udtf", "q11_important_part_values",
+    "q15_top_supplier", "q2_min_cost_supplier", "q9_product_type_profit",
+    "i19_stream_txn_sink", "k11_quality_score", "k12_token_count_bpe",
+    "k13_fingerprint", "k15b_multimodal_frames", "k15d_multimodal_segments",
+    "k17_dedup_embedding", "k17b_dedup_embedding_blocked", "k22_stratified_sample",
+    "k4b_knn_join_blocked", "k60_dataset_card", "k62_cluster_best_keeper",
+    "k64_ccnet_buckets", "k67_span_corruption",
+]
+
 # Contract rows-only trio — never eligible for a driver window (each has a
 # hash-checked twin; see tests/test_contract.py).
 ROWS_ONLY = ["k14_simhash", "k16_ann_ivf", "i10_output_modes_triggers"]

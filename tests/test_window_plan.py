@@ -134,6 +134,27 @@ def test_pinned_round12_plan_matches_planner_under_green_r10_r11():
     assert all(n in ORACLES for n in entrymod.ROUND12_PLAN)
 
 
+def test_pinned_round13_plan_matches_planner_under_green_r10_r11_r12():
+    """ROUND13_PLAN is the planner's round-13 output UNDER THE ASSUMPTION
+    that CORRECTNESS_r10/r11/r12 land 50/50 green on the shipped
+    ROUND10_PLAN / ROUND11_PLAN / ROUND12_PLAN.  Missing future results
+    are padded green PER-NAME (any plan name without a >=10/>=11/>=12
+    entry); a recorded red is never overwritten — it correctly breaks the
+    pin, which must then be regenerated (reds outrank re-checks)."""
+    ledger = load_ledger(max_round=12)
+    for rnd, plan_names in (
+        (10, entrymod.ROUND10_PLAN),
+        (11, entrymod.ROUND11_PLAN),
+        (12, entrymod.ROUND12_PLAN),
+    ):
+        for n in plan_names:
+            if n not in ledger or ledger[n][0] < rnd:
+                ledger[n] = (rnd, True)
+    assert plan(13, ledger) == entrymod.ROUND13_PLAN
+    assert len(set(entrymod.ROUND13_PLAN)) == WINDOW
+    assert all(n in ORACLES for n in entrymod.ROUND13_PLAN)
+
+
 def test_planner_round8_shape():
     """Round-8 window over the frozen post-r7 ledger: 50 unique
     hash-checkable names, spill trio first, never-windowed/red before any
