@@ -38,6 +38,7 @@ global window re-ranks with the same key.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from pathlib import Path
 
 import numpy as np
 import pandas as pd
@@ -241,29 +242,66 @@ def _chunk_topk(
     return tuple(np.concatenate(cols) for cols in zip(*outs))  # type: ignore[return-value]
 
 
-def _pick_strategy(strategy: str, raw_reference: DataFrame) -> str:
+def _emb_rowcount(spark: SparkSession, sf_dir: str) -> int:
+    """RAW row count of the embeddings table from the parquet footers —
+    a driver-side metadata read, no Spark job.  Even a metadata-only
+    ``count()`` pays full job scheduling (~0.2–0.4 s per plan at bench
+    scale, and once per knn/dedup plan build); the footer read is ~1 ms
+    and scales with file count, not rows.  Handles both the single-file
+    fixture layout and Spark-written directories; any failure (remote
+    FS, exotic layout) falls back to the Spark count."""
+    import pyarrow.parquet as pq
+
+    root = Path(f"{sf_dir}/embeddings.parquet")
+    try:
+        if root.is_dir():
+            return sum(
+                pq.read_metadata(p).num_rows for p in root.rglob("*.parquet")
+            )
+        return pq.read_metadata(root).num_rows
+    except Exception:
+        return _raw_vecs(spark, sf_dir).count()
+
+
+def _pick_strategy(strategy: str, spark: SparkSession, sf_dir: str) -> str:
     if strategy == "auto":
-        # RAW parquet count is metadata-only (rowgroup footers), cheap even
-        # at scale.  The pre-filter count is a conservative stand-in for
-        # the post-finiteness count (raw >= finite), so "auto" never
+        # The RAW footer count is a conservative stand-in for the
+        # post-finiteness count (raw >= finite), so "auto" never
         # broadcasts a side the threshold would have rejected.
-        return "broadcast" if raw_reference.count() <= BROADCAST_MAX_ROWS else "blocked"
+        return (
+            "broadcast"
+            if _emb_rowcount(spark, sf_dir) <= BROADCAST_MAX_ROWS
+            else "blocked"
+        )
     if strategy not in ("broadcast", "blocked"):
         raise ValueError(f"unknown similarity strategy {strategy!r}")
     return strategy
 
 
-def _fan_out(queries: DataFrame) -> DataFrame:
-    """Spread the query side across all cores before a broadcast kernel.
+# Below this many query rows per task the python-worker round trip costs
+# more than the kernel; the fan-out caps partitions so small inputs don't
+# pay 32 Arrow round-trips for sub-millisecond matmuls.
+_FAN_OUT_MIN_ROWS = 256
+
+
+def _fan_out(queries: DataFrame, est_rows: int | None = None) -> DataFrame:
+    """Spread the query side across cores before a broadcast kernel.
 
     The kernel is embarrassingly parallel in query rows, but a small
     parquet input arrives in 1-2 partitions, so 20k queries x 20k refs
     ran on 2 of 32 cores (round-6 scale sweep: 83 s wall where ~6 s is
     available).  One tiny shuffle of the query rows only — the reference
     matrix travels by broadcast; per-row results are independent of the
-    chunking, so values are unchanged."""
+    chunking, so values are unchanged.  ``est_rows`` (an UPPER bound —
+    callers pass the unfiltered footer count) sizes the fan-out:
+    ceil(est/_FAN_OUT_MIN_ROWS) partitions, capped at defaultParallelism,
+    so bench-scale inputs stop paying a 32-task floor while any input
+    big enough to matter still spans every core."""
     sc = queries.sparkSession.sparkContext
-    return queries.repartition(sc.defaultParallelism)
+    parts = sc.defaultParallelism
+    if est_rows is not None:
+        parts = max(1, min(parts, -(-est_rows // _FAN_OUT_MIN_ROWS)))
+    return queries.repartition(parts)
 
 
 def _knn_broadcast(
@@ -271,7 +309,7 @@ def _knn_broadcast(
 ) -> DataFrame:
     ids, mat = embedding_matrix(spark, sf_dir)
     bc = spark.sparkContext.broadcast((ids, mat))
-    queries = _fan_out(queries)
+    queries = _fan_out(queries, est_rows=_emb_rowcount(spark, sf_dir))
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         all_ids, all_mat = bc.value
@@ -390,7 +428,7 @@ def knn_join(
     queries = _raw_vecs(spark, sf_dir)
     if query_filter:
         queries = queries.filter(query_filter)
-    if _pick_strategy(strategy, _raw_vecs(spark, sf_dir)) == "broadcast":
+    if _pick_strategy(strategy, spark, sf_dir) == "broadcast":
         return _knn_broadcast(spark, sf_dir, queries, k)
     return _knn_blocked(spark, sf_dir, queries, k, n_blocks)
 
@@ -447,7 +485,7 @@ def dedup_embedding(
     min-dup-id partial and reduces with a keyed min — associative, so
     bit-identical to the broadcast answer."""
     vecs = _raw_vecs(spark, sf_dir)
-    if _pick_strategy(strategy, vecs) == "broadcast":
+    if _pick_strategy(strategy, spark, sf_dir) == "broadcast":
         ids, mat = embedding_matrix(spark, sf_dir)
         bc = spark.sparkContext.broadcast((ids, mat))
 
@@ -467,7 +505,7 @@ def dedup_embedding(
                     }
                 )
 
-        return _fan_out(vecs).mapInPandas(
+        return _fan_out(vecs, est_rows=_emb_rowcount(spark, sf_dir)).mapInPandas(
             compute, "vec_id bigint, dup_of bigint, is_keeper boolean"
         )
 
