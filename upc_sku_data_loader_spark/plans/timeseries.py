@@ -1574,7 +1574,9 @@ def t17_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
              CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS rev
-      FROM events WHERE event_type = 'purchase' AND isfinite(value)
+      FROM events
+      WHERE event_type = 'purchase' AND isfinite(value)
+        AND ts IS NOT NULL
       GROUP BY day
     ),
     neigh AS (
@@ -1609,7 +1611,13 @@ def t18_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
         # non-finite observations are missing data to a peak/trend
-        # detector: excluded on BOTH engines (--extreme convention)
+        # detector: excluded on BOTH engines (--extreme convention).
+        # An undated observation is equally not part of the daily
+        # series (the d65a70b event/time NULL-ts convention) — and the
+        # engines disagree on where a NULL day sorts in the window
+        # (Spark NULLS FIRST vs DuckDB NULLS LAST), which silently
+        # shifts the series' endpoints (caught by fuzz seed 404).
+        .filter(F.col("ts").isNotNull())
         .filter(
             "NOT (isnan(value) OR value = CAST('Infinity' AS DOUBLE)"
             " OR value = CAST('-Infinity' AS DOUBLE))"
@@ -1716,7 +1724,9 @@ def t19_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
              CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS rev
-      FROM events WHERE event_type = 'purchase' AND isfinite(value)
+      FROM events
+      WHERE event_type = 'purchase' AND isfinite(value)
+        AND ts IS NOT NULL
       GROUP BY day
     ),
     o AS (SELECT MIN(day) AS d0 FROM daily),
@@ -1758,7 +1768,10 @@ def t20_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
         # non-finite observations are missing data to a peak/trend
-        # detector: excluded on BOTH engines (--extreme convention)
+        # detector: excluded on BOTH engines (--extreme convention);
+        # undated ones likewise (d65a70b NULL-ts convention — a NULL
+        # day would silently inflate n_days on both engines).
+        .filter(F.col("ts").isNotNull())
         .filter(
             "NOT (isnan(value) OR value = CAST('Infinity' AS DOUBLE)"
             " OR value = CAST('-Infinity' AS DOUBLE))"
