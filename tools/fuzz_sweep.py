@@ -22,6 +22,17 @@ convention on both engines).
 Usage:
     python tools/fuzz_sweep.py --seed 7 [names…]
     python tools/fuzz_sweep.py --seed 7 --rows 60      # bigger tables
+    python tools/fuzz_sweep.py --seed 7 --base 2024-03-09   # DST window
+
+--base moves the timestamp grid's origin (default 2024-01-01, deep
+winter).  The grid spans ~4 days of 15-minute steps, so a base of
+2024-03-09 crosses the US spring-forward instant (2024-03-10 07:00 UTC)
+and 2024-11-02 crosses fall-back (2024-11-03 06:00 UTC) — exercising
+the tz-aware surface (h19's from_utc_timestamp / AT TIME ZONE) across a
+transition, where the JVM's tzdata and DuckDB's ICU must agree on the
+same IANA rules.  UTC→local is total in both directions (no ambiguous
+wall-clock parse anywhere in the registry), so a FAIL here would mean
+the engines disagree on the offset itself.
 """
 
 from __future__ import annotations
@@ -124,10 +135,10 @@ class Gen:
         return base + timedelta(minutes=15 * self.r.randint(0, 400))
 
 
-def build(out: Path, seed: int, rows: int) -> str:
+def build(out: Path, seed: int, rows: int, base: datetime | None = None) -> str:
     g = Gen(seed, rows)
     out.mkdir(parents=True, exist_ok=True)
-    base = datetime(2024, 1, 1)
+    base = base or datetime(2024, 1, 1)
     K = g.key_off
 
     def write(name, cols, schema):
@@ -293,13 +304,19 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, required=True)
     ap.add_argument("--rows", type=int, default=48)
+    ap.add_argument(
+        "--base", default=None,
+        help="timestamp grid origin, YYYY-MM-DD (default 2024-01-01; "
+        "2024-03-09 / 2024-11-02 cross the US DST transitions)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
     names = args.names or list(QUERIES)
-    sf_dir = build(
-        REPO / ".scratch" / f"fuzz_seed{args.seed}", args.seed, args.rows
-    )
-    print(f"# fuzz fixture seed={args.seed} rows={args.rows} at {sf_dir}", flush=True)
+    base = datetime.strptime(args.base, "%Y-%m-%d") if args.base else None
+    tag = f"fuzz_seed{args.seed}" + (f"_{args.base}" if args.base else "")
+    sf_dir = build(REPO / ".scratch" / tag, args.seed, args.rows, base)
+    print(f"# fuzz fixture seed={args.seed} rows={args.rows} "
+          f"base={args.base or '2024-01-01'} at {sf_dir}", flush=True)
     spark = get_spark(app_name=f"fuzz_sweep_{args.seed}")
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connect(sf_dir)
