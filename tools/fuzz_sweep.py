@@ -313,7 +313,11 @@ def main() -> int:
     args = ap.parse_args()
     names = args.names or list(QUERIES)
     base = datetime.strptime(args.base, "%Y-%m-%d") if args.base else None
-    tag = f"fuzz_seed{args.seed}" + (f"_{args.base}" if args.base else "")
+    # entries that create catalog tables derive identifiers from the
+    # fixture dir name, so the tag must stay [A-Za-z0-9_]
+    tag = f"fuzz_seed{args.seed}" + (
+        f"_b{args.base.replace('-', '')}" if args.base else ""
+    )
     sf_dir = build(REPO / ".scratch" / tag, args.seed, args.rows, base)
     print(f"# fuzz fixture seed={args.seed} rows={args.rows} "
           f"base={args.base or '2024-01-01'} at {sf_dir}", flush=True)
