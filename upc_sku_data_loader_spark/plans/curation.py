@@ -41,7 +41,16 @@ from ..catalog import load
 from ..registry import query
 
 # Deterministic fake-PII construction, identical on both engines.
-_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# Quantifiers are RFC-bounded (local part <=64, domain <=255, TLD <=24 —
+# RFC 5321 limits) rather than unbounded `+`: java.util.regex scans
+# O(run) per start offset for an unbounded leading class, which is
+# O(n^2) over a megabyte-scale single-token document (megadoc sweep:
+# one k23 task burned >70 CPU-minutes), while DuckDB's RE2 DFA is
+# linear and never shows it.  Bounding caps the per-offset cost at the
+# quantifier width; both engines use the SAME bounded pattern, so
+# matches stay identical (an over-limit local part redacts only its
+# last 64 chars on both engines alike).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,24}"
 _PHONE_RE = r"555-[0-9]{4}"
 _IP_RE = r"10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
 
