@@ -460,17 +460,22 @@ _DECON_N = 5  # 5-grams: measured 6/52 eval docs contaminated at sf0.01
     oracle=f"""
     WITH b AS (
       SELECT doc_id, string_split(text, ' ') AS ws,
+             len(string_split(text, ' ')) AS n,
              CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
                % 100 AS bucket
       FROM documents
     ),
+    -- 5-grams as a 5-way zip of shifted slices (the k44/k18 linear
+    -- shape): list_slice inside a per-offset lambda is O(n) PER GRAM
+    -- in DuckDB — quadratic on a megabyte-scale document (r10
+    -- --megadoc sweep: this oracle alone held >40 GB before the kill).
     g AS (
       SELECT doc_id, bucket,
              unnest(list_transform(
-               range(1, len(ws) - {_DECON_N} + 2),
-               i -> array_to_string(list_slice(ws, i, i + {_DECON_N} - 1), ' ')))
+               list_zip(ws[1:n-4], ws[2:n-3], ws[3:n-2], ws[4:n-1], ws[5:n]),
+               s -> concat(s[1], ' ', s[2], ' ', s[3], ' ', s[4], ' ', s[5])))
                AS gram
-      FROM b WHERE len(ws) >= {_DECON_N}
+      FROM b WHERE n >= {_DECON_N}
     ),
     train AS (SELECT DISTINCT gram FROM g WHERE bucket < 90),
     eval_g AS (SELECT DISTINCT doc_id, bucket, gram FROM g WHERE bucket >= 90),
@@ -1648,16 +1653,15 @@ _K77_MIN_DF = 3  # spans present in >= this many distinct docs are boilerplate
     "k77_boilerplate_prune",
     oracle=f"""
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-    s AS (SELECT doc_id, ws,
-                 unnest(range(0, (len(ws) + {_K77_SPAN} - 1) // {_K77_SPAN}))
-                   AS pos
-          FROM d),
-    sp AS (SELECT doc_id, pos,
-                  array_to_string(
-                    list_slice(ws, pos * {_K77_SPAN} + 1,
-                               least(pos * {_K77_SPAN} + {_K77_SPAN}, len(ws))),
-                    ' ') AS span
-           FROM s),
+    -- token-position zip + group by span index (the k36 linear shape):
+    -- the span-offset lateral replicated the token list per span row —
+    -- O(n^2/SPAN) bytes on megabyte docs (r10 --megadoc sweep)
+    tok AS (SELECT doc_id, UNNEST(ws) AS w,
+                   UNNEST(generate_series(0, len(ws) - 1)) AS p
+            FROM d),
+    sp AS (SELECT doc_id, p // {_K77_SPAN} AS pos,
+                  string_agg(w, ' ' ORDER BY p) AS span
+           FROM tok GROUP BY doc_id, p // {_K77_SPAN}),
     df AS (SELECT span, COUNT(DISTINCT doc_id) AS df FROM sp GROUP BY span),
     m AS (SELECT sp.doc_id, sp.pos, sp.span,
                  df.df >= {_K77_MIN_DF} AS is_boiler

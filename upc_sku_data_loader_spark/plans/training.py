@@ -49,10 +49,25 @@ _SHINGLE_EXPR = (
     "transform(sequence(1, greatest(size(t) - 2, 1)),"
     " i -> concat_ws(' ', slice(t, i, 3)))"
 )
+# 3-gram shingles as a 3-way zip of shifted slices: the lateral
+# UNNEST(generate_series) form replicated the token list per shingle row
+# and sliced O(n) per offset — O(n^2) on megabyte docs (r10 --megadoc
+# sweep).  Docs shorter than 3 tokens keep their whole text as the one
+# shingle, matching the GREATEST(n-2, 1) lateral semantics.
 _SHINGLE_SQL = """
-    SELECT DISTINCT doc_id, lang, array_to_string(t[i:i+2], ' ') AS s
-    FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
-         UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(i)
+    SELECT DISTINCT doc_id, lang, s FROM (
+      SELECT doc_id, lang,
+             UNNEST(list_transform(list_zip(t[1:n-2], t[2:n-1], t[3:n]),
+                    x -> concat(x[1], ' ', x[2], ' ', x[3]))) AS s
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS t,
+                   len(string_split(text, ' ')) AS n FROM documents)
+      WHERE n >= 3
+      UNION ALL
+      SELECT doc_id, lang, array_to_string(t, ' ') AS s
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS t,
+                   len(string_split(text, ' ')) AS n FROM documents)
+      WHERE n < 3
+    )
 """
 
 
