@@ -247,6 +247,15 @@ def main() -> int:
     )
     args = ap.parse_args()
 
+    # Isolate the side-effecting builders' scratch tree from a pytest /
+    # plan-audit run sharing the machine (same hook the pytest shards
+    # use) — concurrent rebuilds of the same .scratch/<sf-name>/ fixture
+    # race into TASK_WRITE_FAILED flakes.
+    import os
+
+    os.environ.setdefault(
+        "SPARK_GRAFT_SCRATCH", str(REPO / ".scratch" / "_parity")
+    )
     names = args.names or list(QUERIES)
     preflight(args.sf)
     spark = get_spark()

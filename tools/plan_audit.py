@@ -172,6 +172,15 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+    # Isolate the side-effecting builders' scratch tree from a pytest /
+    # parity run sharing the machine (same hook the pytest shards use):
+    # both default to .scratch/<sf-name>/, and a concurrent rebuild of
+    # e.g. c9's bucketed tables mid-write is a TASK_WRITE_FAILED flake.
+    import os
+
+    os.environ.setdefault(
+        "SPARK_GRAFT_SCRATCH", str(REPO / ".scratch" / "_plan_audit")
+    )
     spark = get_spark(app_name="plan_audit")
     spark.sparkContext.setLogLevel("ERROR")
     names = args.names or list(QUERIES)
