@@ -133,6 +133,10 @@ PY_OK = {
     "k5_vector_ops",
     "k5b_vector_centroid",
     "k47_coreset_fps",
+    # per-source all-pairs token-set Jaccard as a 0/1 indicator
+    # matmul kernel (the k41 within-block pattern; r10 — the JVM
+    # array_intersect pair join paid ~8 µs × 622k pairs)
+    "k9_doc_similarity_pairs",
     "d17_heavy_hitters",  # Misra-Gries partial-sketch merge kernel
     # broadcast-CSR intersect-size kernel over the candidate pair
     # stream (counts only; jaccard math stays in SQL) — the pure-SQL

@@ -88,6 +88,28 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parquet_rowcount(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """RAW row count of a fixture table from its parquet footers — a
+    driver-side metadata read (~1 ms), no Spark job.  Used by plan-time
+    strategy gates (e.g. the deliberate join build side in plans/joins.py
+    and the broadcast-vs-blocked switch in operators/similarity.py) so
+    the physical strategy adapts to the INPUT size rather than being
+    pinned for either local mode or the cluster.  Handles the single-file
+    fixture layout and Spark-written directories; any failure (remote FS,
+    exotic layout) falls back to the Spark metadata count, which is still
+    footer-driven."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    root = Path(f"{sf_dir}/{name}.parquet")
+    try:
+        if root.is_dir():
+            return sum(pq.read_metadata(p).num_rows for p in root.rglob("*.parquet"))
+        return pq.read_metadata(root).num_rows
+    except Exception:
+        return load(spark, sf_dir, name).count()
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views (for spark.sql paths)."""
     for name in TABLES:

@@ -21,19 +21,118 @@ Scale notes:
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def shingles(toks: Column, k: int = 3) -> Column:
-    """Distinct k-token shingles as space-joined strings."""
-    n = F.size(toks)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+def unpersist_with(owner: DataFrame, *cached: DataFrame) -> None:
+    """Tie the lifetime of `cached` relations to `owner`: unpersist them
+    when the returned plan is garbage-collected (CPython refcounting
+    fires this as soon as the caller drops the result), so a direct
+    library call leaks no cached blocks for the session's life while the
+    plan stays LAZY.  A caller that keeps derived children but drops the
+    parent merely loses the cache — children recompute, correctness
+    unaffected.  (Canonical home of plans/llm.py's `_unpersist_with`,
+    moved here in r10 so the dedup pipelines outside llm.py can share
+    the same cache-ownership discipline.)"""
+
+    def _cleanup(refs: tuple[DataFrame, ...] = cached) -> None:
+        for df in refs:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing left to free
+
+    weakref.finalize(owner, _cleanup)
+
+
+def verified_near_dup_pairs(
+    docs: DataFrame,
+    caches: list[DataFrame],
+    *,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """The full k2-contract near-dup pair pipeline (MinHash-LSH
+    candidates ∪ exact-recall prefix candidates, distinct-ed, exact
+    shingle-Jaccard verified) with the r10 cache discipline: the
+    candidate set is persist()-ed and appended to `caches`, and the
+    caller ties its lifetime to the returned plan via
+    :func:`unpersist_with`.
+
+    Why the persist matters (measured at sf0.1, r10): without it the
+    planner costs the verify joins from the candidate subtree's wild
+    size ESTIMATES (join-output cardinality guesses), picks sort-merge
+    over the wide shingle-array relations, and a trailing global sort
+    re-executes the whole candidate pipeline a second time for range-
+    partition sampling — 16.8 s end-to-end.  With the ~310k-row
+    candidate set materialized (accurate stats, reused bytes) the same
+    logical query runs 3.9 s.  At 100 TB the candidate set is the
+    SMALL relation (true-pair-density-bound, SCALING.md) — exactly
+    what you want pinned in memory while the corpus streams past it."""
+    # sigs persist: the banding projection references element_at(mh, i)
+    # n_bands*rows_per_band times, and with the per-row aggregate-HOF
+    # signature the optimizer inlines the WHOLE fold into every
+    # reference (no exchange barrier remains to stop it); the persisted
+    # relation is tiny (n_docs × n_hashes longs) and evaluates the fold
+    # exactly once.
+    sigs = minhash_signatures(
+        docs, n_hashes=n_hashes, shingle_k=shingle_k
+    ).persist()
+    caches.append(sigs)
+    cands = (
+        lsh_candidate_pairs(
+            sigs,
+            n_bands=n_bands,
+            rows_per_band=rows_per_band,
+            max_bucket_size=max_bucket_size,
         )
+        .unionByName(
+            prefix_candidates(docs, shingle_k=shingle_k, threshold=threshold)
+        )
+        .distinct()
+        .persist()
     )
+    caches.append(cands)
+    return verify_jaccard(cands, docs, shingle_k=shingle_k, threshold=threshold)
+
+
+def shingles(toks: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles as space-joined strings.
+
+    Built as a k-way shifted zip (k whole-array slices, one
+    ``arrays_zip``, then a per-element concat of struct fields) instead
+    of the original ``transform(sequence(0, n-k), i -> concat_ws(slice
+    (toks, i+1, k)))``: the per-element ``slice`` paid an O(k)
+    array-allocation+copy inside an interpreted lambda for every
+    shingle, which measured 3.2x slower at sf0.1 (1.59 s → 0.49 s for
+    the shingle-array pass) and scales worse on long documents.  Same
+    shape as the DuckDB oracles' zip rewrite (r10), so both engines run
+    the linear form.  Element ORDER and VALUES are identical to the old
+    form (slice i of the zip is the shingle starting at token i;
+    array_distinct keeps first occurrence), so every consumer — minhash,
+    prefix filter, verify — sees bit-identical arrays.  Short inputs
+    (n < k) keep the original semantics: one shingle joining all
+    tokens (concat_ws over the whole array)."""
+    n = F.size(toks)
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, n - k + 1).alias(f"t{i}") for i in range(k)]
+    )
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                zipped,
+                lambda s: F.concat_ws(" ", *[s[f"t{j}"] for j in range(k)]),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
 def minhash_signatures(
@@ -45,26 +144,63 @@ def minhash_signatures(
 ) -> DataFrame:
     """One row per doc: ``mh`` = array<long> of n_hashes min-hash values.
 
-    Explode-then-min keeps the hash work inside whole-stage codegen
-    (n_hashes expressions per shingle row) instead of interpreted
-    array lambdas.
+    Shape (r10, measured at sf0.1 — tools/op_bench methodology): the
+    shingle array is hashed ONCE per element to a long in its own
+    projection step, and each of the n_hashes minima is then a plain
+    ``array_min(transform(hs, h -> xxhash64(i, h)))`` over those longs.
+    Per shingle that is 1 string hash + n_hashes fixed-8-byte long
+    hashes instead of n_hashes string hashes.  Variants measured and
+    rejected:
+
+    - explode → groupBy(doc_id) → n_hashes MIN aggs (the r9 shape):
+      shuffles every (doc_id, shingle) row to re-group rows that were
+      already grouped; 2.28 s, and 0.92 s even after the pre-hash.
+    - one ``aggregate`` HOF folding ``zip_with(acc, [xxhash64(i, s)
+      for i], least)``: no shuffle, but allocates a fresh n_hashes
+      array per SHINGLE inside the interpreted fold; 1.43 s.
+    - this shape with the pre-hash INLINED into the 32 minima: the
+      optimizer happily duplicates the non-collapsed transform, so the
+      string-hash pass runs n_hashes times — 11.6 s.  The TWO-STEP
+      projection is load-bearing: CollapseProject keeps the ``hs``
+      alias because a non-cheap expression referenced n_hashes times
+      is never inlined.  This shape: 1.09 s.
+
+    The per-seed lambdas are single-parameter closures built in a
+    helper — the tempting ``lambda h, i=i:`` two-parameter form
+    silently binds i to transform's ELEMENT INDEX argument, seeding
+    every hash identically (the r10 bug class that
+    test_minhash_lsh_finds_near_duplicates caught).
+
+    Hash-family note: the signature values are xxhash64(seed,
+    xxhash64(shingle)) — NOT the r9 xxhash64(seed, shingle).  The
+    values are engine-internal: they exist only to generate LSH
+    candidates, recall is guaranteed by the deterministic prefix-filter
+    union, and every emitted pair is exact-string-verified, so the k2
+    family's oracle-checked output is invariant to the hash family (a
+    64-bit collision merges two shingles for CANDIDATE purposes only —
+    the same collision class prefix_candidates already accepts).
 
     NULL-text docs do not participate (--nulls sweep): without the
     filter, ``shingles(split(NULL))`` silently collapses to ``[""]``
     (concat_ws skips NULL inputs), giving a contentless doc a REAL
     signature that collides with every empty doc.
     """
+
+    def _seed_min(hs: Column, i: int) -> Column:
+        # single-param lambda: i is captured by the enclosing call
+        return F.array_min(F.transform(hs, lambda h: F.xxhash64(F.lit(i), h)))
+
     docs = docs.filter(F.col(text_col).isNotNull())
-    sh = docs.select(
+    sh_set = shingles(F.split(F.col(text_col), " "), shingle_k)
+    pre = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.split(F.col(text_col), " "), shingle_k)).alias("sh"),
+        F.transform(sh_set, lambda s: F.xxhash64(s)).alias("hs"),
     )
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(n_hashes)
-    ]
-    sig = sh.groupBy("doc_id").agg(*mins)
-    return sig.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("mh")
+    return pre.select(
+        "doc_id",
+        F.array(*[_seed_min(F.col("hs"), i) for i in range(n_hashes)]).alias(
+            "mh"
+        ),
     )
 
 
@@ -79,14 +215,24 @@ def lsh_candidate_pairs(
     ``max_bucket_size`` is the band-skew guard: a degenerate bucket with
     B docs yields B² candidate pairs, which is the one quadratic blowup
     in this pipeline.  Buckets larger than the cap are dropped before
-    the self-join (a bucket that large means boilerplate/empty shingles,
+    pair emission (a bucket that large means boilerplate/empty shingles,
     not near-duplicates; a missed pair costs recall in one band only —
-    the other n_bands-1 bands still catch genuine pairs).  The bucket
-    count is a window over the same (band, key) the join shuffles on, so
-    the guard adds no extra shuffle key.  The default is ``None`` (no
-    cap) so the contract-checked exact-recall behavior is what callers
-    get unless they opt in to the scale knob — at 100 TB, pass an
-    explicit cap (~10k) to bound the worst bucket."""
+    the other n_bands-1 bands still catch genuine pairs).  The default
+    is ``None`` (no cap) so the contract-checked exact-recall behavior
+    is what callers get unless they opt in to the scale knob — at
+    100 TB, pass an explicit cap (~10k) to bound the worst bucket.
+
+    Shape (r10): ONE shuffle — groupBy (band, key) → sorted doc-id
+    list → emit the i<j pairs with a nested-``transform`` flatten.
+    The r9 shape self-joined the band relation on (band, key), which
+    cost the same Exchange TWICE (both join inputs) plus the join
+    itself, and the capped variant added a count-window pass over the
+    same key.  Here the cap is a ``size(lst)`` filter on the already-
+    grouped row, and pair emission is a per-row expression.  Output is
+    identical: (a, b) with a < b from the same bucket, distinct-ed
+    across bands — array_sort fixes collect_list's nondeterministic
+    order so i<j ⇔ a<b, and a doc appears at most once per bucket
+    (one key per band per doc), so in-bucket pairs are unique."""
     bands = signatures.select(
         "doc_id",
         F.explode(
@@ -107,25 +253,26 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
+    buckets = bands.groupBy("band", "key").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
     if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "key")
-        bands = (
-            bands.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bucket_n") <= max_bucket_size)
-            .drop("_bucket_n")
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    # all i<j pairs of the sorted bucket: for each id at position i,
+    # pair it with every LATER element (slice i+1 onward)
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
         )
-    left = bands.alias("l")
-    right = bands.alias("r")
+    )
     return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        buckets.filter(F.size("ids") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
         .distinct()
     )
 
@@ -147,48 +294,88 @@ def prefix_candidates(
     sitting exactly AT the threshold collides in no band with real
     probability, so a pipeline whose contract is "every pair >= t" must
     union these candidates in.  Order = (global shingle frequency ASC,
-    shingle) — rarest-first, which also makes the candidate join touch
-    the SMALLEST posting lists; the frequency table is one keyed agg
-    and the prefix rank one per-doc window, both map-side-combinable
-    shuffles on bounded keys."""
-    sh = (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(
-                shingles(F.split(F.col(text_col), " "), shingle_k)
-            ).alias("sh"),
-        )
-        .distinct()
+    shingle hash) — rarest-first, which also makes the candidate join
+    touch the SMALLEST posting lists.
+
+    Shuffle discipline (r10): every relation past the explode carries
+    ``xxhash64(sh)`` instead of the ~25-char shingle string, so the df
+    window, both per-doc windows and the candidate self-join all move
+    8-byte longs (guide §2.3, narrower shuffle rows).  The hash is
+    engine-internal — candidates go to the exact string-array verify,
+    so the 64-bit collision class (same one k18/k14b already accept)
+    can only add a false candidate, never lose a true pair: merging
+    colliding shingles makes the hashed Jaccard an UPPER bound on the
+    true Jaccard, and the prefix theorem keeps exact recall under any
+    consistent total order.  The old shape also paid a full
+    ``.distinct()`` Exchange on (doc_id, sh) — a no-op, since
+    shingles() is array_distinct per doc — and a shingle-keyed
+    sh⋈freq join; the distinct is dropped and the join replaced by a
+    count window over the hash (one Exchange instead of agg+join).
+    Measured at sf0.1: 6.5 s → see OPTIMIZATION_r10.md."""
+    sh = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            shingles(F.split(F.col(text_col), " "), shingle_k)
+        ).alias("sh"),
     )
-    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    w_doc = Window.partitionBy("doc_id").orderBy("df", "sh")
+    # (doc_id, sh) is distinct by construction (array_distinct per doc)
+    sh = sh.select("doc_id", F.xxhash64("sh").alias("h"))
+    w_freq = Window.partitionBy("h")
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "h")
     w_size = Window.partitionBy("doc_id")
     ranked = (
-        sh.join(freq, "sh")
+        sh.withColumn("df", F.count(F.lit(1)).over(w_freq))
         .withColumn("rk", F.row_number().over(w_doc))
         .withColumn("s", F.count(F.lit(1)).over(w_size))
     )
     prefix = ranked.filter(
         F.col("rk") <= F.col("s") - F.ceil(F.lit(threshold) * F.col("s")) + 1
-    ).select("doc_id", "sh", "s")
-    a = prefix.select(F.col("doc_id").alias("a"), "sh", F.col("s").alias("sa"))
+    ).select("doc_id", "h", "s", "rk")
+    a = prefix.select(
+        F.col("doc_id").alias("a"), "h",
+        F.col("s").alias("sa"), F.col("rk").alias("ra"),
+    )
     b = prefix.select(
         F.col("doc_id").alias("b"),
-        F.col("sh").alias("shb"),
+        F.col("h").alias("hb"),
         F.col("s").alias("sb"),
+        F.col("rk").alias("rb"),
+    )
+    # Required overlap for J >= t: |A∩B| >= ceil(t/(1+t)·(|A|+|B|)).
+    # The 1e-9 backoff makes the fp product a LOWER bound on the exact
+    # rational, so the filter can only be weaker than the true bound —
+    # false positives go to verify, false negatives are impossible.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("sa") + F.col("sb"))
+        - F.lit(1e-9)
     )
     # length filter INSIDE the join (PPJoin lemma): J(A,B) >= t forces
     # t*|A| <= |B| and t*|B| <= |A|, so size-mismatched posting-list
     # pairs never materialize — the standard prune that keeps the
-    # shared-shingle join linear-ish in posting-list mass
+    # shared-shingle join linear-ish in posting-list mass.
+    # positional filter (PPJoin's second lemma, same as k18): a shared
+    # prefix shingle at ranks (ra, rb) bounds the overlap by
+    # min(ra,rb) + min(sa-ra, sb-rb) — elements strictly before the
+    # witness contribute at most min(ra-1, rb-1), the witness itself 1,
+    # elements after at most min(sa-ra, sb-rb).  The bound holds for
+    # EVERY shared shingle, so a witness row whose bound misses alpha
+    # is proof the pair fails and drops at generation; a true pair's
+    # witnesses ALL satisfy it (bound >= true overlap >= alpha), so
+    # recall is exact.  Without it the t=0.5 prefix join emitted 310k
+    # candidate pairs at sf0.1 against 256 true pairs, and the exact
+    # verify paid ~310k array_intersects (measured r10).
     return (
         a.join(
             b,
-            (F.col("sh") == F.col("shb"))
+            (F.col("h") == F.col("hb"))
             & (F.col("a") < F.col("b"))
             & (F.col("sb") >= F.ceil(F.lit(threshold) * F.col("sa")))
-            & (F.col("sa") >= F.ceil(F.lit(threshold) * F.col("sb"))),
+            & (F.col("sa") >= F.ceil(F.lit(threshold) * F.col("sb")))
+            & (
+                F.least(F.col("ra"), F.col("rb"))
+                + F.least(F.col("sa") - F.col("ra"), F.col("sb") - F.col("rb"))
+                >= alpha
+            ),
         )
         .select("a", "b")
         .distinct()

@@ -225,12 +225,114 @@ def _sessionize_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
 
 @query("i6_stateful_sessionize", oracle=SESSION_SQL_PANDAS)
 def i6_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-kernel sessionization (the §2.I batch twin of i6b's
+    stateful stream; per-session NaN/NULL poisoning contract in
+    SESSION_SQL_PANDAS).
+
+    r10 rewrite (guide §4.2, the t11 shape): the original
+    ``groupBy(user_id).applyInPandas(_sessionize_pdf)`` ran an
+    interpreted Python row-loop per group — per-GROUP pandas
+    construction times thousands of small groups plus one interpreted
+    float op per row (4.9 s noop at sf0.1).  Same single Exchange on
+    user_id, but the kernel now sessionizes the WHOLE partition in one
+    pass: sort by (user_id, ts, event_id), session breaks = user-change
+    OR gap > 30 min (numpy compare), per-session bounds from the break
+    positions.  The kernel is ``mapInArrow``, NOT mapInPandas, because
+    of an exactness trap the seed-7/11/23 fuzz fixtures caught in the
+    pandas form: a nullable int64 user_id column converts to float64
+    (NaN for NULL), and two distinct snowflake-regime ids above 2⁵³
+    collapse to the SAME double — merging different users' sessions.
+    Arrow keeps int64 + validity exactly; user boundaries come from
+    ``dictionary_encode`` codes (NULL user_id = one code, matching the
+    SQL PARTITION BY / old-groupBy one-NULL-group convention), and the
+    emitted user_id/timestamps are ``take``-n from the sorted arrays —
+    no lossy round-trip anywhere.  Per-session totals stay a plain
+    sequential left-to-right Python add + ``round(total, 4)`` over the
+    segment — BIT-identical to the old loop (``np.add.reduceat`` is
+    pairwise above short segments, and np.round's scale-multiply
+    differs from correctly-rounded round() at rare boundaries; the
+    float adds were never the cost, per-group pandas construction
+    was).  NULL-ts events drop before sorting (same convention as
+    _sessionize_pdf, which stays — it is i6b's per-key state-machine
+    reference and pytest-pinned)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    gap_us = 30 * 60 * 1_000_000
+
+    def _sessionize_partition(
+        batches: Iterator["pa.RecordBatch"],
+    ) -> Iterator["pa.RecordBatch"]:
+        got = list(batches)
+        if not got:
+            return
+        tbl = pa.Table.from_batches(got)
+        tbl = tbl.filter(pc.is_valid(tbl["ts"]))
+        if tbl.num_rows == 0:
+            return
+        order = pc.sort_indices(
+            tbl,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+            null_placement="at_end",
+        )
+        tbl = tbl.take(order)
+        uid = tbl["user_id"].combine_chunks()
+        # exact user boundaries: dictionary codes are int32, NULL → -1
+        ucodes = (
+            pc.dictionary_encode(uid).indices.fill_null(-1).to_numpy()
+        )
+        ts = tbl["ts"].combine_chunks()
+        ts_us = ts.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        vals = tbl["value"].to_numpy(zero_copy_only=False)  # NULL → NaN
+        is_new = np.r_[
+            True,
+            (ucodes[1:] != ucodes[:-1]) | (ts_us[1:] - ts_us[:-1] > gap_us),
+        ]
+        starts = np.flatnonzero(is_new)
+        n_ev = np.diff(np.r_[starts, len(ucodes)])
+        ends = starts + n_ev - 1
+        vlist = vals.tolist()
+        bounds = np.r_[starts, len(vlist)]
+        totals = np.empty(len(starts), dtype=np.float64)
+        for i in range(len(starts)):
+            # first element ASSIGNS (old loop's init): lone -0.0 stays -0.0
+            acc = vlist[bounds[i]]
+            for v in vlist[bounds[i] + 1 : bounds[i + 1]]:
+                acc = acc + v
+            totals[i] = round(acc, 4)
+        ts_ntz = ts.cast(pa.timestamp("us"))
+        yield pa.RecordBatch.from_arrays(
+            [
+                uid.take(pa.array(starts)),
+                ts_ntz.take(pa.array(starts)),
+                ts_ntz.take(pa.array(ends)),
+                pa.array(n_ev, pa.int64()),
+                # from_pandas=True: NaN → NULL, reproducing the pandas
+                # output path's NaN↔NULL contract (SESSION_SQL_PANDAS)
+                pa.array(totals, pa.float64(), from_pandas=True),
+            ],
+            names=[
+                "user_id",
+                "session_start",
+                "session_end",
+                "n_events",
+                "total_value",
+            ],
+        )
+
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
     schema = (
         "user_id bigint, session_start timestamp_ntz, session_end timestamp_ntz, "
         "n_events bigint, total_value double"
     )
-    return ev.groupBy("user_id").applyInPandas(_sessionize_pdf, schema)
+    return ev.repartition("user_id").mapInArrow(_sessionize_partition, schema)
 
 
 # --- I6b: TRUE streaming stateful sessionize (applyInPandasWithState) -----------------

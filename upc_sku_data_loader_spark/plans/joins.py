@@ -19,8 +19,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, parquet_rowcount
 from ..functions.exprs import dsum, dsum_sql
+
+# c1's broadcast gate: with ≤ this many RAW orders rows, the filtered
+# customer⋈orders side is at most a few-MB broadcast (BUILDING keeps
+# ~1/5 of customers); above it the hint drops and the planner's shuffle
+# strategies take over.  A plan-time metadata read, not a tuned local
+# constant — the decision flips with the input, not with the core count.
+_C1_BROADCAST_MAX_ORDERS = 4_000_000
 from ..operators.asof import asof_join
 from ..registry import query
 
@@ -53,9 +60,25 @@ def c1_join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp_ntz")
     )
+    # Deliberate build side (guide §3.1): the planner's size estimates
+    # put filtered LINEITEM (~30 % of the fact table) under the 10 MB
+    # broadcast threshold, so the static plan broadcast the FACT side —
+    # a single-threaded driver collect+hash-build of ~180 k rows every
+    # run (measured: q3 bench ~1.1 s, of which the build dominates).
+    # The side that is actually small is customer⋈orders after the
+    # BUILDING filter (~30 k rows): broadcasting it leaves lineitem
+    # streamed — the only shuffle left is the group-key Exchange of the
+    # partial aggregates.  The hint is gated on the parquet-footer row
+    # count of orders so it stays input-adaptive: beyond ~4 M orders
+    # rows the hint drops and the planner falls back to shuffle joins
+    # (the right strategy at 100 TB, where no side fits a broadcast).
+    co = c.join(o, c.c_custkey == o.o_custkey, "inner").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    if parquet_rowcount(spark, sf_dir, "orders") <= _C1_BROADCAST_MAX_ORDERS:
+        co = F.broadcast(co)
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "inner")
-        .join(li, li.l_orderkey == o.o_orderkey, "inner")
+        li.join(co, li.l_orderkey == co.o_orderkey, "inner")
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")

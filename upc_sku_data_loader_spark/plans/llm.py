@@ -27,11 +27,8 @@ from ..functions.multimodal import (
 )
 from ..operators.dedup import (
     dedup_clusters,
-    lsh_candidate_pairs,
-    minhash_signatures,
-    prefix_candidates,
     simhash,
-    verify_jaccard,
+    verified_near_dup_pairs,
 )
 from ..operators.similarity import ann_ivf, dedup_embedding, knn_join, topk_pairs
 from ..registry import query
@@ -77,11 +74,16 @@ K2_ORACLE = """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
                   WHERE text IS NOT NULL),
     sh AS (
+      -- 3-way shifted zip, linear in len(t): the per-index t[i:i+2]
+      -- slice re-sliced the token list per shingle -- O(n^2), hung the
+      -- oracle on a 290k-token megadoc (r10 --megadoc sweep).  Short
+      -- docs (len < 3) keep the original one-shingle whole-list form.
       SELECT doc_id,
-             list_distinct(list_transform(
-               generate_series(1, greatest(len(t) - 2, 1)),
-               i -> array_to_string(t[i:i+2], ' ')
-             )) AS s
+             CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+               list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
+               x -> concat(x[1], ' ', x[2], ' ', x[3])
+             ))
+             ELSE [array_to_string(t, ' ')] END AS s
       FROM toks
     ),
     pairs AS (
@@ -97,26 +99,25 @@ K2_ORACLE = """
 
 @query("k2_dedup_near_minhash", oracle=K2_ORACLE)
 def k2_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d, n_hashes=32, shingle_k=3)
     # cap disabled: the oracle is exact all-pairs Jaccard with no cap, so
     # the hash-checked contract must not drop oversized buckets (the cap
     # is a scale knob for uncontracted pipelines; its behavior is pinned
-    # by the adversarial test in tests/test_vectors_dedup.py)
-    cands = lsh_candidate_pairs(
-        sigs, n_bands=8, rows_per_band=4, max_bucket_size=None
-    )
-    # exact-recall guarantee (fuzz sweep, seed 23): MinHash banding is
+    # by the adversarial test in tests/test_vectors_dedup.py).
+    # Exact-recall guarantee (fuzz sweep, seed 23): MinHash banding is
     # probabilistic and can miss a pair sitting exactly AT the 0.5
-    # threshold; the deterministic prefix-filter candidates close that
-    # gap (operators/dedup.py:prefix_candidates), LSH still prunes the
-    # bulk, and verify_jaccard keeps the final set exact either way
-    cands = cands.unionByName(
-        prefix_candidates(d, shingle_k=3, threshold=0.5)
-    ).distinct()
-    return verify_jaccard(cands, d, shingle_k=3, threshold=0.5).orderBy(
-        F.desc("jaccard"), "a", "b"
-    )
+    # threshold; the pipeline unions the deterministic prefix-filter
+    # candidates in (operators/dedup.py:verified_near_dup_pairs).
+    # r10: the candidate set is persisted (plan-bound lifetime) and the
+    # trailing global orderBy — absent from the oracle, invisible to the
+    # order-insensitive hash check — is dropped: the range-partition
+    # SAMPLING pass of a global sort re-executed the whole candidate
+    # pipeline a second time (16.8 s → 3.9 s at sf0.1, see
+    # OPTIMIZATION_r10.md).
+    d = load(spark, sf_dir, "documents")
+    caches: list[DataFrame] = []
+    result = verified_near_dup_pairs(d, caches, shingle_k=3, threshold=0.5)
+    _unpersist_with(result, *caches)
+    return result
 
 
 # --- K3: global top-k most-similar embedding pairs (numpy fast path vs
@@ -340,13 +341,24 @@ def k6_tokenize_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def k7_term_freq_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    n_docs = d.count()  # scalar; cheap and cached by the scan
+    n_docs = d.count()  # scalar; a parquet-footer metadata count
+    # persist(): tf feeds BOTH the df (document-frequency) branch and
+    # the scored probe side.  Without it Spark re-expands the lineage —
+    # the corpus was scanned, split and exploded TWICE per run (r10
+    # before-plan: two Scan→Generate→HashAggregate subtrees), and the
+    # explode+tokenize is the dominant map.  Lifetime is bound to the
+    # returned plan via _unpersist_with (k18's cache-ownership rule).
     tf = (
         d.select("doc_id", F.explode(TXT.tokens("text")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
-    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # tf is unique on (doc_id, term) by construction, so COUNT(*) per
+    # term IS the distinct-doc count — dropping countDistinct removes
+    # the two-level distinct-aggregate expansion (2 Exchanges → 1 on
+    # this branch, r10 plan diff).
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(df, "term").select(
         "doc_id",
         "term",
@@ -356,11 +368,13 @@ def k7_term_freq_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
-    return (
+    result = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("doc_id", "term", "tf", "tfidf")
     )
+    _unpersist_with(result, tf)
+    return result
 
 
 # --- K8: text stats by language/source ---------------------------------------------
@@ -417,22 +431,130 @@ def k8_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def k9_doc_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source all-pairs token-set Jaccard, aggregated per source.
+
+    r10 rewrite (guide §4.2): the old shape was a blocked self-JOIN on
+    source — ~622k pair rows at sf0.1, each paying a JVM
+    array_intersect over ~50-string token sets (5.0 s noop).  The
+    contract is inherently all-pairs WITHIN a source block (the oracle
+    joins every a<b pair), so the kernel is the k41 pattern: one
+    Exchange on source into applyInPandas, which computes every
+    intersection size for the block as ONE 0/1 indicator matmul
+    (X @ X.T — counts ≤ vocab size, exact in float32), row-blocked to
+    the similarity-family cell budget.  Token sets are built JVM-side
+    by the same token_set() as before, so set semantics (including
+    multibyte) are bit-identical; |A∩B| is an exact integer either
+    way; j = inter/union is the same single IEEE float64 division
+    (0/0 → NaN matches Spark's double division); the j ≥ 0.6 compare
+    runs on the same doubles.  The kernel emits the per-source SUM of
+    j (numpy float64 — summation ORDER differs from both engines'
+    internal orders exactly as the old Spark partial-agg order did;
+    the 6 dp round has absorbed that class since r3) and AVG + ROUND
+    happen in the JVM after the kernel, keeping Spark's HALF_UP
+    semantics.  NULL-source docs pair with nobody (join equality) —
+    the kernel returns empty for the NULL group; n < 2 groups emit no
+    row (GROUP BY over an empty pair set).
+
+    Scale: all-pairs-within-block is the operator's contract (cf.
+    SemDeDup k41); blocks are source-bounded and the matmul is
+    row-blocked, so per-task transient memory stays at the shared
+    cell budget."""
+    import numpy as np
+
+    from ..operators.similarity import _TOPK_CELL_BUDGET
+
     d = load(spark, sf_dir, "documents")
     t = d.select("doc_id", "source", TXT.token_set("text").alias("s"))
-    a = t.select(F.col("doc_id").alias("a_id"), "source", F.col("s").alias("s_a"))
-    b = t.select(
-        F.col("doc_id").alias("b_id"), F.col("source").alias("source_b"), F.col("s").alias("s_b")
+
+    def kern(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "n_pairs": pd.Series([], dtype=np.int64),
+                "n_near_dups": pd.Series([], dtype=np.int64),
+                "n_j": pd.Series([], dtype=np.int64),
+                "sum_j": pd.Series([], dtype=np.float64),
+            }
+        )
+        n = len(pdf)
+        src = pdf["source"].iloc[0] if n else None
+        if n < 2 or src is None:
+            return empty
+        # NULL text → NULL token set → j is NULL for every pair that
+        # touches it: counted in n_pairs, excluded from n_near_dups AND
+        # from AVG's denominator (SQL AVG skips NULLs — nulls sweep).
+        # The matmul runs over the non-null rows only; n_pairs stays
+        # C(n, 2) over ALL rows.
+        all_sets = pdf["s"].tolist()
+        sets = [x for x in all_sets if x is not None]
+        n_pairs_total = n * (n - 1) // 2
+        n = len(sets)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "source": [src],
+                    "n_pairs": np.array([n_pairs_total], dtype=np.int64),
+                    "n_near_dups": np.array([0], dtype=np.int64),
+                    "n_j": np.array([n * (n - 1) // 2], dtype=np.int64),
+                    "sum_j": np.array([0.0], dtype=np.float64),
+                }
+            )
+        lens = np.array([len(x) for x in sets], dtype=np.int64)
+        if lens.sum() == 0:
+            vocab_n = 1
+            rows = np.array([], dtype=np.int64)
+            inv = np.array([], dtype=np.int64)
+        else:
+            flat = np.concatenate(
+                [np.asarray(x, dtype=object) for x in sets if len(x)]
+            )
+            _, inv = np.unique(flat, return_inverse=True)
+            vocab_n = int(inv.max()) + 1 if len(inv) else 1
+            rows = np.repeat(np.arange(n), lens)
+        x = np.zeros((n, vocab_n), dtype=np.float32)
+        if len(rows):
+            x[rows, inv] = 1.0
+        sizes = lens.astype(np.float64)
+        xt = x.T
+        n_near = 0
+        sum_j = 0.0
+        step = max(1, _TOPK_CELL_BUDGET // max(n, 1))
+        col = np.arange(n)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            for i0 in range(0, n - 1, step):
+                i1 = min(n - 1, i0 + step)
+                inter = (x[i0:i1] @ xt).astype(np.float64)  # (block, n)
+                union = sizes[i0:i1, None] + sizes[None, :] - inter
+                j = inter / union
+                upper = col[None, :] > np.arange(i0, i1)[:, None]
+                n_near += int(((j >= 0.6) & upper).sum())
+                sum_j += float(j[upper].sum())
+        return pd.DataFrame(
+            {
+                "source": [src],
+                "n_pairs": np.array([n_pairs_total], dtype=np.int64),
+                "n_near_dups": np.array([n_near], dtype=np.int64),
+                "n_j": np.array([n * (n - 1) // 2], dtype=np.int64),
+                "sum_j": np.array([sum_j], dtype=np.float64),
+            }
+        )
+
+    agg = t.groupBy("source").applyInPandas(
+        kern,
+        "source string, n_pairs bigint, n_near_dups bigint, n_j bigint, "
+        "sum_j double",
     )
-    inter = F.size(F.array_intersect("s_a", "s_b")).cast("double")
-    union = F.size("s_a") + F.size("s_b") - F.size(F.array_intersect("s_a", "s_b"))
-    pairs = (
-        a.join(b, (F.col("source") == F.col("source_b")) & (F.col("a_id") < F.col("b_id")))
-        .select("source", (inter / union).alias("j"))
-    )
-    return pairs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(F.when(F.col("j") >= 0.6, 1).otherwise(0)).alias("n_near_dups"),
-        F.round(F.avg("j"), 6).alias("avg_jaccard"),
+    return agg.select(
+        "source",
+        "n_pairs",
+        "n_near_dups",
+        # AVG skips NULL j values: denominator is the NON-NULL pair
+        # count; all-NULL → AVG of nothing → NULL
+        F.when(
+            F.col("n_j") > 0, F.round(F.col("sum_j") / F.col("n_j"), 6)
+        ).alias("avg_jaccard"),
     )
 
 
@@ -1266,18 +1388,19 @@ def k19_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def k20_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cap disabled for the same oracle-contract reason as k2;
+    # exact-recall union (k2 note): boundary pairs escape banding.
+    # r10: same persisted-candidate pipeline as k2 — dedup_clusters
+    # consumes the pair set eagerly (localCheckpoint per CC round), so
+    # the caches are freed right here instead of plan-bound.
     d = load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d, n_hashes=32, shingle_k=3)
-    # cap disabled for the same oracle-contract reason as k2
-    cands = lsh_candidate_pairs(
-        sigs, n_bands=8, rows_per_band=4, max_bucket_size=None
-    )
-    # exact-recall union (k2 note): boundary pairs escape banding
-    cands = cands.unionByName(
-        prefix_candidates(d, shingle_k=3, threshold=0.5)
-    ).distinct()
-    pairs = verify_jaccard(cands, d, shingle_k=3, threshold=0.5)
-    return dedup_clusters(pairs)
+    caches: list[DataFrame] = []
+    try:
+        pairs = verified_near_dup_pairs(d, caches, shingle_k=3, threshold=0.5)
+        return dedup_clusters(pairs)
+    finally:
+        for c in caches:
+            c.unpersist()
 
 
 # --- K21/K22: reproducible splitting & sampling --------------------------------
@@ -2049,11 +2172,16 @@ def k15d_multimodal_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh AS (
+      -- 3-way shifted zip, linear in len(t): the per-index t[i:i+2]
+      -- slice re-sliced the token list per shingle -- O(n^2), hung the
+      -- oracle on a 290k-token megadoc (r10 --megadoc sweep).  Short
+      -- docs (len < 3) keep the original one-shingle whole-list form.
       SELECT doc_id,
-             list_distinct(list_transform(
-               generate_series(1, greatest(len(t) - 2, 1)),
-               i -> array_to_string(t[i:i+2], ' ')
-             )) AS s
+             CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+               list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
+               x -> concat(x[1], ' ', x[2], ' ', x[3])
+             ))
+             ELSE [array_to_string(t, ' ')] END AS s
       FROM toks
     ),
     near AS (
@@ -2112,13 +2240,10 @@ def k73_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n.doc_id").alias("doc_id"))
         .agg(F.count(F.lit(1)).alias("n_exact"))
     )
-    sigs = minhash_signatures(d, n_hashes=32, shingle_k=3)
-    cands = lsh_candidate_pairs(sigs, n_bands=8, rows_per_band=4, max_bucket_size=None)
-    # exact-recall union (k2 note): boundary pairs escape banding
-    cands = cands.unionByName(
-        prefix_candidates(d, shingle_k=3, threshold=0.5)
-    ).distinct()
-    verified = verify_jaccard(cands, d, shingle_k=3, threshold=0.5)
+    # exact-recall union (k2 note): boundary pairs escape banding;
+    # r10: persisted-candidate pipeline shared with k2/k20/k62
+    caches: list[DataFrame] = []
+    verified = verified_near_dup_pairs(d, caches, shingle_k=3, threshold=0.5)
     cross = verified.filter((F.col("a") % 2) != (F.col("b") % 2)).select(
         F.when(F.col("a") % 2 == 1, F.col("a")).otherwise(F.col("b")).alias("doc_id"),
         "jaccard",
@@ -2127,7 +2252,7 @@ def k73_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_near"),
         F.max("jaccard").alias("max_jaccard"),
     )
-    return (
+    result = (
         newb.select("doc_id")
         .join(exact, "doc_id", "left")
         .join(near, "doc_id", "left")
@@ -2142,6 +2267,8 @@ def k73_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_jaccard",
         )
     )
+    _unpersist_with(result, *caches)
+    return result
 
 
 # --- K80: Zipf-law fit of the corpus term-frequency distribution --------------

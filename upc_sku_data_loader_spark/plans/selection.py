@@ -37,13 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load
-from ..operators.dedup import (
-    dedup_clusters,
-    lsh_candidate_pairs,
-    minhash_signatures,
-    prefix_candidates,
-    verify_jaccard,
-)
+from ..operators.dedup import dedup_clusters, verified_near_dup_pairs
 from ..registry import query
 from .llm import K2_ORACLE
 
@@ -117,18 +111,19 @@ def k62_cluster_best_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     sees a skewed partition at any corpus size.
     """
     d = load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d, n_hashes=32, shingle_k=3)
-    cands = lsh_candidate_pairs(
-        sigs, n_bands=8, rows_per_band=4, max_bucket_size=None
-    )
-    # exact-recall union (llm.py k2 note): boundary pairs escape banding
-    cands = cands.unionByName(
-        prefix_candidates(d, shingle_k=3, threshold=0.5)
-    ).distinct()
-    pairs = verify_jaccard(cands, d, shingle_k=3, threshold=0.5)
-    clusters = dedup_clusters(pairs).withColumnRenamed(
-        "cluster_keeper", "cluster_id"
-    )
+    # exact-recall union (llm.py k2 note): boundary pairs escape
+    # banding; r10: persisted-candidate pipeline shared with k2/k20/k73.
+    # dedup_clusters consumes the pairs eagerly (localCheckpoint per CC
+    # round), so the caches are freed right here instead of plan-bound.
+    caches: list[DataFrame] = []
+    try:
+        pairs = verified_near_dup_pairs(d, caches, shingle_k=3, threshold=0.5)
+        clusters = dedup_clusters(pairs).withColumnRenamed(
+            "cluster_keeper", "cluster_id"
+        )
+    finally:
+        for c in caches:
+            c.unpersist()
     quality = d.select(
         "doc_id",
         F.expr(

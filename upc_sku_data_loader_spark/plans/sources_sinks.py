@@ -2547,9 +2547,6 @@ def etl12_data_vault_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed in one pass per source table."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
-    hub = lambda prefix, col, src: src.select(  # noqa: E731
-        F.md5(F.concat(F.lit(prefix + "|"), F.col(col).cast("string"))).alias("hk")
-    ).distinct()
     link_key = F.md5(
         F.concat(
             F.lit("L|"),
@@ -2569,28 +2566,48 @@ def etl12_data_vault_load(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_returnflag"),
         )
     )
+    # r10 (guide §2.3/§2.4): the audit row of each vault table is ONE
+    # aggregate per branch instead of DISTINCT → 5-way union → regroup
+    # with countDistinct.  The old shape deduplicated every branch
+    # (Exchange each), shuffled the union, and then ran a SECOND
+    # distinct-aggregate expansion over rows that were already unique;
+    # per branch, count/countDistinct/min/max over hk in a single agg
+    # is the same answer — for the DISTINCT branches n_rows IS
+    # n_distinct (COUNT(*) over SELECT DISTINCT = COUNT(DISTINCT)),
+    # and min/max are distinct-insensitive.  The n_rows > 0 filter
+    # reproduces GROUP BY semantics on an empty source (a global agg
+    # emits one row where GROUP BY emits none — --empty sweep).
+    def audit(
+        name: str, hk: "F.Column", src: DataFrame, dedup: bool
+    ) -> DataFrame:
+        n_rows = (
+            F.countDistinct("hk") if dedup else F.count(F.lit(1)).cast("long")
+        )
+        return (
+            src.select(hk.alias("hk"))
+            .agg(
+                n_rows.alias("n_rows"),
+                F.countDistinct("hk").alias("n_distinct"),
+                F.min("hk").alias("min_hk"),
+                F.max("hk").alias("max_hk"),
+            )
+            .select(F.lit(name).alias("vault_table"), "*")
+        )
+
+    hub_key = lambda prefix, col: F.md5(  # noqa: E731
+        F.concat(F.lit(prefix + "|"), F.col(col).cast("string"))
+    )
     parts = [
-        hub("C", "o_custkey", o).select(F.lit("hub_customer").alias("vault_table"), "hk"),
-        hub("P", "l_partkey", li).select(F.lit("hub_part").alias("vault_table"), "hk"),
-        hub("S", "l_suppkey", li).select(
-            F.lit("hub_supplier").alias("vault_table"), "hk"
-        ),
-        li.select(link_key.alias("hk"))
-        .distinct()
-        .select(F.lit("link_order_part_supp").alias("vault_table"), "hk"),
-        li.select(hashdiff.alias("hk")).select(
-            F.lit("sat_lineitem").alias("vault_table"), "hk"
-        ),
+        audit("hub_customer", hub_key("C", "o_custkey"), o, True),
+        audit("hub_part", hub_key("P", "l_partkey"), li, True),
+        audit("hub_supplier", hub_key("S", "l_suppkey"), li, True),
+        audit("link_order_part_supp", link_key, li, True),
+        audit("sat_lineitem", hashdiff, li, False),
     ]
     u = parts[0]
     for x in parts[1:]:
         u = u.unionAll(x)
-    return u.groupBy("vault_table").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("hk").alias("n_distinct"),
-        F.min("hk").alias("min_hk"),
-        F.max("hk").alias("max_hk"),
-    )
+    return u.filter(F.col("n_rows") > 0)
 
 
 # --- A28: hidden file-metadata columns ----------------------------------------

@@ -974,40 +974,81 @@ def t11_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The recurrence is inherently sequential per key — not a window
     function (each step feeds the next through TWO coupled states, so no
-    finite-kernel rewrite exists, unlike t8's EWMA) — so this is the
-    canonical `applyInPandas` shape: ONE shuffle on user_id, then a
-    per-key in-memory scan.  The oracle runs the identical operation
-    tree as a DuckDB recursive CTE; both engines do correctly-rounded
-    IEEE double ops in the same order, so l/b agree bit-for-bit and the
-    terminal micro-unit rounding (HALF_UP in both) is hash-exact.
+    finite-kernel rewrite exists, unlike t8's EWMA).  ONE shuffle on
+    user_id, then a per-key in-memory scan.  The oracle runs the
+    identical operation tree as a DuckDB recursive CTE; both engines do
+    correctly-rounded IEEE double ops in the same order, so l/b agree
+    bit-for-bit and the terminal micro-unit rounding (HALF_UP in both)
+    is hash-exact.
+
+    r10 rewrite (guide §4.2): the original shape was
+    ``groupBy(user_id).applyInPandas`` with an interpreted Python
+    row-loop per series — per-GROUP pandas construction overhead times
+    thousands of small groups, plus one interpreted float op per row
+    (7.6 s noop at sf0.1).  The recurrence is sequential per SERIES but
+    independent ACROSS series, so the r10 form repartitions by user_id
+    (the same single Exchange), sorts the whole partition once, and
+    advances ALL series in lockstep: step t updates every series of
+    length > t with vectorized elementwise numpy ops.  Per series the
+    op SEQUENCE is unchanged — numpy elementwise float64 ops are the
+    same correctly-rounded IEEE scalar ops — so l/b stay bit-identical
+    to the scalar loop and the recursive CTE (parity + fuzz re-checked
+    r10).  Wall cost drops from O(rows) interpreted steps to
+    O(max series length) vector steps.
 
     Scale: at 100 TB this partitions by user exactly like t5/t8; state
-    per key is two doubles.  A key whose history exceeds executor memory
-    would switch to chunked iteration over sorted per-user spills —
-    applyInPandas already feeds groups whole, which is the right
-    granularity for bounded per-entity streams."""
+    per key is two doubles (a U-vector per partition).  The kernel
+    concatenates its partition's Arrow batches once — bounded by the
+    shuffle partition size, the same bound applyInPandas' whole-group
+    materialization already imposed."""
+    from typing import Iterator
+
+    import numpy as np
     import pandas as pd
 
-    def _holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        alpha, beta, one_m_beta = 0.5, 0.3, 0.7
-        levels: list[float] = []
-        trends: list[float] = []
-        l = b = 0.0
-        for i, y in enumerate(pdf["value"]):
-            y = float(y)
-            if i == 0:
-                l, b = y, 0.0
+    alpha, beta, one_m_beta = 0.5, 0.3, 0.7
+
+    def _holt_partition(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(
+            ["user_id", "ts", "event_id"], ignore_index=True
+        )
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        users = pdf["user_id"].to_numpy()
+        n = len(pdf)
+        starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        u_count = len(starts)
+        lvl = np.zeros(u_count)
+        trd = np.zeros(u_count)
+        out_l = np.empty(n)
+        out_b = np.empty(n)
+        for t in range(int(lens.max())):
+            active = lens > t  # series still running at step t
+            rows = starts[active] + t
+            y = vals[rows]
+            if t == 0:
+                lvl[active] = y
+                trd[active] = 0.0
             else:
-                l_new = alpha * y + alpha * (l + b)
-                b = beta * (l_new - l) + one_m_beta * b
-                l = l_new
-            levels.append(l)
-            trends.append(b)
-        pdf["rn"] = range(1, len(pdf) + 1)
-        pdf["l"] = levels
-        pdf["b"] = trends
-        return pdf
+                la = lvl[active]
+                ba = trd[active]
+                l_new = alpha * y + alpha * (la + ba)
+                trd[active] = beta * (l_new - la) + one_m_beta * ba
+                lvl[active] = l_new
+            out_l[rows] = lvl[active]
+            out_b[rows] = trd[active]
+        pdf["rn"] = np.arange(n) - np.repeat(starts, lens) + 1
+        pdf["l"] = out_l
+        pdf["b"] = out_b
+        yield pdf
 
     # a non-finite observation would poison the coupled (l, b) state
     # for the rest of the stream; excluded on BOTH engines (--extreme
@@ -1022,8 +1063,8 @@ def t11_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
         .select("user_id", "ts", "event_id", "value")
     )
-    smoothed = purchases.groupBy("user_id").applyInPandas(
-        _holt,
+    smoothed = purchases.repartition("user_id").mapInPandas(
+        _holt_partition,
         schema=(
             "user_id bigint, ts timestamp_ntz, event_id bigint, "
             "value double, rn bigint, l double, b double"

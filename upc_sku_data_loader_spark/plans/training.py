@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..functions import vectors as V
 from ..functions.exprs import dsum, dsum_sql
-from ..operators.dedup import dedup_clusters
+from ..operators.dedup import dedup_clusters, unpersist_with
 from ..registry import query
 
 PACK_LEN = 256  # tokens per packed context window (k32)
@@ -692,66 +692,115 @@ def k41_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a vector is dropped when a lower-id member sits within cosine ≥ τ —
     greedy keep-first, the paper's rule made deterministic.
 
-    Scale design: the pairwise stage is quadratic ONLY within a
-    cluster — the whole point of SemDeDup; C grows with the corpus
-    (50k clusters at 100M docs) so cluster populations stay bounded
-    and the self-join shuffles on the cluster key.  Centroids are a
-    deterministic bounded collect (C rows, like k16's IVF seeding);
-    assignment is a broadcast of C rows against the full table —
-    map-side, no shuffle.  At real scale the zip_with cosine kernel
-    swaps for the mapInPandas numpy block-matmul (operators/
-    similarity.py) with identical semantics; the higher-order-function
-    form here is the oracle-exact tier (functions/vectors.py note).
-    Cosines round to 6 dp on both engines before every comparison, so
-    argmax ties and threshold edges cannot diverge across libms.
-    Finite-vector convention (functions/vectors.py): NaN/Inf vectors
-    participate in neither seeding, assignment, nor the pair stage."""
-    from ..functions.vectors import finite_vec
+    r10 rewrite (guide §4.2: hand whole batches to vectorized native
+    code): both the assignment and the within-cluster pair stage moved
+    from interpreted ``zip_with`` cosine HOFs to the numpy float64
+    block-matmul kernel family (operators/similarity.py) — the swap the
+    r9 docstring already scoped.  Before: crossJoin(seeds) + per-vec_id
+    ROW_NUMBER window + member join + cluster self-join + DISTINCT +
+    left join = 5 Exchanges and ~n_pairs interpreted 64-dim cosine
+    folds (15.1 s noop at sf0.1).  After: ONE map-side ``mapInPandas``
+    assignment (centroid argmax against a C-row broadcast matrix) and
+    ONE Exchange on the cluster key into a ``applyInPandas`` kernel
+    that computes the pair stage as a normalized matmul (column-blocked
+    to the similarity kernels' cell budget).  Values identical: cosine
+    = dot of L2-normalized float64 rows rounded to 6 dp — the same
+    kernel-vs-oracle contract k3/k4/k17 have held bit-exact through
+    every parity/fuzz sweep since r6; argmax ties break to the lowest
+    cid (np.argmax first-occurrence over ascending-cid columns = the
+    old ORDER BY sim DESC, cid ASC); dropped[j] = any lower-id member
+    with sim ≥ τ computed on the same rounded values.  Zero-norm
+    vectors map to the engines' shared 0.0-cosine convention via
+    ``_normalized`` (norms==0 → unit divisor).
 
-    e = load(spark, sf_dir, "embeddings").filter(finite_vec("embedding"))
-    seeds = (
-        e.orderBy("vec_id")
+    Scale design (unchanged): the pairwise stage is quadratic ONLY
+    within a cluster — the whole point of SemDeDup; C grows with the
+    corpus (50k clusters at 100M docs) so cluster populations stay
+    bounded; the kernel's column blocking bounds per-task transient
+    memory at the similarity-family budget.  Centroids are a
+    deterministic bounded collect (C rows, like k16's IVF seeding).
+    Finite-vector convention (functions/vectors.py): NaN/Inf vectors
+    participate in neither seeding, assignment, nor the pair stage —
+    enforced numpy-side by ``_finite_rows``, the exact twin of
+    ``finite_vec``."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.vectors import finite_vec
+    from ..operators.similarity import (
+        _TOPK_CELL_BUDGET,
+        _finite_rows,
+        _normalized,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    seed_rows = (
+        e.filter(finite_vec("embedding"))
+        .orderBy("vec_id")
         .limit(_SEMD_C)
-        .select(
-            F.col("vec_id").alias("cid"), V.as_double(F.col("embedding")).alias("cemb")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    out_schema = "vec_id long, cluster long, kept int"
+    if not seed_rows:
+        # no finite vectors at all (empty sweep): no assignments exist
+        return spark.createDataFrame([], out_schema)
+    cids = np.array([r["vec_id"] for r in seed_rows], dtype=np.int64)
+    cmat_t = _normalized(
+        np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
+    ).T  # (d, C); cids ascend because seeds are ordered by vec_id
+
+    def assign_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, mat = _finite_rows(pdf)
+            if len(ids) == 0:
+                continue
+            sims = np.round(_normalized(mat) @ cmat_t, 6)
+            # ties → first max = lowest cid (columns ascend by cid)
+            best = np.argmax(sims, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cluster": cids[best],
+                    "emb": [row.tolist() for row in mat],
+                }
+            )
+
+    assigned = e.select("vec_id", "embedding").mapInPandas(
+        assign_fn, "vec_id long, cluster long, emb array<double>"
+    )
+
+    def pair_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        nm = _normalized(
+            np.vstack(pdf["emb"].to_numpy()[order]).astype(np.float64)
         )
-    )
-    scored = e.crossJoin(F.broadcast(seeds)).select(
-        "vec_id",
-        "cid",
-        F.round(V.cosine(V.as_double(F.col("embedding")), F.col("cemb")), 6).alias(
-            "sim"
-        ),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
-    assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("cluster"))
-    )
-    emb = e.select("vec_id", V.as_double(F.col("embedding")).alias("emb"))
-    mem = assign.join(emb, "vec_id")
-    x = mem.select(
-        F.col("vec_id").alias("xa"), F.col("cluster").alias("ca"), F.col("emb").alias("ea")
-    )
-    y = mem.select(
-        F.col("vec_id").alias("yb"), F.col("cluster").alias("cb"), F.col("emb").alias("eb")
-    )
-    dropped = (
-        x.join(y, (F.col("ca") == F.col("cb")) & (F.col("xa") < F.col("yb")))
-        .filter(F.round(V.cosine(F.col("ea"), F.col("eb")), 6) >= _SEMD_TAU)
-        .select(F.col("yb").alias("vec_id"))
-        .distinct()
-        .withColumn("is_dropped", F.lit(1))
-    )
-    return (
-        assign.join(dropped, "vec_id", "left")
-        .select(
-            "vec_id",
-            "cluster",
-            F.when(F.col("is_dropped").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
+        n = len(ids)
+        dropped = np.zeros(n, dtype=bool)
+        if n > 1:
+            # column blocks bound the sims transient to the shared
+            # similarity-kernel cell budget (cluster sizes are the one
+            # dimension SemDeDup does not cap per-row)
+            step = max(64, _TOPK_CELL_BUDGET // n)
+            for j0 in range(0, n, step):
+                j1 = min(n, j0 + step)
+                sims = np.round(nm @ nm[j0:j1].T, 6)  # (n, j1-j0)
+                # witness rows are the STRICTLY-lower-id members only
+                lower = np.arange(n)[:, None] < np.arange(j0, j1)[None, :]
+                dropped[j0:j1] = ((sims >= _SEMD_TAU) & lower).any(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": pdf["cluster"].iloc[0],
+                "kept": (~dropped).astype(np.int32),
+            }
         )
-    )
+
+    return assigned.groupBy("cluster").applyInPandas(pair_fn, out_schema)
 
 
 # --- K42: distributed k-means (Lloyd iterations over embeddings) --------------
@@ -1652,10 +1701,11 @@ def _bpe_pair_counts(state: DataFrame) -> DataFrame:
 
 def _bpe_learn(
     spark: SparkSession, sf_dir: str
-) -> tuple[list[tuple], DataFrame]:
+) -> tuple[list[tuple], DataFrame, DataFrame]:
     """Run the merge-learning loop; returns the chosen merges (as
-    (stage, l, r, cnt, 1) rows) and the post-merge vocabulary state
-    (w, f, seq)."""
+    (stage, l, r, cnt, 1) rows), the post-merge vocabulary state
+    (w, f, seq), and the PERSISTED base state the caller must tie to
+    its returned plan (``unpersist_with(result, base)``)."""
     wf = (
         load(spark, sf_dir, "documents")
         .select(F.explode(F.split("text", " ")).alias("w"))
@@ -1663,12 +1713,20 @@ def _bpe_learn(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("f"))
     )
+    # r10 (guide §5): every merge round's 1-row argmax collect — and
+    # the caller's final pair-count pass — re-executed the corpus
+    # explode → word-count groupBy from scratch (4 full corpus passes
+    # for 3 merges; 3.5 s noop at sf0.1).  The vocabulary state is
+    # DISTINCT-WORD-sized, so persist the base state once; each round
+    # replans as i replace-projections over the cached relation.  The
+    # caller owns the cache through the returned state's lifetime.
     state = wf.withColumn(
         "seq",
         F.concat(
             F.lit("|"), F.array_join(F.split("w", ""), "||"), F.lit("|")
         ),
-    )
+    ).persist()
+    base = state
     merges = []
     for i in range(1, _BPE_MERGES + 1):
         rows = (
@@ -1686,7 +1744,7 @@ def _bpe_learn(
         state = state.withColumn(
             "seq", F.replace("seq", F.lit(pat), F.lit(rep))
         )
-    return merges, state
+    return merges, state, base
 
 
 @query("k68_bpe_merges", oracle=_bpe_oracle())
@@ -1706,7 +1764,7 @@ def k68_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     a production 32k-merge run would batch this loop with
     localCheckpoint lineage truncation exactly as k42 does.
     """
-    merges, state = _bpe_learn(spark, sf_dir)
+    merges, state, bpe_base = _bpe_learn(spark, sf_dir)
     merge_df = spark.createDataFrame(
         merges, "stage int, sym_left string, sym_right string, "
         "pair_count bigint, rk int"
@@ -1731,7 +1789,9 @@ def k68_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
-    return merge_df.unionByName(final)
+    result = merge_df.unionByName(final)
+    unpersist_with(result, bpe_base)
+    return result
 
 
 # --- K69: BPE encoding of the corpus with the learned merges ------------------
@@ -1775,7 +1835,7 @@ def k69_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-scale shuffle is the per-doc agg.  Fertility is integer
     micro-units (`div` ≡ `//`), no floats anywhere.
     """
-    _, state = _bpe_learn(spark, sf_dir)
+    _, state, bpe_base = _bpe_learn(spark, sf_dir)
     wn = state.select(
         "w",
         F.size(
@@ -1785,7 +1845,7 @@ def k69_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     wtok = load(spark, sf_dir, "documents").select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     )
-    return (
+    result = (
         wtok.join(F.broadcast(wn), "w")
         .groupBy("doc_id")
         .agg(
@@ -1801,6 +1861,8 @@ def k69_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    unpersist_with(result, bpe_base)
+    return result
 
 
 # --- K76: BPE round-trip proof (decode(encode(w)) == w, corpus-wide) ----------
@@ -1844,7 +1906,7 @@ def k76_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived vocabularies agree symbol-for-symbol AND the encoding is
     invertible.  Shape: identical to k69 — bounded vocab loop, one
     broadcast join over the word stream, one per-doc agg."""
-    _, state = _bpe_learn(spark, sf_dir)
+    _, state, bpe_base = _bpe_learn(spark, sf_dir)
     decoded = state.select(
         "w",
         F.expr(
@@ -1857,7 +1919,7 @@ def k76_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = F.sum(
         F.when(F.col("w_decoded") == F.col("w"), 1).otherwise(0)
     ).alias("n_roundtrip_exact")
-    return (
+    result = (
         wtok.join(F.broadcast(decoded), "w")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_words"), exact)
@@ -1868,6 +1930,8 @@ def k76_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_words") == F.col("n_roundtrip_exact")).alias("lossless"),
         )
     )
+    unpersist_with(result, bpe_base)
+    return result
 
 
 # --- K86: trigram stupid-backoff scorer ---------------------------------------
