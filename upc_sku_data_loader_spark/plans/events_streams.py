@@ -25,7 +25,11 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..functions.exprs import dsum, fsum, fsum_sql
 from ..registry import query
-from ..streaming.sources import read_events_stream, run_available_now
+from ..streaming.sources import (
+    read_events_stream,
+    run_available_now,
+    stream_state_partitions,
+)
 
 # Shared DuckDB gaps-and-islands sessionization (twin for I3 and I6).
 # Gap-boundary convention (fuzz sweep, seed 7): an event EXACTLY `gap`
@@ -171,7 +175,7 @@ def i4_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("hour_start"), "event_type", "n_events")
     )
-    out = run_available_now(agg, "i4_watermark_sink")
+    out = run_available_now(agg, "i4_watermark_sink", sf_dir)
     return out.withColumn("hour_start", F.col("hour_start").cast("timestamp_ntz"))
 
 
@@ -439,6 +443,12 @@ def i6b_stateful_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    # NO stream_state_partitions gate here (measured r10): i6b's wall
+    # is the per-row Python state machine, not state-store commits —
+    # shrinking to 4 state partitions also shrank the pool of parallel
+    # Python workers and made it 1.8x SLOWER (1.9 s → 3.4 s).  The
+    # session shuffle default keeps the Python work wide; state commit
+    # cost is secondary for a single-store stateful op.
     q = (
         sessions.writeStream.format("memory")
         .queryName("i6b_sessions")
@@ -574,7 +584,7 @@ def i13_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
     )
-    out = run_available_now(agg, "i13_sliding_sink")
+    out = run_available_now(agg, "i13_sliding_sink", sf_dir)
     return out.withColumn("window_start", F.col("window_start").cast("timestamp_ntz"))
 
 
@@ -610,14 +620,15 @@ def i15_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_id", "event_type", "user_id"]
     )
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(f"i15_dedup_{tag}")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_state_partitions(spark, sf_dir):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(f"i15_dedup_{tag}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(f"i15_dedup_{tag}").select("event_id", "event_type", "user_id")
 
 
@@ -705,14 +716,15 @@ def i16_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (c.c_ts <= p.p_ts),
         "leftOuter",
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName("i16_outer")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_state_partitions(spark, sf_dir):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("i16_outer")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("i16_outer").select(
         "purchase_id",
         "user_id",
@@ -791,14 +803,15 @@ def i17_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("i17_sessions")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_state_partitions(spark, sf_dir):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("i17_sessions")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("i17_sessions").select(
         "user_id",
         F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
@@ -856,7 +869,7 @@ def i18_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = bucketed.groupBy("w", "event_type").agg(
         F.count(F.lit(1)).alias("n_users")
     )
-    out = run_available_now(counted, "i18_distinct_users")
+    out = run_available_now(counted, "i18_distinct_users", sf_dir)
     return out.select(
         F.col("w.start").cast("timestamp_ntz").alias("ws"),
         "event_type",

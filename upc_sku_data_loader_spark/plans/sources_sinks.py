@@ -30,7 +30,11 @@ from ..registry import query
 from ..sources.db import db_sink_upsert, db_source, jdbc_sink_append
 from ..sources.files import csv_source, json_source, parquet_sink
 from ..sources.rest_api import fetch_products
-from ..streaming.sources import read_events_stream, run_available_now
+from ..streaming.sources import (
+    read_events_stream,
+    run_available_now,
+    stream_state_partitions,
+)
 
 _REPO = Path(__file__).resolve().parents[2]
 
@@ -335,7 +339,7 @@ def a9_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
     tag = (Path(sf_dir).name or "sf").replace(".", "_")
-    return run_available_now(agg, f"a9_counts_{tag}")
+    return run_available_now(agg, f"a9_counts_{tag}", sf_dir)
 
 
 # --- I9: foreachBatch → idempotent DB upsert (the reference's load loop,
@@ -529,14 +533,15 @@ def i10_output_modes_triggers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tag = (Path(sf_dir).name or "sf").replace(".", "_")
     name = f"i10_append_{tag}"
-    q = (
-        windowed.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")  # ≠ complete: only watermark-closed windows
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_state_partitions(spark, sf_dir):
+        q = (
+            windowed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")  # ≠ complete: only watermark-closed windows
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -1292,7 +1297,7 @@ def a16b_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("seq").cast("bigint").alias("sum_seq"),
     )
     tag = (Path(sf_dir).name or "sf").replace(".", "_")
-    return run_available_now(agg, f"a16b_stream_{tag}")
+    return run_available_now(agg, f"a16b_stream_{tag}", sf_dir)
 
 
 # --- ETL7: data-quality expectation suite (single-pass audit report) ----------
