@@ -1648,6 +1648,27 @@ def k16b_ann_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     the IVF speedup); rerank is a per-query window over candidates
     only.  Recall-vs-exact for the trained variant is pytest-pinned on
     k16; this variant pins the VALUE semantics cross-engine."""
+    # r10 rewrite (guide §4.2, the k41 swap): the JVM form paid an
+    # interpreted zip_with cosine fold PER (row, seed) for assignment
+    # (n×K folds) and PER candidate for the rerank (~NQ·NPROBE·n/K
+    # folds) — 4.2 s noop at sf0.1.  Both stages now run in the numpy
+    # float64 kernel family at the same 6-dp rounding contract that
+    # k3/k4/k17/k41 have held bit-exact against the DuckDB oracles
+    # through every parity/fuzz sweep since r6.  Seeds AND queries are
+    # bounded collects (K×d, NQ×d — the k42 class); per-query probe
+    # lists are derived driver-side from those K·NQ cosines; list
+    # assignment is ONE map-side mapInPandas argmax; the rerank is one
+    # Exchange on the list id into an applyInPandas block matmul
+    # against the ≤NQ probing queries.  Tie-breaks unchanged: argmax
+    # first-occurrence over cid-ascending columns ≡ the old
+    # (negc, cid) struct-min; probe order (cos desc, cid asc) ≡ the
+    # old array_sort slice.
+    from typing import Iterator
+
+    import numpy as np
+
+    from ..operators.similarity import _finite_rows, _normalized
+
     e = (
         load(spark, sf_dir, "embeddings")
         .filter(V.finite_vec("embedding"))  # finite-vector convention
@@ -1658,56 +1679,71 @@ def k16b_ann_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "q_vec_id bigint, rank int, n_vec_id bigint, cos_r double"
         )
-    seeds = [(cid, r["vec_id"], r["v"]) for cid, r in enumerate(seed_rows)]
+    q_rows = e.orderBy("vec_id").limit(_IVF_NQ).collect()
+    smat = _normalized(np.array([r["v"] for r in seed_rows], dtype=np.float64))
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    qn = _normalized(np.array([r["v"] for r in q_rows], dtype=np.float64))
+    qcos = np.round(qn @ smat.T, 6)  # NQ × K
+    # per-query probe lists → per-cid probing-query index lists
+    probes: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        order = sorted(range(len(seed_rows)), key=lambda c: (-qcos[qi, c], c))
+        for c in order[:_IVF_NPROBE]:
+            probes.setdefault(c, []).append(qi)
 
-    def lit_vec(vals):
-        return F.array([F.lit(x) for x in vals])
+    def assign_fn(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
 
-    def best_cid(vcol, n):
-        # argmax over literal seeds: max by (rounded cosine desc, cid asc)
-        return F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        (-F.round(V.cosine(vcol, lit_vec(sv)), 6)).alias("negc"),
-                        F.lit(cid).alias("cid"),
-                    )
-                    for cid, _, sv in seeds[:n]
-                ]
+        for pdf in batches:
+            ids, mat = _finite_rows(pdf)
+            if len(ids) == 0:
+                continue
+            sims = np.round(_normalized(mat) @ smat.T, 6)
+            best = np.argmax(sims, axis=1)  # ties → lowest cid
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cid": best.astype(np.int32),
+                    "v": [row.tolist() for row in mat],
+                }
             )
+
+    assigned = e.select(
+        F.col("vec_id"), F.col("v").alias("embedding")
+    ).mapInPandas(assign_fn, "vec_id long, cid int, v array<double>")
+
+    def cand_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "q_vec_id": pd.Series([], dtype=np.int64),
+                "n_vec_id": pd.Series([], dtype=np.int64),
+                "cos_r": pd.Series([], dtype=np.float64),
+            }
+        )
+        if not len(pdf):
+            return empty
+        qs_idx = probes.get(int(pdf["cid"].iloc[0]), [])
+        if not qs_idx:
+            return empty
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+        cos = np.round(_normalized(mat) @ qn[qs_idx].T, 6)  # members × q
+        q_sel = qids[qs_idx]
+        n_m, n_q = cos.shape
+        out_q = np.repeat(q_sel, n_m)
+        out_n = np.tile(ids, n_q)
+        out_c = cos.T.ravel()
+        keep = out_n != out_q  # a vector is not its own neighbor
+        return pd.DataFrame(
+            {"q_vec_id": out_q[keep], "n_vec_id": out_n[keep], "cos_r": out_c[keep]}
         )
 
-    assign = e.select(
-        "vec_id", "v", best_cid(F.col("v"), _IVF_K)["cid"].alias("cid")
-    )
-    qs = e.orderBy("vec_id").limit(_IVF_NQ).select(
-        F.col("vec_id").alias("q_vec_id"), F.col("v").alias("qv")
-    )
-    # per-query probe list: rank ALL seed cosines, keep nprobe
-    probe_structs = F.array(
-        *[
-            F.struct(
-                (-F.round(V.cosine(F.col("qv"), lit_vec(sv)), 6)).alias("negc"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, _, sv in seeds
-        ]
-    )
-    qprobe = qs.select(
-        "q_vec_id",
-        "qv",
-        F.explode(
-            F.slice(F.array_sort(probe_structs), 1, _IVF_NPROBE)
-        ).alias("p"),
-    ).select("q_vec_id", "qv", F.col("p.cid").alias("cid"))
-    cand = (
-        qprobe.join(assign, "cid")
-        .filter(F.col("vec_id") != F.col("q_vec_id"))
-        .select(
-            "q_vec_id",
-            F.col("vec_id").alias("n_vec_id"),
-            F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cos_r"),
-        )
+    cand = assigned.groupBy("cid").applyInPandas(
+        cand_fn, "q_vec_id long, n_vec_id long, cos_r double"
     )
     w = Window.partitionBy("q_vec_id").orderBy(
         F.desc("cos_r"), F.asc("n_vec_id")
