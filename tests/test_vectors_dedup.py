@@ -152,6 +152,29 @@ def test_dedup_clusters_matches_union_find_on_random_graphs(spark):
         assert got == expected
 
 
+def test_dedup_clusters_driver_and_distributed_paths_agree(spark, monkeypatch):
+    """r10: the size-gated driver union-find fast path and the
+    distributed min-label loop must emit identical components (the k18
+    gate-pinning pattern: force the distributed path by zeroing the
+    gate)."""
+    from upc_sku_data_loader_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 8), (8, 9), (9, 10), (3, 11)],
+        "a long, b long",
+    )
+    fast = {
+        (r["doc_id"], r["cluster_keeper"])
+        for r in D.dedup_clusters(pairs).collect()
+    }
+    monkeypatch.setattr(D, "_CC_DRIVER_MAX_EDGES", 0)
+    slow = {
+        (r["doc_id"], r["cluster_keeper"])
+        for r in D.dedup_clusters(pairs).collect()
+    }
+    assert fast == slow and len(fast) == 10
+
+
 # --- k14b md5-simhash ---------------------------------------------------------
 
 

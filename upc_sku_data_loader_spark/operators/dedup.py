@@ -21,6 +21,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
 import weakref
 
 from pyspark.sql import Column, DataFrame, Window
@@ -413,6 +414,48 @@ def verify_jaccard(
     )
 
 
+#: Driver union-find gate for dedup_clusters: symmetrized edge rows at
+#: or below this run on the driver (2M edges ≈ 32 MB of longs — well
+#: inside maxResultSize); above it the distributed min-label loop runs.
+_CC_DRIVER_MAX_EDGES = int(
+    os.environ.get("SPARK_GRAFT_CC_DRIVER_MAX_EDGES", "2000000")
+)
+
+
+def _union_find_clusters(spark, edge_rows) -> DataFrame:
+    """Driver-side union-find over symmetrized (u, v) edge rows; emits
+    (doc_id, cluster_keeper=min doc id of the component) for every node
+    that appears in an edge — exactly the distributed loop's fixpoint
+    (its label init is the edge-endpoint set, and min-label
+    propagation converges to the component minimum)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        u, v = r["u"], r["v"]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by MIN root: the root IS the running component min,
+            # so no second pass is needed
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    out = [(node, find(node)) for node in parent]
+    return spark.createDataFrame(out, "doc_id bigint, cluster_keeper bigint")
+
+
 def dedup_clusters(pairs: DataFrame, max_iters: int = 15) -> DataFrame:
     """Resolve near-dup pairs into connected components: every member of
     a component maps to the component's lowest doc id (the canonical
@@ -436,11 +479,30 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 15) -> DataFrame:
     plan still deepens every round (Catalyst analysis cost grows until
     the driver OOMs around ~10 rounds); checkpointing truncates lineage
     so every round plans against a flat cached relation.
+
+    Small-graph fast path (r10, guide §1.2: per-round overhead is the
+    wall, not the data): near-dup pair graphs are true-dup-density
+    bound — at sf0.1 the verified pipeline emits 256 pairs / 477
+    nodes, yet the distributed loop costs 2-3 s in pure per-round
+    job-launch + planning latency (2 joins + an eager checkpoint + a
+    convergence count per round).  When the SYMMETRIZED edge count
+    (known for free — the eager checkpoint already materialized it) is
+    within ``_CC_DRIVER_MAX_EDGES``, resolve the components with a
+    driver-side union-find instead: O(E α(E)) over ≤ a few-MB of longs
+    — the same bytes-gated driver-kernel class as k18's CSR verify
+    (gate env-tunable, distributed loop unchanged beyond the gate and
+    pinned equal by tests/test_vectors_dedup.py).  At 100 TB the pair
+    graph of a near-dup-dense corpus exceeds the gate and the loop
+    runs exactly as before.
     """
     e = pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
     edges = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
+    if edges.count() <= _CC_DRIVER_MAX_EDGES:
+        rows = edges.collect()  # gated: ≤ _CC_DRIVER_MAX_EDGES (u, v) longs
+        edges.unpersist()
+        return _union_find_clusters(pairs.sparkSession, rows)
     labels = (
         edges.select(F.col("u").alias("doc_id"))
         .distinct()
