@@ -9,7 +9,6 @@ fingerprint), multimodal binary columns.
 
 from __future__ import annotations
 
-import weakref
 
 import pandas as pd
 
@@ -28,6 +27,7 @@ from ..functions.multimodal import (
 from ..operators.dedup import (
     dedup_clusters,
     simhash,
+    unpersist_with,
     verified_near_dup_pairs,
 )
 from ..operators.similarity import ann_ivf, dedup_embedding, knn_join, topk_pairs
@@ -823,26 +823,11 @@ _K18_KERNEL_MAX_REPS = 2_000_000
 _K18_KERNEL_MAX_BYTES = 512 * 2**20
 
 
-def _unpersist_with(owner: DataFrame, *cached: DataFrame) -> None:
-    """Tie the lifetime of `cached` relations to `owner`: unpersist them
-    when the returned plan is garbage-collected (CPython refcounting
-    fires this as soon as the caller drops the result), so a direct
-    library call leaks no cached blocks for the session's life while the
-    plan stays LAZY (the executed plan remains auditable and the caches
-    serve every action the caller runs on the result).  A caller that
-    keeps derived children but drops the parent merely loses the cache —
-    children recompute, correctness unaffected.  Harness-level
-    ``spark.catalog.clearCache()`` remains a no-op overlap: unpersist on
-    an already-evicted relation does nothing."""
+# Canonical cache-ownership helper now lives in operators/dedup.py
+# (r10); kept under the old name for this module's many call sites.
+_unpersist_with = unpersist_with
 
-    def _cleanup(refs: tuple[DataFrame, ...] = cached) -> None:
-        for df in refs:
-            try:
-                df.unpersist()
-            except Exception:
-                pass  # session already stopped — nothing left to free
 
-    weakref.finalize(owner, _cleanup)
 # Completes the dedup ladder (exact K1 → MinHash-LSH K2 → SimHash K14 →
 # token-Jaccard K9 → embedding K17) with the char-granularity tier that
 # catches near-dups token splitting misses (whitespace/punct edits).
