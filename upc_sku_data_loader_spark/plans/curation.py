@@ -1499,10 +1499,14 @@ def k74_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = feats.select(
         "doc_id",
         "n_tokens",
-        F.expr("(1000000 * n_uniq) div n_tokens").alias("ttr_micro"),
+        # 1000000L: n_uniq/n_digits are INT (size/length) and overflow
+        # the int32 multiply on megadocs under ANSI (r10 --megadoc);
+        # widening the literal keeps the BIGINT div output and every
+        # in-range value identical.
+        F.expr("(1000000L * n_uniq) div n_tokens").alias("ttr_micro"),
         F.expr(
             "CASE WHEN n_chars = 0 THEN NULL"
-            " ELSE (1000000 * n_digits) div n_chars END"
+            " ELSE (1000000L * n_digits) div n_chars END"
         ).alias("digit_micro"),
     )
     score = (

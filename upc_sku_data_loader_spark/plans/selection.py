@@ -126,8 +126,12 @@ def k62_cluster_best_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
             c.unpersist()
     quality = d.select(
         "doc_id",
+        # 1000000L: size() is INT and a megadoc's distinct-token count
+        # overflows the int32 multiply under ANSI (r10 --megadoc); the
+        # long literal widens the arithmetic without changing the
+        # (already-BIGINT) div output type or any in-range value.
         F.expr(
-            "(1000000 * size(array_distinct(split(text, ' '))))"
+            "(1000000L * size(array_distinct(split(text, ' '))))"
             " div size(split(text, ' '))"
         ).alias("ttr_micro"),
     )

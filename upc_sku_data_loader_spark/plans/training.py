@@ -1605,14 +1605,24 @@ _BPE_TOPK = 10
 
 
 def _bpe_pairs_sql(src: str) -> str:
-    """CTE body: frequency-weighted adjacent-pair counts over `src`."""
+    """CTE body: frequency-weighted adjacent-pair counts over `src`.
+
+    Parallel UNNESTs of two shifted slices (the k55/k86 zip shape,
+    linear in len(syms)): the original lateral
+    ``UNNEST(generate_series) … syms[i]`` subscripted the WHOLE symbol
+    list per index row — O(n²) time/memory on the megadoc fixture's
+    1M-char single-token word (the r10 full --megadoc sweep hit 113 GB
+    RSS in this oracle before being killed).  Row set is identical:
+    UNNESTs of equal-length lists zip row-wise, giving
+    (syms[i], syms[i+1]) for i = 1..n-1; n = 1 yields no rows from
+    both shapes."""
     return f"""
       SELECT l, r, SUM(f) AS cnt FROM (
-        SELECT syms[i] AS l, syms[i + 1] AS r, f
+        SELECT UNNEST(syms[1:len(syms) - 1]) AS l,
+               UNNEST(syms[2:len(syms)]) AS r, f
         FROM (SELECT string_split(substr(seq, 2, length(seq) - 2), '||')
                        AS syms, f
-              FROM {src}),
-             UNNEST(generate_series(1, len(syms) - 1)) AS g(i)
+              FROM {src})
       ) GROUP BY l, r
     """
 
