@@ -171,12 +171,7 @@ ROUND10_PLAN = [
     "etl7_dq_expectations", "etl8_snapshot_diff",
 ]
 
-# The active driver window IS the pinned round-10 plan (rotated
-# 2026-08-16 per the r9 verdict item 2: CORRECTNESS_r09 landed 50/50
-# green on ROUND9_PLAN, so the pre-computed ROUND10_PLAN ships verbatim
-# — re-verified this round: plan(10, load_ledger(max_round=9)) equals
-# the constant, and all 50 replayed green in REPLAY_r10_window.log).
-_PRIORITY = list(ROUND10_PLAN)
+# (superseded 2026-08-17: the active window is now ROUND11_PLAN, below)
 
 # Pinned round-11 window, computed by tools/window_plan.plan(11, ledger)
 # UNDER THE ASSUMPTION that CORRECTNESS_r09 and CORRECTNESS_r10 land
@@ -205,6 +200,13 @@ ROUND11_PLAN = [
     "etl15_skew_report", "i13_stream_sliding_window", "i15_stream_dedup_watermarked",
     "i16_stream_outer_join", "i17_stream_session_window",
 ]
+
+# The active driver window IS the pinned round-11 plan (rotated
+# 2026-08-17 per the r10 verdict item 9: CORRECTNESS_r10 landed 50/50
+# green on ROUND10_PLAN, so the pre-computed ROUND11_PLAN ships verbatim
+# — re-verified this round: plan(11, load_ledger(max_round=10)) equals
+# the constant, and all 50 replayed green in REPLAY_r11_window.log).
+_PRIORITY = list(ROUND11_PLAN)
 
 # Pinned round-12 window, computed by tools/window_plan.plan(12, ledger)
 # UNDER THE ASSUMPTION that CORRECTNESS_r10 and CORRECTNESS_r11 land

@@ -45,7 +45,7 @@ def test_pinned_plans_partition_the_registry():
         f"gap: {sorted(set(QUERIES) - union)}; extra: {sorted(union - set(QUERIES))}"
     )
     assert sum(len(g) for g in groups) == len(QUERIES), "overlap between groups"
-    assert entrymod._PRIORITY == entrymod.ROUND10_PLAN  # r10 rotation shipped verbatim
+    assert entrymod._PRIORITY == entrymod.ROUND11_PLAN  # r11 rotation shipped verbatim
     assert len(entrymod.ROUND7_PLAN) == WINDOW
     assert len(entrymod.ROUND8_SPILL) == 3
     # rows-only trio is exactly the un-oracled set
