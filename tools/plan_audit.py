@@ -143,6 +143,14 @@ PY_OK = {
     # array_intersect verify allocates per-pair intersection arrays
     # (~200 s at the 10× replica's 67.9M candidates)
     "k18_ngram_jaccard",
+    # r11: the same gated CSR kernel prunes the near-dup verify's
+    # candidate stream (hash-overlap upper bound; exact string verify
+    # still runs on the survivors — operators/dedup.py
+    # verify_jaccard_from_base).  k20/k62/k37 share the pipeline but
+    # return driver union-find output, so only these two carry the
+    # MapInPandas node in their returned plan.
+    "k2_dedup_near_minhash",
+    "k73_incremental_dedup",
 }
 
 SKIP = {

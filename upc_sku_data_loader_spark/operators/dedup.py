@@ -49,6 +49,56 @@ def unpersist_with(owner: DataFrame, *cached: DataFrame) -> None:
     weakref.finalize(owner, _cleanup)
 
 
+def shingle_base(
+    docs: DataFrame,
+    caches: list[DataFrame],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    extra: dict[str, Column] | None = None,
+) -> DataFrame:
+    """ONE persisted scan+tokenize pass feeding every dedup stage:
+    ``(doc_id, sh_set, hs[, extra...])`` where ``sh_set`` is the
+    distinct shingle array and ``hs = transform(sh_set, xxhash64)`` its
+    per-element 8-byte pre-hash.
+
+    Before r11 the pipeline tokenized the corpus THREE times per query
+    (minhash_signatures, prefix_candidates, verify_jaccard each
+    re-scanned + re-shingled), and k73's exact-hash branch re-scanned
+    the raw text twice more — guide §2.4/§5: the shingle pass is the
+    dominant map, so one cached pass beats n recomputed ones as long as
+    re-execution costs more than materialization (the r10 persist
+    rule; A/B numbers in OPTIMIZATION_r11.md).  The InMemoryRelation is
+    also the barrier that keeps ``hs`` evaluated once — the same
+    CollapseProject trap minhash_signatures' two-step projection
+    guards against.
+
+    NULL-text docs are filtered ONCE here (the shared convention: they
+    join no candidate pairs and carry no signature).  ``extra`` lets a
+    caller ride additional per-doc columns on the same scan (k73's
+    md5 exact-dup key) instead of paying another pass.
+
+    Scale: this caches a corpus-sized relation (MEMORY_AND_DISK — the
+    DataFrame.persist default), trading one uncompressed write+3 local
+    reads against 3 remote parquet scans + 3 tokenize passes.  At
+    100 TB prefer re-reading the columnar source if executor-local disk
+    is the bottleneck — drop the persist here and the pipeline is
+    plan-identical, just recomputed (SCALING.md r11 note)."""
+    docs = docs.filter(F.col(text_col).isNotNull())
+    sh_set = shingles(F.split(F.col(text_col), " "), shingle_k)
+    cols = [F.col(id_col).alias("doc_id"), sh_set.alias("sh_set")]
+    for name, expr in (extra or {}).items():
+        cols.append(expr.alias(name))
+    base = (
+        docs.select(*cols)
+        .withColumn("hs", F.transform("sh_set", lambda s: F.xxhash64(s)))
+        .persist()
+    )
+    caches.append(base)
+    return base
+
+
 def verified_near_dup_pairs(
     docs: DataFrame,
     caches: list[DataFrame],
@@ -59,6 +109,7 @@ def verified_near_dup_pairs(
     n_bands: int = 8,
     rows_per_band: int = 4,
     max_bucket_size: int | None = None,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """The full k2-contract near-dup pair pipeline (MinHash-LSH
     candidates ∪ exact-recall prefix candidates, distinct-ed, exact
@@ -76,17 +127,20 @@ def verified_near_dup_pairs(
     candidate set materialized (accurate stats, reused bytes) the same
     logical query runs 3.9 s.  At 100 TB the candidate set is the
     SMALL relation (true-pair-density-bound, SCALING.md) — exactly
-    what you want pinned in memory while the corpus streams past it."""
-    # sigs persist: the banding projection references element_at(mh, i)
-    # n_bands*rows_per_band times, and with the per-row aggregate-HOF
-    # signature the optimizer inlines the WHOLE fold into every
-    # reference (no exchange barrier remains to stop it); the persisted
-    # relation is tiny (n_docs × n_hashes longs) and evaluates the fold
-    # exactly once.
-    sigs = minhash_signatures(
-        docs, n_hashes=n_hashes, shingle_k=shingle_k
-    ).persist()
-    caches.append(sigs)
+    what you want pinned in memory while the corpus streams past it.
+
+    r11: all three stages read one :func:`shingle_base` scan (pass
+    ``base=`` to share it with caller-side branches, e.g. k73's
+    exact-hash layer).  The r10 ``sigs`` persist is gone — with the
+    base cached, the signature is one projection over cached ``hs``
+    and the banding's ``element_at(mh, i)`` references simplify to one
+    use of each array_min, so nothing re-evaluates (A/B in
+    OPTIMIZATION_r11.md)."""
+    if base is None:
+        base = shingle_base(
+            docs, caches, shingle_k=shingle_k
+        )
+    sigs = minhash_signatures_from_base(base, n_hashes=n_hashes)
     cands = (
         lsh_candidate_pairs(
             sigs,
@@ -95,13 +149,13 @@ def verified_near_dup_pairs(
             max_bucket_size=max_bucket_size,
         )
         .unionByName(
-            prefix_candidates(docs, shingle_k=shingle_k, threshold=threshold)
+            prefix_candidates_from_base(base, threshold=threshold)
         )
         .distinct()
         .persist()
     )
     caches.append(cands)
-    return verify_jaccard(cands, docs, shingle_k=shingle_k, threshold=threshold)
+    return verify_jaccard_from_base(cands, base, threshold=threshold)
 
 
 def shingles(toks: Column, k: int = 3) -> Column:
@@ -205,6 +259,27 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_from_base(
+    base: DataFrame, n_hashes: int = 32
+) -> DataFrame:
+    """:func:`minhash_signatures` over a :func:`shingle_base` relation:
+    identical mh values (same xxhash64(seed, xxhash64(shingle)) minima
+    over the same pre-hashed ``hs``), but the shingle+pre-hash pass is
+    read from the cached base instead of recomputed — and the
+    InMemoryRelation barrier replaces the two-step-projection
+    CollapseProject guard documented above."""
+
+    def _seed_min(hs: Column, i: int) -> Column:
+        return F.array_min(F.transform(hs, lambda h: F.xxhash64(F.lit(i), h)))
+
+    return base.select(
+        "doc_id",
+        F.array(*[_seed_min(F.col("hs"), i) for i in range(n_hashes)]).alias(
+            "mh"
+        ),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     n_bands: int = 8,
@@ -259,21 +334,26 @@ def lsh_candidate_pairs(
     )
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("ids") <= max_bucket_size)
-    # all i<j pairs of the sorted bucket: for each id at position i,
-    # pair it with every LATER element (slice i+1 onward)
-    pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda a, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda b: F.struct(a.alias("a"), b.alias("b")),
-            ),
-        )
+    # all i<j pairs of the sorted bucket: posexplode to one row per
+    # (position, id) FIRST, then pair each id with the tail slice after
+    # its position.  The r10 form built the whole flattened pair array
+    # in ONE row — O(B²) structs for a degenerate B-doc bucket in a
+    # single task row (r10 ADVICE: with max_bucket_size=None that is a
+    # single-executor OOM at scale, trading the old distributed
+    # quadratic join for a concentrated one).  Here per-row memory is
+    # O(B) (the carried ids array + its tail slice) while the emitted
+    # pair SET is identical: pos is 0-based, so the tail after position
+    # pos starts at 1-based index pos+2.
+    exploded = buckets.filter(F.size("ids") >= 2).select(
+        F.col("ids"), F.posexplode("ids").alias("pos", "a")
     )
     return (
-        buckets.filter(F.size("ids") >= 2)
-        .select(F.explode(pairs).alias("p"))
-        .select("p.a", "p.b")
+        exploded.select(
+            "a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("pos") + 2, F.size("ids"))
+            ).alias("b"),
+        )
         .distinct()
     )
 
@@ -321,6 +401,25 @@ def prefix_candidates(
     )
     # (doc_id, sh) is distinct by construction (array_distinct per doc)
     sh = sh.select("doc_id", F.xxhash64("sh").alias("h"))
+    return _prefix_join(sh, threshold)
+
+
+def prefix_candidates_from_base(
+    base: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """:func:`prefix_candidates` over a :func:`shingle_base` relation:
+    exploding the cached per-element pre-hash array ``hs`` yields the
+    exact (doc_id, h) rows the standalone form computes (transform
+    preserves element order and multiplicity), without re-scanning and
+    re-shingling the corpus."""
+    sh = base.select("doc_id", F.explode("hs").alias("h"))
+    return _prefix_join(sh, threshold)
+
+
+def _prefix_join(sh: DataFrame, threshold: float) -> DataFrame:
+    """Shared prefix-filter + positional-filter candidate join over the
+    exploded (doc_id, h) shingle-hash relation (docstring: see
+    :func:`prefix_candidates`)."""
     w_freq = Window.partitionBy("h")
     w_doc = Window.partitionBy("doc_id").orderBy("df", "h")
     w_size = Window.partitionBy("doc_id")
@@ -401,6 +500,136 @@ def verify_jaccard(
         F.col(id_col).alias("doc_id"),
         shingles(F.split(F.col(text_col), " "), shingle_k).alias("sh_set"),
     )
+    return _verify_join(candidates, sets, threshold)
+
+
+def verify_jaccard_from_base(
+    candidates: DataFrame, base: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """:func:`verify_jaccard` over a :func:`shingle_base` relation: the
+    exact shingle arrays come from the cached base instead of a third
+    corpus scan.
+
+    r11 kernel prefilter (guide §4.2 — the k18 CSR pattern made a
+    shared helper): at sf0.1 the t=0.5 prefix join emits ~309k
+    candidate pairs against 256 true ones, and dragging ~300-element
+    string arrays through two joins + per-pair ``array_intersect`` set
+    builds is the family's dominant stage (measured: the full pipeline
+    spends most of its ~4 s here; a JVM long-array prefilter variant
+    measured FLAT because per-pair set builds cost the same on longs).
+    The gated path broadcasts the pre-hashed shingle CSR (uint32 dense
+    ids over ``hs``) and streams the 16-byte pairs sorted by ``a``
+    through :func:`_pair_intersect_counts`; a pair survives when its
+    HASH-overlap jaccard clears ``threshold - 1e-6``.  The kernel
+    count is an UPPER bound on the true string overlap (every common
+    string hits ≥ 1 marked LUT slot; hash collisions and within-doc
+    duplicate hashes only overcount), and the margin covers the final
+    6-dp rounding (a pair passing ``round(j, 6) >= t`` has raw
+    j > t - 5e-7), so no true pair is pruned — the survivors (≈ the
+    true pair count) then pay the exact STRING-array verify, keeping
+    output values bit-identical to the unfiltered path.  Above the
+    byte/doc gate the prefilter is skipped and the exact verify runs
+    over all candidates, unchanged — the 100 TB path (the CSR is
+    corpus-sized there; k18's per-rep gate reasoning applies)."""
+    spark = base.sparkSession
+    n_docs, n_occ = base.select(
+        F.count(F.lit(1)), F.coalesce(F.sum(F.size("hs")), F.lit(0))
+    ).first()
+    # 4 B/uint32 occurrence + 8 B/int64 vocab entry + 1 B LUT (vocab <=
+    # occurrences, so 13x bounds all three) + 32 B/doc of ids/perm/
+    # indptr, x2 transient doubling during np.unique (k18's estimate)
+    csr_bytes = 2 * (13 * n_occ + 32 * n_docs)
+    surv = candidates
+    if (
+        n_docs <= _VERIFY_KERNEL_MAX_DOCS
+        and csr_bytes <= _VERIFY_KERNEL_MAX_BYTES
+    ):
+        stats = _pair_intersect_counts(
+            spark, candidates, base.select("doc_id", "hs")
+        )
+        ih = F.col("inter").cast("double")
+        jh = ih / ((F.col("sza") + F.col("szb")).cast("double") - ih)
+        surv = stats.filter(jh >= F.lit(threshold - 1e-6)).select("a", "b")
+    return _verify_join(surv, base.select("doc_id", "sh_set"), threshold)
+
+
+def _pair_intersect_counts(
+    spark, pairs: DataFrame, docs_hs: DataFrame
+) -> DataFrame:
+    """(a, b, inter, sza, szb) for each candidate pair, where ``inter``
+    counts b-side hash elements marked by a's LUT row — the k18 CSR
+    kernel as a shared helper: broadcast the corpus's pre-hashed
+    shingle CSR, stream pairs sorted by ``a``, build each ``a`` row's
+    boolean vocab LUT once and count every paired ``b`` row in one
+    ragged gather + reduceat (no per-row Python).  Caller gates on CSR
+    bytes; see :func:`verify_jaccard_from_base`."""
+    import numpy as np
+    import pandas as pd
+
+    tbl = docs_hs.toArrow()
+    doc_ids = tbl["doc_id"].to_numpy()
+    lists = tbl["hs"].combine_chunks()
+    flat = lists.flatten().to_numpy()
+    offsets = lists.offsets.to_numpy().astype(np.int64)
+    indptr = offsets - offsets[0]  # flatten() re-bases a sliced array
+    vocab, dense = np.unique(flat, return_inverse=True)
+    indices = dense.astype(np.uint32)
+    perm = np.argsort(doc_ids)
+    ids_sorted = doc_ids[perm]
+    bc = spark.sparkContext.broadcast(
+        (ids_sorted, perm.astype(np.int64), indptr, indices, len(vocab))
+    )
+
+    def intersect_counts(batches):
+        ids_s, pm, ip, ind, nvocab = bc.value
+        lut = np.zeros(nvocab, dtype=bool)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = pdf["a"].to_numpy()
+            b = pdf["b"].to_numpy()
+            ra = pm[np.searchsorted(ids_s, a)]
+            rb = pm[np.searchsorted(ids_s, b)]
+            inter = np.zeros(len(a), dtype=np.int64)
+            bounds = np.flatnonzero(np.r_[True, a[1:] != a[:-1], True])
+            for gi in range(len(bounds) - 1):
+                s0, s1 = int(bounds[gi]), int(bounds[gi + 1])
+                arow = ind[ip[ra[s0]] : ip[ra[s0] + 1]]
+                lut[arow] = True
+                rbs = rb[s0:s1]
+                starts = ip[rbs]
+                seg = ip[rbs + 1] - starts
+                offs = np.cumsum(seg) - seg
+                pos = (
+                    np.arange(int(seg.sum()), dtype=np.int64)
+                    - np.repeat(offs, seg)
+                    + np.repeat(starts, seg)
+                )
+                inter[s0:s1] = np.add.reduceat(lut[ind[pos]], offs)
+                lut[arow] = False
+            yield pd.DataFrame(
+                {
+                    "a": a,
+                    "b": b,
+                    "inter": inter,
+                    "sza": ip[ra + 1] - ip[ra],
+                    "szb": ip[rb + 1] - ip[rb],
+                }
+            )
+
+    return (
+        pairs.repartition(spark.sparkContext.defaultParallelism, "a")
+        .sortWithinPartitions("a", "b")
+        .mapInPandas(
+            intersect_counts, "a long, b long, inter long, sza long, szb long"
+        )
+    )
+
+
+def _verify_join(
+    candidates: DataFrame, sets: DataFrame, threshold: float
+) -> DataFrame:
+    """Shared exact-Jaccard verify join over per-doc shingle sets."""
     a = sets.select(F.col("doc_id").alias("a"), F.col("sh_set").alias("sh_a"))
     b = sets.select(F.col("doc_id").alias("b"), F.col("sh_set").alias("sh_b"))
     joined = candidates.join(a, "a").join(b, "b")
@@ -421,13 +650,32 @@ _CC_DRIVER_MAX_EDGES = int(
     os.environ.get("SPARK_GRAFT_CC_DRIVER_MAX_EDGES", "2000000")
 )
 
+#: Verify-prefilter kernel gate (verify_jaccard_from_base): the shingle
+#: CSR is collected and broadcast only when the corpus fits these —
+#: same class as k18's _K18_KERNEL_MAX_* gates.
+_VERIFY_KERNEL_MAX_DOCS = int(
+    os.environ.get("SPARK_GRAFT_VERIFY_KERNEL_MAX_DOCS", "2000000")
+)
+_VERIFY_KERNEL_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_VERIFY_KERNEL_MAX_BYTES", str(512 * 1024**2))
+)
 
-def _union_find_clusters(spark, edge_rows) -> DataFrame:
-    """Driver-side union-find over symmetrized (u, v) edge rows; emits
+
+def _union_find_clusters(spark, edge_pairs) -> DataFrame:
+    """Driver-side union-find over symmetrized (u, v) edge pairs; emits
     (doc_id, cluster_keeper=min doc id of the component) for every node
     that appears in an edge — exactly the distributed loop's fixpoint
     (its label init is the edge-endpoint set, and min-label
-    propagation converges to the component minimum)."""
+    propagation converges to the component minimum).
+
+    ``edge_pairs`` is an iterable of plain (u, v) int pairs — the
+    caller collects via Arrow, NOT ``collect()``: 2M pyspark Row
+    objects cost hundreds of driver MB where two int64 numpy columns
+    cost 32 MB (r10 ADVICE).  The result returns through
+    ``createDataFrame(pandas)`` for the same reason (Arrow path;
+    session.py enables spark.sql.execution.arrow.pyspark.enabled)."""
+    import pandas as pd
+
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -438,8 +686,7 @@ def _union_find_clusters(spark, edge_rows) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for r in edge_rows:
-        u, v = r["u"], r["v"]
+    for u, v in edge_pairs:
         if u not in parent:
             parent[u] = u
         if v not in parent:
@@ -452,8 +699,18 @@ def _union_find_clusters(spark, edge_rows) -> DataFrame:
                 parent[rv] = ru
             else:
                 parent[ru] = rv
-    out = [(node, find(node)) for node in parent]
-    return spark.createDataFrame(out, "doc_id bigint, cluster_keeper bigint")
+    nodes = list(parent)
+    out = pd.DataFrame(
+        {
+            "doc_id": pd.Series(nodes, dtype="int64"),
+            "cluster_keeper": pd.Series(
+                [find(n) for n in nodes], dtype="int64"
+            ),
+        }
+    )
+    return spark.createDataFrame(
+        out, "doc_id bigint, cluster_keeper bigint"
+    )
 
 
 def dedup_clusters(pairs: DataFrame, max_iters: int = 15) -> DataFrame:
@@ -500,9 +757,20 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 15) -> DataFrame:
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
     if edges.count() <= _CC_DRIVER_MAX_EDGES:
-        rows = edges.collect()  # gated: ≤ _CC_DRIVER_MAX_EDGES (u, v) longs
+        # gated: ≤ _CC_DRIVER_MAX_EDGES (u, v) longs.  toArrow() keeps
+        # the transfer columnar — 2M edges ≈ 32 MB of int64 buffers,
+        # where collect()'s Row objects cost hundreds of MB (r10
+        # ADVICE).  tolist() yields plain Python ints for the dict-
+        # based union-find.
+        tbl = edges.toArrow()
         edges.unpersist()
-        return _union_find_clusters(pairs.sparkSession, rows)
+        return _union_find_clusters(
+            pairs.sparkSession,
+            zip(
+                tbl["u"].to_numpy().tolist(),
+                tbl["v"].to_numpy().tolist(),
+            ),
+        )
     labels = (
         edges.select(F.col("u").alias("doc_id"))
         .distinct()

@@ -26,6 +26,7 @@ from ..functions.multimodal import (
 )
 from ..operators.dedup import (
     dedup_clusters,
+    shingle_base,
     simhash,
     unpersist_with,
     verified_near_dup_pairs,
@@ -342,24 +343,24 @@ def k6_tokenize_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def k7_term_freq_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     n_docs = d.count()  # scalar; a parquet-footer metadata count
-    # persist(): tf feeds BOTH the df (document-frequency) branch and
-    # the scored probe side.  Without it Spark re-expands the lineage —
-    # the corpus was scanned, split and exploded TWICE per run (r10
-    # before-plan: two Scan→Generate→HashAggregate subtrees), and the
-    # explode+tokenize is the dominant map.  Lifetime is bound to the
-    # returned plan via _unpersist_with (k18's cache-ownership rule).
     tf = (
         d.select("doc_id", F.explode(TXT.tokens("text")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
     )
-    # tf is unique on (doc_id, term) by construction, so COUNT(*) per
-    # term IS the distinct-doc count — dropping countDistinct removes
-    # the two-level distinct-aggregate expansion (2 Exchanges → 1 on
-    # this branch, r10 plan diff).
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(df, "term").select(
+    # r11 (verdict item 1): document frequency is a COUNT window over
+    # tf partitioned by term — tf is unique on (doc_id, term) by
+    # construction, so the per-term row count IS the distinct-doc
+    # count.  This keeps r10's single tokenize+explode pass WITHOUT the
+    # tf persist (whose InMemoryRelation materialization barrier lost
+    # under bench.py's collect methodology: driver artifact qmin 0.915
+    # → 1.257 s) and without the df groupBy+join: one linear plan,
+    # Exchange(doc_id,term) → Exchange(term) window → Exchange(doc_id)
+    # window.  Measured interleaved under the bench methodology
+    # (median-of-7 count(), warm session, sf0.1): persist 1.227 /
+    # min 1.018, no-persist join 0.974/0.867, this shape 0.890/0.836.
+    w_term = Window.partitionBy("term")
+    scored = tf.withColumn("df", F.count(F.lit(1)).over(w_term)).select(
         "doc_id",
         "term",
         "tf",
@@ -368,13 +369,11 @@ def k7_term_freq_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
-    result = (
+    return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("doc_id", "term", "tf", "tfidf")
     )
-    _unpersist_with(result, tf)
-    return result
 
 
 # --- K8: text stats by language/source ---------------------------------------------
@@ -2250,21 +2249,37 @@ def k73_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fixture split: even doc_ids = corpus, odd = new batch.
     """
     d = load(spark, sf_dir, "documents")
-    corpus = d.filter(F.col("doc_id") % 2 == 0)
     newb = d.filter(F.col("doc_id") % 2 == 1)
-    exact = (
-        newb.alias("n")
-        .join(
-            corpus.alias("c"),
-            F.md5(F.col("n.text")) == F.md5(F.col("c.text")),
-        )
-        .groupBy(F.col("n.doc_id").alias("doc_id"))
+    # r11 single-pass shape (guide §2.4/§5, r10 verdict item 2): the
+    # exact-hash layer rides the SAME shingle_base scan as the near
+    # layer (extra md5 column) instead of two more full-text scans.
+    # The md5 pair join collapses to corpus-side hash counts joined to
+    # the new side: COUNT(*) per new doc over matching corpus rows IS
+    # the count of corpus docs sharing its hash (doc_id is unique), and
+    # md5(NULL)=NULL never equi-joins, which the base's NULL-text
+    # filter reproduces.  Hash family stays md5 — n_exact is OUTPUT
+    # (the oracle counts md5 matches), unlike the engine-internal
+    # candidate hashes.
+    caches: list[DataFrame] = []
+    base = shingle_base(
+        d, caches, shingle_k=3, extra={"hx": F.md5(F.col("text"))}
+    )
+    corpus_counts = (
+        base.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("hx")
         .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    exact = (
+        base.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "hx")
+        .join(corpus_counts, "hx")
+        .select("doc_id", "n_exact")
     )
     # exact-recall union (k2 note): boundary pairs escape banding;
     # r10: persisted-candidate pipeline shared with k2/k20/k62
-    caches: list[DataFrame] = []
-    verified = verified_near_dup_pairs(d, caches, shingle_k=3, threshold=0.5)
+    verified = verified_near_dup_pairs(
+        d, caches, shingle_k=3, threshold=0.5, base=base
+    )
     cross = verified.filter((F.col("a") % 2) != (F.col("b") % 2)).select(
         F.when(F.col("a") % 2 == 1, F.col("a")).otherwise(F.col("b")).alias("doc_id"),
         "jaccard",

@@ -2585,8 +2585,22 @@ def etl12_data_vault_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     def audit(
         name: str, hk: "F.Column", src: DataFrame, dedup: bool
     ) -> DataFrame:
+        # For dedup branches n_rows is COUNT(*) over SELECT DISTINCT hk,
+        # which counts a NULL group that countDistinct skips: a NULL
+        # business key makes md5(concat(...NULL...)) NULL, so DISTINCT
+        # keeps one NULL row the oracle counts (r10 ADVICE — latent on
+        # the non-null fixture keys, and an all-NULL branch must
+        # survive the n_rows > 0 filter).  max(when(isNull,1)) is 1 iff
+        # any NULL exists; coalesce covers the empty source (max over
+        # zero rows is NULL → 0 → filtered, as before).
         n_rows = (
-            F.countDistinct("hk") if dedup else F.count(F.lit(1)).cast("long")
+            F.countDistinct("hk")
+            + F.coalesce(
+                F.max(F.when(F.col("hk").isNull(), 1).otherwise(0)),
+                F.lit(0),
+            )
+            if dedup
+            else F.count(F.lit(1)).cast("long")
         )
         return (
             src.select(hk.alias("hk"))

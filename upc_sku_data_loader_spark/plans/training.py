@@ -32,6 +32,8 @@ turn a cleaned document corpus into model-ready data:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -907,16 +909,24 @@ def k42_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/vectors.py): NULL/NaN/Inf vectors join neither seeding
     nor assignment — a NULL vector would crash the driver-side seed
     materialization outright (--nulls sweep)."""
+    # persist(): e is read by the seed collect, by each iteration's
+    # centroid-update action and by the final assignment — 3 full
+    # scan+cast+finite-filter passes without it (r11, guide §5;
+    # measured interleaved noop min-of-5 at sf0.1: 1.78 → 1.56 s).
+    # Small by construction (n_vecs × d doubles); lifetime plan-bound
+    # via unpersist_with below.
     e = (
         load(spark, sf_dir, "embeddings")
         .filter(V.finite_vec("embedding"))
         .select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+        .persist()
     )
     cents = [
         (int(r["vec_id"]), [float(x) for x in r["v"]])
         for r in e.orderBy("vec_id").limit(_KM_K).collect()
     ]
     if not cents:  # empty table: a zero-element literal array is VOID
+        e.unpersist()
         return spark.createDataFrame([], "vec_id bigint, cluster int")
     assigned = _km_assign(e, cents)
     for _ in range(_KM_ITERS - 1):
@@ -936,13 +946,24 @@ def k42_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in cent_df.collect()
         ]
         assigned = _km_assign(e, cents)
-    return assigned.select("vec_id", "cluster")
+    result = assigned.select("vec_id", "cluster")
+    unpersist_with(result, e)
+    return result
 
 
 # --- K43: PageRank as a corpus-quality prior (unrolled power iteration) -------
 
 _PR_ITERS = 3  # fixed unrolled iterations, mirrored CTE-for-CTE in the oracle
 _PR_OFF = 1_000_000  # supplier node-id offset keeps the bipartite ids disjoint
+
+#: Driver power-iteration gate for k43: symmetrized edge counts at or
+#: below this run the fixed-point iteration as a numpy kernel on the
+#: driver (2M edges ≈ 32 MB of int64 Arrow buffers); above it the
+#: distributed join loop runs — the same bytes-gated driver-kernel
+#: class as operators/dedup._CC_DRIVER_MAX_EDGES.
+_PR_DRIVER_MAX_EDGES = int(
+    os.environ.get("SPARK_GRAFT_PR_DRIVER_MAX_EDGES", "2000000")
+)
 
 _PR_SCALE = 1_000_000_000_000  # fixed-point pico-rank units
 
@@ -1008,13 +1029,28 @@ def k43_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks on src — both sides hash-partitioned on the same key, so
     consecutive iterations reuse the partitioning) and one groupBy(dst)
     sum that partial-aggregates map-side before its exchange.  The
-    degree relation is computed once and reused.  No driver collect of
-    anything data-sized: the only scalars crossing to the driver are
-    the node count (one distributed count) — same class as k16's
-    bounded seeds.  Edges are symmetrized, so no dangling-mass term is
-    needed: every node has out-degree ≥ 1 by construction.
-    Per-iteration ranks round to 10 dp on both engines (reduction-order
-    ulps ~1e-13 cannot move a half-ulp of 5e-11), final to 8 dp."""
+    degree relation is computed once and reused.  Edges are
+    symmetrized, so no dangling-mass term is needed: every node has
+    out-degree ≥ 1 by construction.  Per-iteration arithmetic is
+    integer, so any reduction order is bit-identical.
+
+    r11 (guide §1.2, the dedup_clusters driver-kernel class): the
+    (c, s) pair table is localCheckpoint-ed once — it is read 7+ times
+    across the count and the 3 unrolled iterations, and checkpointing
+    truncates the deeply nested iteration plan (§3.3: planning time on
+    a tree that re-expands the join per iteration) — and when the
+    SYMMETRIZED edge count fits ``_PR_DRIVER_MAX_EDGES`` (default 2M
+    edges ≈ 32 MB of int64 via Arrow, env-tunable) the fixed-point
+    power iteration runs as a numpy kernel on the driver: bincount
+    degrees, ``np.add.at`` integer mass sums, the same ``div``
+    recurrences.  All values are non-negative so trunc-div (Spark),
+    floor-div (numpy) and DuckDB ``//`` agree exactly; int64 cannot
+    overflow (mass ≤ total rank mass ≈ 1e12, ×17 ≪ 2^63).  Above the
+    gate the distributed loop runs unchanged off the same checkpoint —
+    the right plan at 100 TB.  Both paths pinned equal by a
+    gate-zeroing pytest (tests/test_training_kernels.py).  Measured
+    (noop min-of-5, sf0.1, interleaved): 6.74 s loop → 4.53 s
+    checkpointed loop → 1.94 s driver kernel."""
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
@@ -1024,7 +1060,13 @@ def k43_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") + F.lit(_PR_OFF)).alias("s"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    n_pairs = pairs.count()  # the checkpoint already materialized this
+    if 2 * n_pairs <= _PR_DRIVER_MAX_EDGES:
+        out = _pagerank_driver(spark, pairs)
+        pairs.unpersist()
+        return out
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
@@ -1051,9 +1093,43 @@ def k43_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.expr("(coalesce(mass, 0) * 17) div 20")
             ).cast("long").alias("pri"),
         )
-    return ranks.select(
+    result = ranks.select(
         "node", (F.col("pri") / F.lit(float(_PR_SCALE))).alias("pr")
     )
+    unpersist_with(result, pairs)
+    return result
+
+
+def _pagerank_driver(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Driver-side fixed-point power iteration over the collected
+    (c, s) pair table (gated by the caller: ≤ _PR_DRIVER_MAX_EDGES
+    symmetrized edges ≈ 32 MB of int64 Arrow buffers).  Bit-identical
+    to the distributed loop: same integer recurrences, every quantity
+    non-negative so numpy floor-div equals Spark trunc-div, and the
+    final pri/1e12 is the same int64→double IEEE division."""
+    import numpy as np
+    import pandas as pd
+
+    tbl = pairs.toArrow()
+    c = tbl["c"].to_numpy()
+    s = tbl["s"].to_numpy()
+    src = np.concatenate([c, s])
+    dst = np.concatenate([s, c])
+    nodes, src_idx = np.unique(src, return_inverse=True)
+    n = len(nodes)
+    if n == 0:  # empty graph — same contract as the distributed path
+        return spark.createDataFrame([], "node bigint, pr double")
+    dst_idx = np.searchsorted(nodes, dst)  # node set is symmetric
+    deg = np.bincount(src_idx, minlength=n).astype(np.int64)
+    base = (3 * _PR_SCALE) // (20 * n)
+    pri = np.full(n, _PR_SCALE // n, dtype=np.int64)
+    for _ in range(_PR_ITERS):
+        contrib = pri[src_idx] // deg[src_idx]
+        mass = np.zeros(n, dtype=np.int64)
+        np.add.at(mass, dst_idx, contrib)  # exact int64 scatter-add
+        pri = base + (mass * 17) // 20
+    out = pd.DataFrame({"node": nodes, "pr": pri / float(_PR_SCALE)})
+    return spark.createDataFrame(out, "node bigint, pr double")
 
 
 # --- K47: farthest-point coreset selection (k-center greedy) ------------------
