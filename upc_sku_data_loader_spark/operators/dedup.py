@@ -134,28 +134,32 @@ def verified_near_dup_pairs(
     exact-hash layer).  The r10 ``sigs`` persist is gone — with the
     base cached, the signature is one projection over cached ``hs``
     and the banding's ``element_at(mh, i)`` references simplify to one
-    use of each array_min, so nothing re-evaluates (A/B in
-    OPTIMIZATION_r11.md)."""
+    use of each array_min, so nothing re-evaluates.  The r10
+    union-level ``.distinct().persist()`` is gone too (the k18 move):
+    the candidate stream is consumed exactly once by the verify, whose
+    kernel path dedups consecutive pairs after its own (a)-keyed
+    repartition+sort — so the union skips both the 309k-row distinct
+    Exchange and a materialization barrier; prefix_candidates' internal
+    distinct is skipped for the same reason.  The non-kernel fallback
+    inside verify_jaccard_from_base applies ``.distinct()`` itself, so
+    above the kernel gate the pair multiset is deduplicated exactly as
+    before (A/Bs in OPTIMIZATION_r11.md)."""
     if base is None:
         base = shingle_base(
             docs, caches, shingle_k=shingle_k
         )
     sigs = minhash_signatures_from_base(base, n_hashes=n_hashes)
-    cands = (
-        lsh_candidate_pairs(
-            sigs,
-            n_bands=n_bands,
-            rows_per_band=rows_per_band,
-            max_bucket_size=max_bucket_size,
-        )
-        .unionByName(
-            prefix_candidates_from_base(base, threshold=threshold)
-        )
-        .distinct()
-        .persist()
+    cands = lsh_candidate_pairs(
+        sigs,
+        n_bands=n_bands,
+        rows_per_band=rows_per_band,
+        max_bucket_size=max_bucket_size,
+    ).unionByName(
+        prefix_candidates_from_base(base, threshold=threshold, distinct=False)
     )
-    caches.append(cands)
-    return verify_jaccard_from_base(cands, base, threshold=threshold)
+    return verify_jaccard_from_base(
+        cands, base, threshold=threshold, candidates_distinct=False
+    )
 
 
 def shingles(toks: Column, k: int = 3) -> Column:
@@ -405,18 +409,25 @@ def prefix_candidates(
 
 
 def prefix_candidates_from_base(
-    base: DataFrame, threshold: float = 0.5
+    base: DataFrame, threshold: float = 0.5, distinct: bool = True
 ) -> DataFrame:
     """:func:`prefix_candidates` over a :func:`shingle_base` relation:
     exploding the cached per-element pre-hash array ``hs`` yields the
     exact (doc_id, h) rows the standalone form computes (transform
     preserves element order and multiplicity), without re-scanning and
-    re-shingling the corpus."""
+    re-shingling the corpus.
+
+    ``distinct=False`` skips the trailing pair dedup Exchange — only
+    for consumers that dedup downstream (verify_jaccard_from_base's
+    kernel dedups consecutive sorted pairs; its fallback re-applies
+    ``.distinct()``)."""
     sh = base.select("doc_id", F.explode("hs").alias("h"))
-    return _prefix_join(sh, threshold)
+    return _prefix_join(sh, threshold, distinct=distinct)
 
 
-def _prefix_join(sh: DataFrame, threshold: float) -> DataFrame:
+def _prefix_join(
+    sh: DataFrame, threshold: float, distinct: bool = True
+) -> DataFrame:
     """Shared prefix-filter + positional-filter candidate join over the
     exploded (doc_id, h) shingle-hash relation (docstring: see
     :func:`prefix_candidates`)."""
@@ -464,22 +475,19 @@ def _prefix_join(sh: DataFrame, threshold: float) -> DataFrame:
     # recall is exact.  Without it the t=0.5 prefix join emitted 310k
     # candidate pairs at sf0.1 against 256 true pairs, and the exact
     # verify paid ~310k array_intersects (measured r10).
-    return (
-        a.join(
-            b,
-            (F.col("h") == F.col("hb"))
-            & (F.col("a") < F.col("b"))
-            & (F.col("sb") >= F.ceil(F.lit(threshold) * F.col("sa")))
-            & (F.col("sa") >= F.ceil(F.lit(threshold) * F.col("sb")))
-            & (
-                F.least(F.col("ra"), F.col("rb"))
-                + F.least(F.col("sa") - F.col("ra"), F.col("sb") - F.col("rb"))
-                >= alpha
-            ),
-        )
-        .select("a", "b")
-        .distinct()
-    )
+    pairs = a.join(
+        b,
+        (F.col("h") == F.col("hb"))
+        & (F.col("a") < F.col("b"))
+        & (F.col("sb") >= F.ceil(F.lit(threshold) * F.col("sa")))
+        & (F.col("sa") >= F.ceil(F.lit(threshold) * F.col("sb")))
+        & (
+            F.least(F.col("ra"), F.col("rb"))
+            + F.least(F.col("sa") - F.col("ra"), F.col("sb") - F.col("rb"))
+            >= alpha
+        ),
+    ).select("a", "b")
+    return pairs.distinct() if distinct else pairs
 
 
 def verify_jaccard(
@@ -504,7 +512,10 @@ def verify_jaccard(
 
 
 def verify_jaccard_from_base(
-    candidates: DataFrame, base: DataFrame, threshold: float = 0.5
+    candidates: DataFrame,
+    base: DataFrame,
+    threshold: float = 0.5,
+    candidates_distinct: bool = True,
 ) -> DataFrame:
     """:func:`verify_jaccard` over a :func:`shingle_base` relation: the
     exact shingle arrays come from the cached base instead of a third
@@ -530,7 +541,16 @@ def verify_jaccard_from_base(
     output values bit-identical to the unfiltered path.  Above the
     byte/doc gate the prefilter is skipped and the exact verify runs
     over all candidates, unchanged — the 100 TB path (the CSR is
-    corpus-sized there; k18's per-rep gate reasoning applies)."""
+    corpus-sized there; k18's per-rep gate reasoning applies).
+
+    ``candidates_distinct=False`` declares that the incoming pair
+    stream may carry duplicates: the kernel dedups consecutive pairs
+    after its (a)-keyed repartition+sort (identical pairs share ``a``
+    so they land in one partition, adjacent after the sort — k18's
+    exact pattern, with the batch-boundary carry), and the non-kernel
+    fallback applies ``.distinct()`` itself — either way the verify
+    output is duplicate-free exactly as if the caller had
+    distinct-ed."""
     spark = base.sparkSession
     n_docs, n_occ = base.select(
         F.count(F.lit(1)), F.coalesce(F.sum(F.size("hs")), F.lit(0))
@@ -539,30 +559,37 @@ def verify_jaccard_from_base(
     # occurrences, so 13x bounds all three) + 32 B/doc of ids/perm/
     # indptr, x2 transient doubling during np.unique (k18's estimate)
     csr_bytes = 2 * (13 * n_occ + 32 * n_docs)
-    surv = candidates
     if (
         n_docs <= _VERIFY_KERNEL_MAX_DOCS
         and csr_bytes <= _VERIFY_KERNEL_MAX_BYTES
     ):
         stats = _pair_intersect_counts(
-            spark, candidates, base.select("doc_id", "hs")
+            spark,
+            candidates,
+            base.select("doc_id", "hs"),
+            dedup=not candidates_distinct,
         )
         ih = F.col("inter").cast("double")
         jh = ih / ((F.col("sza") + F.col("szb")).cast("double") - ih)
         surv = stats.filter(jh >= F.lit(threshold - 1e-6)).select("a", "b")
+    else:
+        surv = candidates if candidates_distinct else candidates.distinct()
     return _verify_join(surv, base.select("doc_id", "sh_set"), threshold)
 
 
 def _pair_intersect_counts(
-    spark, pairs: DataFrame, docs_hs: DataFrame
+    spark, pairs: DataFrame, docs_hs: DataFrame, dedup: bool = False
 ) -> DataFrame:
     """(a, b, inter, sza, szb) for each candidate pair, where ``inter``
     counts b-side hash elements marked by a's LUT row — the k18 CSR
     kernel as a shared helper: broadcast the corpus's pre-hashed
     shingle CSR, stream pairs sorted by ``a``, build each ``a`` row's
     boolean vocab LUT once and count every paired ``b`` row in one
-    ragged gather + reduceat (no per-row Python).  Caller gates on CSR
-    bytes; see :func:`verify_jaccard_from_base`."""
+    ragged gather + reduceat (no per-row Python).  ``dedup=True`` drops
+    duplicate (a, b) pairs — they arrive consecutive after the sort —
+    so callers can skip a dedicated distinct Exchange (k18's pattern,
+    including the batch-boundary carry).  Caller gates on CSR bytes;
+    see :func:`verify_jaccard_from_base`."""
     import numpy as np
     import pandas as pd
 
@@ -583,11 +610,21 @@ def _pair_intersect_counts(
     def intersect_counts(batches):
         ids_s, pm, ip, ind, nvocab = bc.value
         lut = np.zeros(nvocab, dtype=bool)
+        prev_a = prev_b = None  # last pair of the previous batch
         for pdf in batches:
             if pdf.empty:
                 continue
             a = pdf["a"].to_numpy()
             b = pdf["b"].to_numpy()
+            if dedup:
+                keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+                if prev_a is not None and a[0] == prev_a and b[0] == prev_b:
+                    keep[0] = False
+                prev_a, prev_b = int(a[-1]), int(b[-1])
+                if not keep.all():
+                    a, b = a[keep], b[keep]
+                if not len(a):
+                    continue
             ra = pm[np.searchsorted(ids_s, a)]
             rb = pm[np.searchsorted(ids_s, b)]
             inter = np.zeros(len(a), dtype=np.int64)
