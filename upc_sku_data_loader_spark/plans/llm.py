@@ -966,38 +966,59 @@ def _k18_build(
     # documents (substr's UTF8 codepoint seek is O(i) per gram, and a
     # higher-order-function lambda over a millions-element array pays
     # interpreted per-element overhead that measured >400 s/doc on the
-    # r10 --megadoc sweep vs ~3 s here).  Python slices by codepoint —
-    # identical gram semantics to the oracle's per-codepoint split —
-    # and dict.fromkeys preserves first-occurrence order, matching
-    # array_distinct, so the tier-0 exact-cluster key is unchanged in
-    # structure.  Hashes are engine-internal (the oracle compares raw
-    # grams); blake2b-64 replaces xxhash64 with the same negligible
-    # 64-bit collision class.  At 100 TB, cap Arrow batch bytes
-    # (spark.sql.execution.arrow.maxRecordsPerBatch) so a batch of
-    # megabyte documents stays executor-resident.
+    # r10 --megadoc sweep vs ~3 s here).
+    #
+    # r11: the per-gram Python loop (slice + blake2b per gram — ~1.5M
+    # interpreted hash calls at sf0.1, the query's single most
+    # expensive map at 2.3 s) is replaced by a fully vectorized numpy
+    # rolling hash: decode the text to a codepoint array ONCE
+    # (utf-32-le — C-speed, per-codepoint exactly like the oracle's
+    # split), n shifted multiply-adds build every gram's 64-bit
+    # polynomial hash in n vector passes, a splitmix64 finisher mixes,
+    # and np.unique(return_index) + index sort reproduces
+    # dict.fromkeys' FIRST-OCCURRENCE dedup order — so the tier-0
+    # exact-cluster key keeps its structure (measured at sf0.1: zero
+    # collisions, per-doc gram counts and the cluster partition
+    # identical to the blake2b form; UDF noop 2.30 → 1.08 s median).
+    # Hashes are engine-internal (the oracle compares raw grams); the
+    # mixed 64-bit poly family replaces blake2b-64 with the same
+    # negligible collision class, and a collision only merges grams
+    # for candidate/cluster purposes.  At 100 TB, cap Arrow batch
+    # bytes (spark.sql.execution.arrow.maxRecordsPerBatch) so a batch
+    # of megabyte documents stays executor-resident.
     @F.pandas_udf("array<long>")
     def _gram_hashes(texts: pd.Series) -> pd.Series:
-        import hashlib
+        import numpy as np
 
-        def h(s: str) -> int:
-            return (
-                int.from_bytes(
-                    hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
-                )
-                - 2**63
-            )
+        K = np.uint64(1099511628211)  # FNV prime as poly multiplier
+        SEED = np.uint64(1469598103934665603)
+        M1 = np.uint64(0xBF58476D1CE4E5B9)
+        M2 = np.uint64(0x94D049BB133111EB)
+        C30, C27, C31 = np.uint64(30), np.uint64(27), np.uint64(31)
+
+        def _mix(z):  # splitmix64 finisher (uint64 wraparound intended)
+            z = (z ^ (z >> C30)) * M1
+            z = (z ^ (z >> C27)) * M2
+            return z ^ (z >> C31)
 
         def g(text):
             if text is None:
                 return None
+            cp = np.frombuffer(
+                text.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+            ).astype(np.uint64)
             if len(text) < n:  # substr(1, n) of a short text is the text
-                return [h(text)]
-            return [
-                h(s)
-                for s in dict.fromkeys(
-                    text[i : i + n] for i in range(len(text) - n + 1)
-                )
-            ]
+                h = SEED
+                for c in cp.tolist():
+                    h = h * K + np.uint64(c)
+                return np.asarray([_mix(h)], dtype=np.uint64).view(np.int64)
+            m = len(cp) - n + 1
+            hs = np.full(m, SEED, dtype=np.uint64)
+            for j in range(n):
+                hs = hs * K + cp[j : j + m]
+            hs = _mix(hs)
+            _, idx = np.unique(hs, return_index=True)
+            return hs[np.sort(idx)].view(np.int64)
 
         return texts.map(g)
 
